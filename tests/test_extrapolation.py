@@ -1,0 +1,131 @@
+"""Extrapolation kernels vs reference golden values (FIXTURES.md §2.6,
+SignalSharp.Tests/Extrapolation/)."""
+
+import numpy as np
+import pytest
+
+from signalsharp_ray.kernels.extrapolation import (
+    HoltOptions,
+    holt_forecast,
+    linear_forecast,
+    ses_forecast,
+)
+from signalsharp_ray.kernels.kalman import KalmanOptions, kalman_filter
+
+
+class TestLinear:
+    def test_simple_trend(self):
+        np.testing.assert_allclose(linear_forecast([1, 3, 5, 7], 2), [9, 11])
+
+    def test_window(self):
+        # window [3,5,7] -> slope 2, anchored at 7
+        np.testing.assert_allclose(
+            linear_forecast([1, 3, 100, 3, 5, 7], 2, window_size=3), [9, 11]
+        )
+
+    def test_constant_zero_slope(self):
+        np.testing.assert_allclose(linear_forecast([5, 5, 5, 5], 2), [5, 5])
+
+    def test_anchor_quirk(self):
+        # noisy data where the fitted line at n-1 != last value: forecast is
+        # anchored at the LAST VALUE, not the fitted line
+        x = [0.0, 2.0, 1.0, 3.0]
+        out = linear_forecast(x, 1)
+        xs = np.arange(4.0)
+        slope = np.polyfit(xs, x, 1)[0]
+        assert out[0] == pytest.approx(3.0 + slope)
+
+    def test_too_short(self):
+        with pytest.raises(ValueError):
+            linear_forecast([1.0], 1)
+
+
+class TestSES:
+    def test_single_point_no_init(self):
+        np.testing.assert_allclose(ses_forecast([10.0], 1, alpha=0.5), [10.0])
+
+    def test_single_point_with_init(self):
+        np.testing.assert_allclose(
+            ses_forecast([10.0], 1, alpha=0.5, initial_level=5.0), [7.5]
+        )
+
+    def test_flat_forecast_golden(self):
+        # alpha=.2, [10,12,15]: loop includes x[0] (equal to init level)
+        out = ses_forecast([10, 12, 15], 3, alpha=0.2)
+        np.testing.assert_allclose(out, [11.32] * 3)
+
+    def test_with_initial_level_golden(self):
+        out = ses_forecast([10, 12, 15], 2, alpha=0.2, initial_level=8.0)
+        np.testing.assert_allclose(out, [10.296] * 2)
+
+    def test_empty_rejected(self):
+        with pytest.raises(ValueError):
+            ses_forecast([], 1, alpha=0.5)
+
+
+class TestHolt:
+    def test_additive_golden(self):
+        out = holt_forecast([1, 2, 3, 4], 3, HoltOptions(alpha=0.5, beta=0.5))
+        np.testing.assert_allclose(out, [4.64453125, 5.46875, 6.29296875])
+
+    def test_requires_two_points(self):
+        with pytest.raises(ValueError):
+            holt_forecast([1.0], 1, HoltOptions(alpha=0.5, beta=0.5))
+
+    def test_multiplicative_requires_positive(self):
+        with pytest.raises(ValueError):
+            holt_forecast(
+                [1.0, -2.0, 3.0],
+                1,
+                HoltOptions(alpha=0.5, beta=0.5, trend_type="multiplicative"),
+            )
+
+    def test_multiplicative_runs(self):
+        out = holt_forecast(
+            [2.0, 4.0, 8.0, 16.0],
+            2,
+            HoltOptions(alpha=0.5, beta=0.5, trend_type="multiplicative"),
+        )
+        assert np.all(out > 16.0)  # growing trend continues
+
+    def test_damped_below_undamped(self):
+        undamped = holt_forecast([1, 2, 3, 4], 5, HoltOptions(alpha=0.5, beta=0.5))
+        damped = holt_forecast(
+            [1, 2, 3, 4],
+            5,
+            HoltOptions(alpha=0.5, beta=0.5, damp_trend=True, phi=0.8),
+        )
+        assert damped[-1] < undamped[-1]
+
+    def test_grid_search_auto_params(self):
+        x = np.arange(1.0, 21.0)  # perfect linear trend
+        out = holt_forecast(x, 2, HoltOptions())  # alpha/beta optimized
+        np.testing.assert_allclose(out, [21.0, 22.0], atol=0.2)
+
+    def test_phi_validation(self):
+        with pytest.raises(ValueError):
+            HoltOptions(alpha=0.5, beta=0.5, damp_trend=True, phi=1.5)
+
+
+class TestKalman:
+    def test_constant_signal_converges(self):
+        out = kalman_filter([5.0] * 50)
+        np.testing.assert_allclose(out, 5.0)
+
+    def test_hand_computed_two_steps(self):
+        opts = KalmanOptions(
+            process_variance=0.0,
+            measurement_variance=1.0,
+            initial_estimate=0.0,
+            initial_error=1.0,
+        )
+        out = kalman_filter([1.0, 1.0], opts)
+        # step 1: p_pred=1, k=1/2, x=0.5, p=0.5
+        # step 2: p_pred=0.5, k=1/3, x=0.5+ (0.5)/3 = 2/3, p=1/3
+        np.testing.assert_allclose(out, [0.5, 2.0 / 3.0])
+
+    def test_smooths_noise(self):
+        rng = np.random.default_rng(5)
+        x = np.sin(np.linspace(0, 4, 200)) + rng.normal(0, 0.3, 200)
+        out = kalman_filter(x, KalmanOptions(process_variance=1e-3, measurement_variance=0.09))
+        assert np.var(np.diff(out)) < np.var(np.diff(x))

@@ -1,0 +1,71 @@
+"""PELT vs reference golden values (FIXTURES.md §2.1,
+SignalSharp.Tests/Detection/PELTTests.cs)."""
+
+import numpy as np
+import pytest
+
+from signalsharp_ray.kernels.pelt import PELT, PELTOptions, pelt_breakpoints
+
+
+SIMPLE = [1, 1, 1, 5, 5, 5, 1, 1, 1]
+
+
+def test_l2_simple():
+    opts = PELTOptions(cost_function="l2", min_size=1, jump=1)
+    np.testing.assert_array_equal(PELT(opts).fit_and_detect(SIMPLE, 2.0), [3, 6])
+
+
+def test_l2_trend_no_changepoints():
+    np.testing.assert_array_equal(pelt_breakpoints([1, 2, 3, 4, 5], 10.0), [])
+
+
+def test_rbf_simple():
+    np.testing.assert_array_equal(
+        pelt_breakpoints(SIMPLE, 0.1, cost="rbf", min_size=1, jump=1), [3, 6]
+    )
+
+
+def test_rbf_long_exact_no_changepoints():
+    pattern = [1, 1, 1, 5, 5, 5, 1, 1, 1, 2, 2, 3, 4, 2, 1]
+    signal = np.tile(pattern, 100)  # N = 1500
+    assert signal.size == 1500
+    out = pelt_breakpoints(signal, 10.0, cost="rbf", min_size=1, jump=1)
+    np.testing.assert_array_equal(out, [])
+
+
+def test_rbf_long_jump5_approximate():
+    pattern = [1, 1, 1, 5, 5, 5, 1, 1, 1, 2, 2, 3, 4, 2, 1]
+    signal = np.tile(pattern, 100)
+    out = pelt_breakpoints(signal, 10.0, cost="rbf", min_size=2, jump=5)
+    np.testing.assert_array_equal(out, [1496, 1498])
+
+
+def test_multidim():
+    sig = np.array([[1.0, 1, 1, 10, 10, 10], [5.0, 5, 5, 20, 20, 20]])
+    out = pelt_breakpoints(sig, 2.0, cost="l2", min_size=1)
+    np.testing.assert_array_equal(out, [3])
+
+
+def test_short_signal_no_changepoints():
+    assert pelt_breakpoints([1.0], 1.0).size == 0
+    opts = PELTOptions(min_size=3)
+    assert PELT(opts).fit_and_detect([1.0, 5.0, 1.0, 5.0, 9.0], 0.1).size == 0
+
+
+def test_negative_penalty_rejected():
+    with pytest.raises(ValueError):
+        pelt_breakpoints(SIMPLE, -1.0)
+
+
+def test_gaussian_cost_detects_variance_change():
+    rng = np.random.default_rng(3)
+    a = rng.normal(0, 0.1, 60)
+    b = rng.normal(0, 3.0, 60)
+    out = pelt_breakpoints(np.concatenate([a, b]), 10.0, cost="gaussian", min_size=2)
+    assert any(abs(int(b_) - 60) <= 2 for b_ in out)
+
+
+def test_jump_matches_exact_on_simple():
+    # jump>1 is approximate, but on this easy signal it finds the same answer
+    out = pelt_breakpoints(SIMPLE, 2.0, cost="l2", min_size=1, jump=2)
+    assert list(out) in ([3, 6], [4, 6], [2, 6])  # approximation tolerance

@@ -1,0 +1,125 @@
+"""Smoothing kernels vs reference golden values (FIXTURES.md §2.4,
+SignalSharp.Tests/Smoothing/)."""
+
+import numpy as np
+import pytest
+
+from signalsharp_ray.kernels import padding as pad
+from signalsharp_ray.kernels.smoothing import (
+    exponential_moving_average,
+    savitzky_golay,
+    simple_moving_average,
+    weighted_moving_average,
+)
+
+
+def test_sma_valid():
+    np.testing.assert_allclose(
+        simple_moving_average([1, 2, 3, 4, 5], 3), [2.0, 3.0, 4.0]
+    )
+
+
+def test_sma_window_too_large_raises():
+    with pytest.raises(ValueError):
+        simple_moving_average([1, 2], 3)
+
+
+def test_sma_constant_padding():
+    # window 3 -> halfwindow 1 each side padded with 0
+    out = simple_moving_average([1, 2, 3, 4, 5], 3, padding=pad.PAD_CONSTANT)
+    np.testing.assert_allclose(out, [1.0, 2.0, 3.0, 4.0, 3.0])
+
+
+def test_ema_golden():
+    np.testing.assert_allclose(
+        exponential_moving_average([1, 2, 3, 4, 5], 0.5),
+        [1, 1.5, 2.25, 3.125, 4.0625],
+    )
+
+
+def test_ema_long_matches_loop():
+    rng = np.random.default_rng(42)
+    x = rng.normal(size=5000)
+    for alpha in (0.01, 0.5, 0.97, 1.0):
+        got = exponential_moving_average(x, alpha)
+        prev = x[0]
+        exp = np.empty_like(x)
+        exp[0] = prev
+        for i in range(1, x.size):
+            prev = alpha * x[i] + (1 - alpha) * prev
+            exp[i] = prev
+        np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-12)
+
+
+def test_wma_golden():
+    np.testing.assert_allclose(
+        weighted_moving_average([1, 2, 3, 4, 5], [0.1, 0.3, 0.6]), [2.5, 3.5, 4.5]
+    )
+
+
+def test_wma_padded_golden():
+    # from the reference's doc example (MovingAverage.cs:204-226)
+    out = weighted_moving_average(
+        [1, 2, 3, 4, 5], [0.1, 0.3, 0.6], padding=pad.PAD_CONSTANT
+    )
+    np.testing.assert_allclose(out, [1.5, 2.5, 3.5, 4.5, 1.9])
+
+
+def test_wma_zero_weights_raises():
+    with pytest.raises(ValueError):
+        weighted_moving_average([1, 2, 3], [1.0, -1.0])
+
+
+def test_padding_modes():
+    x = np.array([1.0, 2.0, 3.0, 4.0])
+    np.testing.assert_array_equal(
+        pad.apply_padding(x, 4, pad.PAD_CONSTANT, 9.0), [9, 9, 1, 2, 3, 4, 9, 9]
+    )
+    np.testing.assert_array_equal(
+        pad.apply_padding(x, 4, pad.PAD_MIRROR, 0), [2, 1, 1, 2, 3, 4, 4, 3]
+    )
+    np.testing.assert_array_equal(
+        pad.apply_padding(x, 4, pad.PAD_NEAREST, 0), [1, 1, 1, 2, 3, 4, 4, 4]
+    )
+    # periodic: left = wrap of tail; right = REVERSED head (reference quirk)
+    np.testing.assert_array_equal(
+        pad.apply_padding(x, 4, pad.PAD_PERIODIC, 0), [3, 4, 1, 2, 3, 4, 2, 1]
+    )
+
+
+def test_trim_padding_roundtrip():
+    x = np.array([1.0, 2.0, 3.0])
+    ext = pad.apply_padding(x, 5, pad.PAD_NEAREST, 0)
+    np.testing.assert_array_equal(pad.trim_padding(ext, 3, 5), x)
+
+
+def test_savgol_golden_middle_restore():
+    x = [2, 2.5, 3.4, 2.7, 2.6, 5.4, 6.2, 7.2, 4.2, 3.5, 3.25, 2]
+    out = savitzky_golay(x, 5, 2)
+    expected = [1.96, 2.7, 3.4, 2.7, 2.6, 5.4, 6.2, 7.2, 4.2, 3.5, 2.61, 2.32]
+    np.testing.assert_allclose(out, expected, atol=1e-2)
+    # middle section must be EXACTLY the input (middle-restore quirk)
+    np.testing.assert_array_equal(out[2:-2], np.asarray(x, dtype=float)[2:-2])
+
+
+def test_savgol_short_passthrough():
+    x = [1.0, 2.0, 3.0]
+    np.testing.assert_array_equal(savitzky_golay(x, 5, 2), x)
+
+
+def test_savgol_constant_identity():
+    x = [3.0] * 9  # len 9 < 2*5+1=11 -> passthrough; use len 11 for real path
+    np.testing.assert_allclose(savitzky_golay([3.0] * 11, 5, 2), [3.0] * 11, atol=1e-9)
+
+
+def test_savgol_linear_identity():
+    x = np.arange(1.0, 8.0)
+    np.testing.assert_allclose(savitzky_golay(x, 3, 1), x, atol=1e-9)
+
+
+def test_savgol_validation():
+    with pytest.raises(ValueError):
+        savitzky_golay([1, 2, 3], 3, 3)
+    with pytest.raises(ValueError):
+        savitzky_golay([1, 2, 3], 5, 2, deriv=3)
+    assert savitzky_golay([], 5, 2).size == 0
