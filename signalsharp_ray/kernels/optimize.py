@@ -1,0 +1,330 @@
+"""Generic hyperparameter optimizers: grid search and Nelder-Mead.
+
+Behavioral parity with the reference's optimizers
+(/root/reference/SignalSharp/Optimization/GridSearch/GridSearchOptimizer.cs,
+NelderMead/NelderMeadOptimizer.cs) re-expressed idiomatically:
+
+Grid search (GridSearchOptimizer.cs:32-83, options :12-71):
+- cartesian grid over parameter definitions; linear or log-spaced per param
+  (:160-196); default 10 steps per param
+- optional eval cap with systematic subsampling (:497-533)
+- early-stop threshold (:418-431)
+- adaptive refinement: a second pass on +/- RefinementRangeFactor/2 * range
+  around the best point (:538-623); default off, factor 0.2, 5 steps
+- parallel evaluation maps to Ray tasks at the cluster tier; in-kernel use
+  is a plain loop (deterministic order -> first minimum wins ties)
+
+Nelder-Mead (NelderMeadOptimizer.cs:29-220+, options :11-104):
+- standard simplex (reflection 1, expansion 2, contraction 0.5, shrink 0.5)
+  with bounds clamping
+- initial simplex = guess +/- 5% of each parameter's range (absolute step
+  0.001 when the range is zero)
+- function-value + parameter convergence tolerances, stagnation detection
+  (10 iterations, 1e-9 improvement), optional multi-start restarts (2)
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from dataclasses import dataclass, field
+from typing import Callable, Mapping, Sequence
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class ParameterDefinition:
+    name: str
+    min_value: float
+    max_value: float
+    initial_guess: float | None = None
+
+
+@dataclass
+class OptimizationResult:
+    best_parameters: dict[str, float]
+    minimized_metric: float
+    success: bool = True
+    message: str | None = None
+    iterations: int | None = None
+    function_evaluations: int | None = None
+
+
+Objective = Callable[[Mapping[str, float]], float]
+
+
+# -- grid search ----------------------------------------------------------
+
+
+@dataclass
+class GridSearchOptions:
+    default_grid_steps: int = 10
+    per_parameter_grid_steps: dict[str, int] | None = None
+    max_function_evaluations: int | None = None
+    early_stopping_threshold: float | None = None
+    use_logarithmic_scale_for: set[str] | None = None
+    enable_adaptive_refinement: bool = False
+    refinement_range_factor: float = 0.2
+    refinement_grid_steps: int = 5
+
+    def __post_init__(self):
+        if self.default_grid_steps < 2:
+            raise ValueError("default_grid_steps must be >= 2")
+        if not (0.0 < self.refinement_range_factor < 1.0):
+            raise ValueError("refinement_range_factor must be in (0, 1)")
+
+
+def _axis_values(p: ParameterDefinition, steps: int, log_scale: bool) -> np.ndarray:
+    if p.max_value < p.min_value:
+        raise ValueError(f"Parameter {p.name}: max < min")
+    if p.max_value == p.min_value or steps == 1:
+        return np.array([p.min_value])
+    if log_scale:
+        if p.min_value <= 0:
+            raise ValueError(f"Parameter {p.name}: log scale requires positive bounds")
+        return np.exp(np.linspace(math.log(p.min_value), math.log(p.max_value), steps))
+    return np.linspace(p.min_value, p.max_value, steps)
+
+
+class GridSearchOptimizer:
+    def __init__(self, options: GridSearchOptions | None = None):
+        self.options = options or GridSearchOptions()
+
+    def optimize(
+        self,
+        objective: Objective,
+        parameters: Sequence[ParameterDefinition],
+    ) -> OptimizationResult:
+        opts = self.options
+        if not parameters:
+            raise ValueError("At least one parameter definition is required.")
+        evals = 0
+
+        def run_grid(defs: Sequence[ParameterDefinition], steps_map) -> tuple[dict, float, int]:
+            nonlocal evals
+            axes = []
+            for p in defs:
+                steps = steps_map(p)
+                log_scale = bool(
+                    opts.use_logarithmic_scale_for and p.name in opts.use_logarithmic_scale_for
+                )
+                axes.append(_axis_values(p, steps, log_scale))
+            combos = list(itertools.product(*axes))
+            # systematic subsampling under the eval budget (:497-533)
+            if opts.max_function_evaluations is not None and len(combos) > max(
+                0, opts.max_function_evaluations - evals
+            ):
+                budget = max(1, opts.max_function_evaluations - evals)
+                stride = max(1, len(combos) // budget)
+                combos = combos[::stride][:budget]
+            best_params: dict[str, float] | None = None
+            best_metric = math.inf
+            for combo in combos:
+                params = {p.name: float(v) for p, v in zip(defs, combo)}
+                try:
+                    m = float(objective(params))
+                except Exception:
+                    m = math.inf
+                evals += 1
+                if not math.isnan(m) and m < best_metric:
+                    best_metric = m
+                    best_params = params
+                    if (
+                        opts.early_stopping_threshold is not None
+                        and m <= opts.early_stopping_threshold
+                    ):
+                        break
+            return best_params or {}, best_metric, len(combos)
+
+        best_params, best_metric, _ = run_grid(
+            parameters,
+            lambda p: (opts.per_parameter_grid_steps or {}).get(
+                p.name, opts.default_grid_steps
+            ),
+        )
+
+        if best_params and opts.enable_adaptive_refinement and math.isfinite(best_metric):
+            refined_defs = []
+            for p in parameters:
+                rng = p.max_value - p.min_value
+                half = rng * opts.refinement_range_factor / 2.0
+                center = best_params[p.name]
+                refined_defs.append(
+                    ParameterDefinition(
+                        p.name,
+                        max(p.min_value, center - half),
+                        min(p.max_value, center + half),
+                        center,
+                    )
+                )
+            r_params, r_metric, _ = run_grid(
+                refined_defs, lambda p: opts.refinement_grid_steps
+            )
+            if r_params and r_metric < best_metric:
+                best_params, best_metric = r_params, r_metric
+
+        success = bool(best_params) and math.isfinite(best_metric)
+        return OptimizationResult(
+            best_parameters=best_params,
+            minimized_metric=best_metric,
+            success=success,
+            message=None if success else "No valid grid point found.",
+            function_evaluations=evals,
+        )
+
+
+# -- Nelder-Mead ----------------------------------------------------------
+
+
+@dataclass
+class NelderMeadOptions:
+    max_iterations: int = 1000
+    max_function_evaluations: int | None = None
+    function_value_convergence_tolerance: float = 1e-6
+    enable_parameter_convergence: bool = True
+    parameter_convergence_tolerance: float = 1e-4
+    enable_multi_start: bool = False
+    max_restarts: int = 2
+    reflection_factor: float = 1.0
+    expansion_factor: float = 2.0
+    contraction_factor: float = 0.5
+    shrink_factor: float = 0.5
+    stagnation_threshold_count: int = 10
+    stagnation_improvement_threshold: float = 1e-9
+    initial_simplex_range_factor: float = 0.05
+    initial_simplex_absolute_step_for_zero_range: float = 0.001
+
+
+class NelderMeadOptimizer:
+    def __init__(self, options: NelderMeadOptions | None = None):
+        self.options = options or NelderMeadOptions()
+
+    def optimize(
+        self,
+        objective: Objective,
+        parameters: Sequence[ParameterDefinition],
+    ) -> OptimizationResult:
+        opts = self.options
+        if not parameters:
+            raise ValueError("At least one parameter definition is required.")
+        lo = np.array([p.min_value for p in parameters])
+        hi = np.array([p.max_value for p in parameters])
+        names = [p.name for p in parameters]
+        evals = 0
+        total_iters = 0
+
+        def f(x: np.ndarray) -> float:
+            nonlocal evals
+            evals += 1
+            try:
+                v = float(objective({n: float(xi) for n, xi in zip(names, x)}))
+            except Exception:
+                return math.inf
+            return math.inf if math.isnan(v) else v
+
+        def clamp(x: np.ndarray) -> np.ndarray:
+            return np.clip(x, lo, hi)
+
+        def initial_guess(restart: int) -> np.ndarray:
+            if restart == 0:
+                return np.array(
+                    [
+                        p.initial_guess
+                        if p.initial_guess is not None
+                        else (p.min_value + p.max_value) / 2.0
+                        for p in parameters
+                    ]
+                )
+            rng = np.random.default_rng(restart)  # deterministic restarts
+            return lo + rng.random(len(parameters)) * (hi - lo)
+
+        def solve_from(x0: np.ndarray) -> tuple[np.ndarray, float, int]:
+            nonlocal total_iters
+            n = len(x0)
+            steps = np.where(
+                hi - lo > 0,
+                (hi - lo) * opts.initial_simplex_range_factor,
+                opts.initial_simplex_absolute_step_for_zero_range,
+            )
+            simplex = [clamp(x0.copy())]
+            for i in range(n):
+                v = x0.copy()
+                v[i] += steps[i]
+                simplex.append(clamp(v))
+            simplex = np.array(simplex)
+            fvals = np.array([f(v) for v in simplex])
+            stagnant = 0
+            prev_best = math.inf
+            it = 0
+            while it < opts.max_iterations:
+                if (
+                    opts.max_function_evaluations is not None
+                    and evals >= opts.max_function_evaluations
+                ):
+                    break
+                order = np.argsort(fvals, kind="stable")
+                simplex, fvals = simplex[order], fvals[order]
+                best, worst = fvals[0], fvals[-1]
+                # convergence
+                if abs(worst - best) < opts.function_value_convergence_tolerance:
+                    break
+                if opts.enable_parameter_convergence and np.all(
+                    np.abs(simplex[1:] - simplex[0]) < opts.parameter_convergence_tolerance
+                ):
+                    break
+                # stagnation
+                if prev_best - best < opts.stagnation_improvement_threshold:
+                    stagnant += 1
+                    if stagnant >= opts.stagnation_threshold_count:
+                        break
+                else:
+                    stagnant = 0
+                prev_best = best
+
+                centroid = simplex[:-1].mean(axis=0)
+                xr = clamp(centroid + opts.reflection_factor * (centroid - simplex[-1]))
+                fr = f(xr)
+                if fvals[0] <= fr < fvals[-2]:
+                    simplex[-1], fvals[-1] = xr, fr
+                elif fr < fvals[0]:
+                    xe = clamp(centroid + opts.expansion_factor * (xr - centroid))
+                    fe = f(xe)
+                    if fe < fr:
+                        simplex[-1], fvals[-1] = xe, fe
+                    else:
+                        simplex[-1], fvals[-1] = xr, fr
+                else:
+                    xc = clamp(centroid + opts.contraction_factor * (simplex[-1] - centroid))
+                    fc = f(xc)
+                    if fc < fvals[-1]:
+                        simplex[-1], fvals[-1] = xc, fc
+                    else:  # shrink toward the best vertex
+                        for i in range(1, n + 1):
+                            simplex[i] = clamp(
+                                simplex[0] + opts.shrink_factor * (simplex[i] - simplex[0])
+                            )
+                            fvals[i] = f(simplex[i])
+                it += 1
+            total_iters += it
+            k = int(np.argmin(fvals))
+            return simplex[k], float(fvals[k]), it
+
+        restarts = opts.max_restarts if opts.enable_multi_start else 0
+        best_x, best_f = None, math.inf
+        for r in range(restarts + 1):
+            x, fx, _ = solve_from(clamp(initial_guess(r)))
+            if fx < best_f:
+                best_x, best_f = x, fx
+
+        success = best_x is not None and math.isfinite(best_f)
+        return OptimizationResult(
+            best_parameters={}
+            if best_x is None
+            else {n: float(v) for n, v in zip(names, best_x)},
+            minimized_metric=best_f,
+            success=success,
+            message=None if success else "Nelder-Mead failed to find a valid solution.",
+            iterations=total_iters,
+            function_evaluations=evals,
+        )
