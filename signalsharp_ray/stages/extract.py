@@ -1,0 +1,106 @@
+"""Extract stage: raw web-page rows -> (url, host, ts, value) points.
+
+Vectorized Arrow kernel (zero-copy batches):
+- host parsed from the url with a pyarrow regex extract
+- value = extracted-text length in UTF-8 bytes (deterministic per-row metric;
+  combined with text_hash it makes the "byte-identical extracted text per
+  url" invariant checkable downstream)
+- html is dropped immediately (wide binary never travels past this stage)
+
+Dedup: duplicate (url, warc_ts) crawl rows collapse to one point via
+hash-partitioned groupby + first (exact dedup; aggregates are computed after
+dedup so re-crawled pages don't double count).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+POINT_COLUMNS = ["url", "host", "ts", "value", "text_hash"]
+
+
+def extract_points_batch(batch: pa.Table) -> pa.Table:
+    url = batch["url"]
+    host = pc.extract_regex(url, r"^[a-z]+://(?P<host>[^/]+)")
+    host = pc.struct_field(host, "host")
+    value = pc.cast(pc.binary_length(pc.cast(batch["text"], pa.binary())), pa.float64())
+    # 64-bit FNV-1a-style vectorized hash of the text bytes for the
+    # byte-identity invariant (cheap, stable, collision-safe enough for QA)
+    text_hash = _hash_strings(batch["text"])
+    return pa.table(
+        {
+            "url": url,
+            "host": host,
+            "ts": batch["warc_ts"],
+            "value": value,
+            "text_hash": text_hash,
+        }
+    )
+
+
+def _hash_strings(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Stable 64-bit content hash per string — pandas' vectorized (C-level)
+    siphash with a fixed key, deterministic across processes and runs."""
+    import pandas as pd
+
+    values = arr.to_numpy(zero_copy_only=False)
+    hashed = pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
+    return pa.array(hashed.view(np.int64), pa.int64())
+
+
+def extract_points(pages_ds, drop_duplicates: bool = True):
+    """pages Dataset (input_hint schema) -> points Dataset.
+
+    The html column is pruned before the first batch function runs; dedup is
+    an exact hash-partitioned first-row-per-(url, warc_ts).
+    """
+    ds = pages_ds.select_columns(["url", "warc_ts", "text"])
+    pts = ds.map_batches(extract_points_batch, batch_format="pyarrow")
+    if drop_duplicates:
+        pts = dedup_points(pts)
+    return pts
+
+
+def _first_per_key(batch: pa.Table) -> pa.Table:
+    """Keep the first row of each (url, ts) key inside an already
+    key-partitioned group batch."""
+    import pandas as pd
+
+    df = batch
+    keys = pd.MultiIndex.from_arrays(
+        [df["url"].to_numpy(zero_copy_only=False), df["ts"].to_numpy(zero_copy_only=False)]
+    )
+    mask = ~keys.duplicated()
+    return df.filter(pa.array(mask))
+
+
+def dedup_points(points_ds):
+    """Exact dedup on (url, ts): in-batch pre-dedup (cheap, removes most
+    duplicates early) then a hash-shuffled groupby to catch cross-batch ones."""
+    pre = points_ds.map_batches(_first_per_key, batch_format="pyarrow")
+    return pre.groupby(["url", "ts"]).map_groups(
+        lambda df: df.head(1), batch_format="pandas"
+    )
+
+
+def check_text_byte_identity(points_ds) -> int:
+    """Return the number of urls violating the byte-identical-text-per-url
+    invariant (0 expected). Aggregates nunique(text_hash) per url with an
+    in-batch partial (url, hash) distinct first, so the shuffle only moves
+    distinct pairs."""
+    import pandas as pd
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["url", "text_hash"]].drop_duplicates()
+
+    pairs = points_ds.map_batches(distinct_pairs, batch_format="pandas")
+    per_url = pairs.groupby("url").map_groups(
+        lambda df: pd.DataFrame(
+            {"url": [df["url"].iloc[0]], "n_variants": [df["text_hash"].nunique()]}
+        ),
+        batch_format="pandas",
+    )
+    bad = per_url.filter(lambda row: row["n_variants"] > 1)
+    return bad.count()

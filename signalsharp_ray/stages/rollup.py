@@ -1,0 +1,148 @@
+"""Time-bucketed rollup into continuous-aggregate retention tiers (1m/1h/1d).
+
+This is the distributed generalization of the reference's fixed-size segment
+statistics (/root/reference/SignalSharp/Resampling/Resampling.cs:101-216):
+tumbling windows on the timestamp instead of the index, with identical
+ragged-tail semantics (a bucket aggregates whatever points fall in it).
+
+Scale design:
+- PARTIAL+FINAL aggregation: every batch is pre-aggregated on
+  (host, url, bucket_ts) with pyarrow's hash groupby BEFORE the cluster-wide
+  shuffle, so the all-to-all exchange moves one row per (key, bucket) per
+  batch instead of one row per point. count/sum/min/max are commutative and
+  associative, so salting / partial merging is exact.
+- TIER CASCADE: 1h is re-aggregated from 1m partials and 1d from 1h
+  (sum of sums, sum of counts, min of mins, max of maxes) — exact, and the
+  coarser tiers never touch the raw points again.
+- mean = sum/count is computed AFTER the final merge (it is not mergeable).
+
+Output schema per tier:
+    host:string, url:string, bucket_ts:timestamp[us],
+    count:int64, sum:float64, min:float64, max:float64, mean:float64
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TIERS_US = {
+    "1m": 60_000_000,
+    "1h": 3_600_000_000,
+    "1d": 86_400_000_000,
+}
+
+ROLLUP_KEY = ["host", "url", "bucket_ts"]
+
+
+import numpy as np
+
+
+def bucket_timestamps(ts: pa.ChunkedArray, tier_us: int) -> pa.Array:
+    """Floor timestamps to the tier width (epoch-aligned tumbling windows).
+
+    Integer floor-divide on the int64 microsecond view (zero-copy via numpy;
+    correct for negative epochs too thanks to python-style floor division).
+    Unit-aware: Ray's groupby can downcast timestamp[us] -> timestamp[s], so
+    the input is normalized to microseconds first; output is timestamp[us].
+    """
+    unit = ts.type.unit if isinstance(ts.type, pa.TimestampType) else "us"
+    ts = pc.cast(ts, pa.timestamp("us")) if unit != "us" else ts
+    as_int = pc.cast(ts, pa.int64())
+    arr = (
+        as_int.combine_chunks().to_numpy(zero_copy_only=False)
+        if isinstance(as_int, pa.ChunkedArray)
+        else as_int.to_numpy(zero_copy_only=False)
+    )
+    floored = (arr // tier_us) * tier_us
+    return pa.array(floored.astype(np.int64), pa.timestamp("us"))
+
+
+def partial_rollup_batch(batch: pa.Table, tier_us: int) -> pa.Table:
+    """In-batch partial aggregate on (host, url, bucket): the combiner."""
+    t = pa.table(
+        {
+            "host": batch["host"],
+            "url": batch["url"],
+            "bucket_ts": bucket_timestamps(batch["ts"], tier_us),
+            "value": batch["value"],
+        }
+    )
+    g = t.group_by(ROLLUP_KEY, use_threads=False).aggregate(
+        [("value", "count"), ("value", "sum"), ("value", "min"), ("value", "max")]
+    )
+    return g.rename_columns(ROLLUP_KEY + ["count", "sum", "min", "max"])
+
+
+def _merge_partials(ds):
+    """Cluster-wide final merge of partial rows (the one shuffle per tier)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    out = ds.groupby(ROLLUP_KEY).aggregate(
+        Sum("count", alias_name="count"),
+        Sum("sum", alias_name="sum"),
+        Min("min", alias_name="min"),
+        Max("max", alias_name="max"),
+    )
+    return out.map_batches(_add_mean, batch_format="pyarrow")
+
+
+def _add_mean(batch: pa.Table) -> pa.Table:
+    # normalize bucket_ts back to us (Ray's aggregate may downcast to s);
+    # tier buckets are whole seconds so the cast is lossless
+    idx = batch.column_names.index("bucket_ts")
+    batch = batch.set_column(
+        idx, "bucket_ts", pc.cast(batch["bucket_ts"], pa.timestamp("us"))
+    )
+    mean = pc.divide(batch["sum"], pc.cast(batch["count"], pa.float64()))
+    if "mean" in batch.column_names:
+        batch = batch.drop_columns(["mean"])
+    return batch.append_column("mean", mean)
+
+
+def rollup_tier(points_ds, tier: str):
+    """points (host,url,ts,value) -> tier aggregate rows."""
+    tier_us = TIERS_US[tier]
+    partial = points_ds.map_batches(
+        lambda b: partial_rollup_batch(b, tier_us), batch_format="pyarrow"
+    )
+    return _merge_partials(partial)
+
+
+def cascade_tier(finer_ds, coarser_tier: str):
+    """Re-aggregate a finer tier's rows into a coarser tier — exact because
+    count/sum/min/max merge associatively; mean recomputed at the end."""
+    tier_us = TIERS_US[coarser_tier]
+
+    def rebucket(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "host": batch["host"],
+                "url": batch["url"],
+                "bucket_ts": bucket_timestamps(batch["bucket_ts"], tier_us),
+                "count": batch["count"],
+                "sum": batch["sum"],
+                "min": batch["min"],
+                "max": batch["max"],
+            }
+        )
+        g = t.group_by(ROLLUP_KEY, use_threads=False).aggregate(
+            [("count", "sum"), ("sum", "sum"), ("min", "min"), ("max", "max")]
+        )
+        return g.rename_columns(ROLLUP_KEY + ["count", "sum", "min", "max"])
+
+    partial = finer_ds.map_batches(rebucket, batch_format="pyarrow")
+    return _merge_partials(partial)
+
+
+def rollup_all_tiers(points_ds) -> dict:
+    """1m from points; 1h from 1m; 1d from 1h. Returns {tier: Dataset}.
+
+    The 1m result is the only stage that reads the raw points; the cascade
+    reuses its (already tiny) aggregate rows.
+    """
+    tiers: dict[str, object] = {}
+    tiers["1m"] = rollup_tier(points_ds, "1m")
+    tiers["1h"] = cascade_tier(tiers["1m"], "1h")
+    tiers["1d"] = cascade_tier(tiers["1h"], "1d")
+    return tiers
