@@ -1,0 +1,138 @@
+"""Encode stage: per-series Gorilla + delta-of-delta compressed blocks.
+
+Two-step shape (north_star: "stateful actor-pool stages"):
+1. assemble_series — groupby(host, url).map_groups packs each series'
+   (sorted) timestamps and values into one row with list columns;
+2. SeriesBlockEncoder — a CALLABLE CLASS run via
+   map_batches(SeriesBlockEncoder, concurrency=N, batch_size=B): the actor
+   pool amortizes codec scratch state across batches and emits the
+   compressed-block schema:
+
+    host, url, tier, n_points:int32, first_ts:timestamp[us],
+    first_value:float64, ts_dod:binary, values_gorilla:binary
+
+Round-trip is exact (bit-identical float64, exact int64 timestamps) — see
+decode_blocks and tests/test_encode_stage.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..codecs import (
+    decode_timestamps_dod,
+    decode_values_gorilla,
+    encode_timestamps_dod,
+    encode_values_gorilla,
+)
+
+BLOCK_SCHEMA = pa.schema(
+    [
+        ("host", pa.string()),
+        ("url", pa.string()),
+        ("tier", pa.string()),
+        ("n_points", pa.int32()),
+        ("first_ts", pa.timestamp("us")),
+        ("first_value", pa.float64()),
+        ("ts_dod", pa.binary()),
+        ("values_gorilla", pa.binary()),
+    ]
+)
+
+
+def assemble_series(df: pd.DataFrame, value_col: str = "value") -> pd.DataFrame:
+    """One row per (host, url): sorted timestamp + value arrays as lists."""
+    df = df.sort_values("bucket_ts")
+    ts = df["bucket_ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    return pd.DataFrame(
+        {
+            "host": [df["host"].iloc[0]],
+            "url": [df["url"].iloc[0]],
+            "ts_us": [ts],
+            "values": [df[value_col].to_numpy(dtype=np.float64)],
+        }
+    )
+
+
+class SeriesBlockEncoder:
+    """Actor-pool batch encoder. State initialized once per actor
+    (__init__), applied per batch (__call__)."""
+
+    def __init__(self, tier: str):
+        self.tier = tier
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        hosts, urls, n_pts, first_ts, first_val, ts_blobs, val_blobs = (
+            [], [], [], [], [], [], [],
+        )
+        for host, url, ts_us, values in zip(
+            batch["host"], batch["url"], batch["ts_us"], batch["values"]
+        ):
+            ts_arr = np.asarray(ts_us, dtype=np.int64)
+            val_arr = np.asarray(values, dtype=np.float64)
+            hosts.append(host)
+            urls.append(url)
+            n_pts.append(len(ts_arr))
+            first_ts.append(int(ts_arr[0]) if len(ts_arr) else 0)
+            first_val.append(float(val_arr[0]) if len(val_arr) else 0.0)
+            ts_blobs.append(encode_timestamps_dod(ts_arr))
+            val_blobs.append(encode_values_gorilla(val_arr))
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "url": pa.array(urls, pa.string()),
+                "tier": pa.array([self.tier] * len(hosts), pa.string()),
+                "n_points": pa.array(n_pts, pa.int32()),
+                "first_ts": pa.array(first_ts, pa.timestamp("us")),
+                "first_value": pa.array(first_val, pa.float64()),
+                "ts_dod": pa.array(ts_blobs, pa.binary()),
+                "values_gorilla": pa.array(val_blobs, pa.binary()),
+            }
+        )
+
+
+def encode_tier(series_points_ds, tier: str, concurrency: int = 4, batch_size: int = 64):
+    """Gap-filled tier rows -> compressed block rows.
+
+    The groupby shuffles once on (host, url); the encoder pool then streams
+    assembled series. batch_size is small because each row carries a whole
+    series.
+    """
+    assembled = series_points_ds.groupby(["host", "url"]).map_groups(
+        assemble_series, batch_format="pandas"
+    )
+    return assembled.map_batches(
+        SeriesBlockEncoder,
+        fn_constructor_args=(tier,),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def decode_blocks(blocks: pa.Table | pd.DataFrame) -> pd.DataFrame:
+    """Inverse of the encode stage: block rows -> (host, url, tier, ts, value)
+    point rows. Used by tests and by readers of the compressed tier."""
+    if isinstance(blocks, pa.Table):
+        blocks = blocks.to_pandas()
+    frames = []
+    for row in blocks.itertuples(index=False):
+        ts = decode_timestamps_dod(row.ts_dod)
+        vals = decode_values_gorilla(row.values_gorilla)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "host": row.host,
+                    "url": row.url,
+                    "tier": row.tier,
+                    "bucket_ts": pd.to_datetime(ts, unit="us"),
+                    "value": vals,
+                }
+            )
+        )
+    if not frames:
+        return pd.DataFrame(columns=["host", "url", "tier", "bucket_ts", "value"])
+    return pd.concat(frames, ignore_index=True)

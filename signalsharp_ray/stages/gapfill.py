@@ -1,0 +1,72 @@
+"""Gap-fill stage: make each (host, url) series dense on the tier's bucket
+grid, synthesizing missing buckets by LOCF (forward-fill) or linear
+interpolation.
+
+No reference counterpart (the reference has index==time, so gaps cannot
+exist); required by BASELINE.json north_rule. Semantics:
+- grid = np.arange(first_bucket, last_bucket + tier, tier) per series
+- locf: value = last observed mean (forward fill)
+- linear: np.interp between neighboring observed means
+- synthesized buckets get gap_filled=True, count=0, sum/min/max=NaN
+- ordering: the group is sorted by bucket_ts inside the kernel (groupby does
+  not guarantee intra-group order)
+
+Runs as groupby(host, url).map_groups — each series fully materialized in one
+kernel call (same co-partitioning contract as the analysis stage).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .rollup import TIERS_US
+
+GAPFILL_METHODS = ("locf", "linear")
+
+
+def gapfill_series(df: pd.DataFrame, tier_us: int, method: str = "locf") -> pd.DataFrame:
+    if method not in GAPFILL_METHODS:
+        raise ValueError(f"Unknown gap-fill method {method!r}")
+    df = df.sort_values("bucket_ts")
+    ts = df["bucket_ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    if ts.size == 0:
+        out = df.copy()
+        out["gap_filled"] = np.array([], dtype=bool)
+        return out
+    grid = np.arange(ts[0], ts[-1] + tier_us, tier_us, dtype=np.int64)
+    pos = np.searchsorted(ts, grid)
+    observed = np.zeros(grid.size, dtype=bool)
+    in_range = pos < ts.size
+    observed[in_range] = ts[pos[in_range]] == grid[in_range]
+
+    mean_obs = df["mean"].to_numpy()
+    if method == "locf":
+        # index of the last observed point at or before each grid slot
+        last_idx = np.maximum(np.searchsorted(ts, grid, side="right") - 1, 0)
+        value = mean_obs[last_idx]
+    else:  # linear
+        value = np.interp(grid, ts, mean_obs)
+
+    out = pd.DataFrame(
+        {
+            "host": df["host"].iloc[0],
+            "url": df["url"].iloc[0],
+            "bucket_ts": pd.to_datetime(grid, unit="us"),
+            "value": value,
+            "gap_filled": ~observed,
+        }
+    )
+    # carry observed aggregates; synthesized buckets get count 0 / NaN stats
+    for col, fill in (("count", 0), ("sum", np.nan), ("min", np.nan), ("max", np.nan)):
+        vals = np.full(grid.size, fill, dtype=np.float64)
+        vals[observed] = df[col].to_numpy()[pos[observed]]
+        out[col] = vals.astype(np.int64) if col == "count" else vals
+    return out
+
+
+def gapfill_tier(tier_ds, tier: str, method: str = "locf"):
+    tier_us = TIERS_US[tier]
+    return tier_ds.groupby(["host", "url"]).map_groups(
+        lambda df: gapfill_series(df, tier_us, method), batch_format="pandas"
+    )

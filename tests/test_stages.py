@@ -1,0 +1,191 @@
+"""Gap-fill, encode, and analysis stage tests (kernel level + through Ray)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from signalsharp_ray.stages.analysis import (
+    ChangepointConfig,
+    ForecastConfig,
+    SmoothingConfig,
+    changepoints_kernel,
+    forecast_kernel,
+    smooth_kernel,
+)
+from signalsharp_ray.stages.encode import SeriesBlockEncoder, assemble_series, decode_blocks
+from signalsharp_ray.stages.gapfill import gapfill_series
+from signalsharp_ray.stages.rollup import TIERS_US
+
+
+def _series_df(ts_minutes, values, host="h.example.com", url="https://h.example.com/p"):
+    base = 1_704_067_200_000_000
+    return pd.DataFrame(
+        {
+            "host": host,
+            "url": url,
+            "bucket_ts": pd.to_datetime(
+                [base + m * 60_000_000 for m in ts_minutes], unit="us"
+            ),
+            "count": 1,
+            "sum": np.asarray(values, dtype=float),
+            "min": np.asarray(values, dtype=float),
+            "max": np.asarray(values, dtype=float),
+            "mean": np.asarray(values, dtype=float),
+        }
+    )
+
+
+class TestGapfill:
+    def test_locf(self):
+        df = _series_df([0, 1, 4], [10.0, 20.0, 50.0])
+        out = gapfill_series(df, TIERS_US["1m"], "locf")
+        assert len(out) == 5
+        np.testing.assert_allclose(out["value"], [10, 20, 20, 20, 50])
+        np.testing.assert_array_equal(out["gap_filled"], [False, False, True, True, False])
+        np.testing.assert_array_equal(out["count"], [1, 1, 0, 0, 1])
+        assert out["sum"].isna().tolist() == [False, False, True, True, False]
+
+    def test_linear(self):
+        df = _series_df([0, 3], [0.0, 30.0])
+        out = gapfill_series(df, TIERS_US["1m"], "linear")
+        np.testing.assert_allclose(out["value"], [0, 10, 20, 30])
+        np.testing.assert_array_equal(out["gap_filled"], [False, True, True, False])
+
+    def test_no_gaps_passthrough(self):
+        df = _series_df([0, 1, 2], [1.0, 2.0, 3.0])
+        out = gapfill_series(df, TIERS_US["1m"], "locf")
+        assert len(out) == 3
+        assert not out["gap_filled"].any()
+
+    def test_unsorted_input_sorted_inside(self):
+        df = _series_df([4, 0, 1], [50.0, 10.0, 20.0])
+        out = gapfill_series(df, TIERS_US["1m"], "locf")
+        np.testing.assert_allclose(out["value"], [10, 20, 20, 20, 50])
+
+    def test_matches_pandas_ffill_oracle(self):
+        rng = np.random.default_rng(3)
+        mins = np.sort(rng.choice(200, 40, replace=False))
+        vals = rng.normal(size=40)
+        df = _series_df(mins.tolist(), vals)
+        out = gapfill_series(df, TIERS_US["1m"], "locf")
+        oracle = (
+            df.set_index("bucket_ts")["mean"]
+            .resample("1min")
+            .asfreq()
+            .ffill()
+        )
+        np.testing.assert_allclose(out["value"].to_numpy(), oracle.to_numpy())
+
+
+class TestEncode:
+    def test_assemble_and_roundtrip(self):
+        df = _series_df(range(100), np.sin(np.arange(100)) * 10 + 100)
+        assembled = assemble_series(df, value_col="mean")
+        enc = SeriesBlockEncoder("1m")(assembled)
+        assert enc.num_rows == 1
+        dec = decode_blocks(enc)
+        np.testing.assert_array_equal(
+            dec["value"].to_numpy(), df["mean"].to_numpy()
+        )
+        np.testing.assert_array_equal(
+            dec["bucket_ts"].to_numpy(), df["bucket_ts"].to_numpy()
+        )
+
+    def test_compression_on_regular_grid(self):
+        df = _series_df(range(2000), np.full(2000, 7.25))
+        enc = SeriesBlockEncoder("1h")(assemble_series(df, value_col="mean"))
+        raw_bytes = 2000 * 16
+        comp_bytes = len(enc["ts_dod"][0].as_py()) + len(enc["values_gorilla"][0].as_py())
+        assert comp_bytes < raw_bytes / 20  # >20x on constant regular series
+
+
+class TestAnalysisKernels:
+    def test_pelt_changepoints_on_series(self):
+        df = _series_df(range(9), [1, 1, 1, 5, 5, 5, 1, 1, 1])
+        cfg = ChangepointConfig(method="pelt", cost="l2", penalty=2.0, min_size=1)
+        out = changepoints_kernel(df, cfg)
+        np.testing.assert_array_equal(out["breakpoint_index"], [3, 6])
+        # breakpoint_ts = ts of the first point after the change
+        assert out["breakpoint_ts"].iloc[0] == df["bucket_ts"].iloc[3]
+
+    def test_cusum_changepoints(self):
+        df = _series_df(range(9), [0.2, 1.1, 0.2, 4.0, 0.1, 0.2, -2.0, 0.2, 0.1])
+        from signalsharp_ray.kernels.cusum import CUSUMOptions
+
+        cfg = ChangepointConfig(
+            method="cusum",
+            cusum=CUSUMOptions(threshold_factor=1.2, slack_factor=0.1),
+        )
+        out = changepoints_kernel(df, cfg)
+        np.testing.assert_array_equal(out["breakpoint_index"], [3, 6])
+
+    def test_series_cap_enforced(self):
+        df = _series_df(range(50), np.ones(50))
+        cfg = ChangepointConfig(cost="rbf", max_series_len=10)
+        with pytest.raises(ValueError, match="cap"):
+            changepoints_kernel(df, cfg)
+
+    def test_smooth_sma(self):
+        df = _series_df(range(5), [1, 2, 3, 4, 5])
+        out = smooth_kernel(df, SmoothingConfig(op="sma", window=3, padding="nearest"))
+        assert len(out) == 5
+        # nearest padding: [1,1,1,2,3,4,5,5,5] windows -> first = (1+1+2)/3
+        np.testing.assert_allclose(out["smoothed"].iloc[1:4], [2.0, 3.0, 4.0])
+
+    def test_smooth_ema_matches_kernel(self):
+        df = _series_df(range(5), [1, 2, 3, 4, 5])
+        out = smooth_kernel(df, SmoothingConfig(op="ema", alpha=0.5))
+        np.testing.assert_allclose(out["smoothed"], [1, 1.5, 2.25, 3.125, 4.0625])
+
+    def test_forecast_linear(self):
+        df = _series_df(range(4), [1, 3, 5, 7])
+        out = forecast_kernel(df, ForecastConfig(method="linear", horizon=2), TIERS_US["1m"])
+        np.testing.assert_allclose(out["forecast"], [9.0, 11.0])
+        assert (
+            out["forecast_ts"].iloc[0] - df["bucket_ts"].iloc[-1]
+        ) == pd.Timedelta(minutes=1)
+
+    def test_forecast_too_short_series_empty(self):
+        df = _series_df([0], [5.0])
+        out = forecast_kernel(df, ForecastConfig(method="linear", horizon=2), TIERS_US["1m"])
+        assert len(out) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestThroughRay:
+    def _tier_ds(self):
+        import ray.data as rd
+
+        frames = []
+        rng = np.random.default_rng(0)
+        for i in range(6):
+            vals = np.concatenate([np.ones(20) * i, np.ones(20) * (i + 5)])
+            frames.append(
+                _series_df(
+                    range(40),
+                    vals + rng.normal(0, 0.01, 40),
+                    host=f"h{i}.example.com",
+                    url=f"https://h{i}.example.com/p",
+                )
+            )
+        return rd.from_pandas(pd.concat(frames, ignore_index=True)).repartition(4)
+
+    def test_detect_changepoints_distributed(self):
+        from signalsharp_ray.stages.analysis import detect_changepoints
+
+        cfg = ChangepointConfig(method="pelt", cost="l2", penalty=5.0, min_size=2)
+        out = detect_changepoints(self._tier_ds(), cfg).to_pandas()
+        assert set(out["host"].unique()) == {f"h{i}.example.com" for i in range(6)}
+        for _, grp in out.groupby("host"):
+            np.testing.assert_array_equal(grp["breakpoint_index"].to_numpy(), [20])
+
+    def test_gapfill_and_encode_distributed(self):
+        from signalsharp_ray.stages.encode import encode_tier
+        from signalsharp_ray.stages.gapfill import gapfill_tier
+
+        filled = gapfill_tier(self._tier_ds(), "1m", "locf")
+        blocks = encode_tier(filled, "1m", concurrency=2, batch_size=8)
+        pdf = blocks.to_pandas()
+        assert len(pdf) == 6
+        dec = decode_blocks(pdf)
+        assert len(dec) == 240  # 6 series x 40 dense buckets
