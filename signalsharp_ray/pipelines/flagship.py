@@ -1,0 +1,126 @@
+"""Flagship pipeline: web pages -> extract -> rollup tiers -> gap-fill ->
+Gorilla/DoD encode -> changepoint analysis, with per-stage checkpointing.
+
+Stage graph (each box is a streamed Ray Data job; -> is a parquet handoff
+recorded in the manifest so a killed run resumes at the first incomplete
+stage):
+
+    [pages] -> extract+dedup -> points.parquet
+    points  -> rollup 1m     -> tier=1m.parquet
+    tier=1m -> cascade 1h    -> tier=1h.parquet
+    tier=1h -> cascade 1d    -> tier=1d.parquet
+    tier=T  -> gapfill+encode-> blocks tier=T.parquet     (actor pool)
+    tier=T  -> PELT/CUSUM    -> changepoints tier=T.parquet
+
+Writing each tier to parquet before cascading is deliberate: it puts a
+durable, resumable boundary after every shuffle, and the cascade re-reads the
+(tiny) aggregate rows rather than re-shuffling raw points.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from ..sources.synth import WebPagesSpec, generate_webpages_dataset
+from ..stages.analysis import ChangepointConfig, detect_changepoints
+from ..stages.encode import encode_tier
+from ..stages.extract import extract_points
+from ..stages.gapfill import gapfill_tier
+from ..stages.rollup import cascade_tier, rollup_tier
+from ..state.manifest import PipelineManifest
+
+
+@dataclass
+class FlagshipConfig:
+    out_root: str = "/tmp/signalsharp_ray/flagship"
+    tiers: tuple = ("1m", "1h", "1d")
+    gapfill_method: str = "locf"
+    # bound the synthesized buckets per gap so sparse series never explode
+    # into dense fine-tier grids (long gaps stay gaps)
+    max_gap_buckets: int = 60
+    encode_concurrency: int = 4
+    analysis_tier: str = "1d"
+    analysis_value_col: str = "count"  # crawl-rate series: real regime shifts
+    changepoints: ChangepointConfig = field(
+        default_factory=lambda: ChangepointConfig(
+            method="pelt", cost="l2", penalty=10.0, min_size=1
+        )
+    )
+    analyze: bool = True
+    encode: bool = True
+
+
+def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | None = None):
+    """Run (or resume) the flagship pipeline.
+
+    pages_ds_factory: () -> Dataset with the input_hint schema. A factory,
+    not a Dataset, so skipped stages never even build the upstream graph.
+    fingerprint: identifies the input (e.g. spec params or source path+mtime).
+    Returns {stage_name: parquet_dir} plus timing metrics.
+    """
+    import ray.data as rd
+
+    cfg = config or FlagshipConfig()
+    manifest = PipelineManifest(cfg.out_root)
+    outputs: dict[str, str] = {}
+    metrics: dict[str, float] = {}
+
+    def timed(stage, lineage, write_fn):
+        t0 = time.time()
+        out, skipped = manifest.run_stage(stage, fingerprint, lineage, write_fn)
+        metrics[stage] = time.time() - t0
+        outputs[stage] = out
+        return out, skipped
+
+    # 1. extract (+ exact dedup on url, warc_ts)
+    def write_points(out_dir):
+        pts = extract_points(pages_ds_factory(), drop_duplicates=True)
+        pts.write_parquet(out_dir)
+
+    points_dir, _ = timed("points", ["pages"], write_points)
+
+    # 2. rollup 1m from points; cascade coarser tiers from the finer one
+    prev = None
+    for tier in cfg.tiers:
+        tier_stage = f"tier_{tier}"
+        src_dir = points_dir if prev is None else outputs[f"tier_{prev}"]
+        is_first = prev is None
+
+        def write_tier(out_dir, src_dir=src_dir, tier=tier, is_first=is_first):
+            src = rd.read_parquet(src_dir)
+            out = rollup_tier(src, tier) if is_first else cascade_tier(src, tier)
+            out.write_parquet(out_dir)
+
+        timed(tier_stage, [("points" if is_first else f"tier_{prev}")], write_tier)
+        prev = tier
+
+    # 3. gap-fill + encode per tier (actor-pool encoder)
+    if cfg.encode:
+        for tier in cfg.tiers:
+            def write_blocks(out_dir, tier=tier):
+                tier_ds = rd.read_parquet(outputs[f"tier_{tier}"])
+                filled = gapfill_tier(tier_ds, tier, cfg.gapfill_method, cfg.max_gap_buckets)
+                blocks = encode_tier(filled, tier, concurrency=cfg.encode_concurrency)
+                blocks.write_parquet(out_dir)
+
+            timed(f"blocks_{tier}", [f"tier_{tier}"], write_blocks)
+
+    # 4. changepoint analysis on the configured tier
+    if cfg.analyze:
+        tier = cfg.analysis_tier
+
+        def write_changepoints(out_dir, tier=tier):
+            tier_ds = rd.read_parquet(outputs[f"tier_{tier}"])
+            cps = detect_changepoints(tier_ds, cfg.changepoints, cfg.analysis_value_col)
+            cps.write_parquet(out_dir)
+
+        timed(f"changepoints_{tier}", [f"tier_{tier}"], write_changepoints)
+
+    return {"outputs": outputs, "metrics": metrics, "manifest": manifest.records()}
+
+
+def run_flagship_synthetic(spec: WebPagesSpec | None = None, config: FlagshipConfig | None = None):
+    spec = spec or WebPagesSpec()
+    fingerprint = f"synth:{spec.seed}:{spec.n_rows}:{spec.n_hosts}:{spec.urls_per_host}"
+    return run_flagship(lambda: generate_webpages_dataset(spec), fingerprint, config)

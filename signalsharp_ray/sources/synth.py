@@ -81,6 +81,17 @@ def generate_webpages_shard(shard: int, spec: WebPagesSpec) -> pa.Table:
     host_id = rng.choice(spec.n_hosts, size=n, p=probs)
     url_id = rng.integers(0, spec.urls_per_host, size=n)
     ts = spec.t0_us + rng.integers(0, spec.span_us, size=n)
+    # every 5th host is "bursty": crawl intensity jumps after the window
+    # midpoint (a real changepoint in the per-bucket count series, while the
+    # per-url text — and so the value series — stays byte-identical)
+    bursty = host_id % 5 == 0
+    late = rng.random(n) < 0.75
+    half = spec.span_us // 2
+    ts = np.where(
+        bursty,
+        spec.t0_us + np.where(late, half + rng.integers(0, half, size=n), rng.integers(0, half, size=n)),
+        ts,
+    )
 
     hosts = np.char.add(
         np.char.add("host", host_id.astype("U8")), ".example.com"
@@ -123,7 +134,10 @@ def generate_webpages_dataset(spec: WebPagesSpec):
     import ray.data as rd
 
     def make(batch: pa.Table) -> pa.Table:
-        tables = [generate_webpages_shard(int(s), spec) for s in batch["id"]]
+        tables = [
+            generate_webpages_shard(s, spec)
+            for s in batch["id"].to_numpy(zero_copy_only=False).tolist()
+        ]
         return pa.concat_tables(tables)
 
     return (

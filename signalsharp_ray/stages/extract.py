@@ -64,8 +64,8 @@ def extract_points(pages_ds, drop_duplicates: bool = True):
 
 
 def _first_per_key(batch: pa.Table) -> pa.Table:
-    """Keep the first row of each (url, ts) key inside an already
-    key-partitioned group batch."""
+    """Keep the first row of each (url, ts) key inside a batch (vectorized
+    in-batch pre-dedup)."""
     import pandas as pd
 
     df = batch
@@ -73,16 +73,33 @@ def _first_per_key(batch: pa.Table) -> pa.Table:
         [df["url"].to_numpy(zero_copy_only=False), df["ts"].to_numpy(zero_copy_only=False)]
     )
     mask = ~keys.duplicated()
+    if mask.all():
+        return df
     return df.filter(pa.array(mask))
 
 
-def dedup_points(points_ds):
-    """Exact dedup on (url, ts): in-batch pre-dedup (cheap, removes most
-    duplicates early) then a hash-shuffled groupby to catch cross-batch ones."""
-    pre = points_ds.map_batches(_first_per_key, batch_format="pyarrow")
-    return pre.groupby(["url", "ts"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas"
+def _restore_host(batch: pa.Table) -> pa.Table:
+    host = pc.struct_field(
+        pc.extract_regex(batch["url"], r"^[a-z]+://(?P<host>[^/]+)"), "host"
     )
+    return batch.append_column("host", host).select(POINT_COLUMNS)
+
+
+def dedup_points(points_ds):
+    """Exact dedup on (url, ts) as a pure hash-AGGREGATION, never a
+    per-group python call (one pandas group per row is pathological at
+    scale): duplicate crawl rows carry identical payloads (same url =>
+    byte-identical text => same value/hash; host is a function of url), so
+    `min` over each duplicate set reproduces the row exactly. In-batch
+    pre-dedup first, so the shuffle moves mostly-unique rows."""
+    from ray.data.aggregate import Min
+
+    pre = points_ds.map_batches(_first_per_key, batch_format="pyarrow")
+    agg = pre.groupby(["url", "ts"]).aggregate(
+        Min("value", alias_name="value"),
+        Min("text_hash", alias_name="text_hash"),
+    )
+    return agg.map_batches(_restore_host, batch_format="pyarrow")
 
 
 def check_text_byte_identity(points_ds) -> int:

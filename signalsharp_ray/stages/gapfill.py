@@ -25,7 +25,16 @@ from .rollup import TIERS_US
 GAPFILL_METHODS = ("locf", "linear")
 
 
-def gapfill_series(df: pd.DataFrame, tier_us: int, method: str = "locf") -> pd.DataFrame:
+def gapfill_series(
+    df: pd.DataFrame,
+    tier_us: int,
+    method: str = "locf",
+    max_gap_buckets: int | None = None,
+) -> pd.DataFrame:
+    """max_gap_buckets bounds the fill: a gap with more than this many
+    missing buckets is left as a gap (its slots are dropped, not
+    synthesized). None = fill everything. Bounding matters at scale — a url
+    crawled twice a month must not explode into a dense 1-minute grid."""
     if method not in GAPFILL_METHODS:
         raise ValueError(f"Unknown gap-fill method {method!r}")
     df = df.sort_values("bucket_ts")
@@ -34,7 +43,17 @@ def gapfill_series(df: pd.DataFrame, tier_us: int, method: str = "locf") -> pd.D
         out = df.copy()
         out["gap_filled"] = np.array([], dtype=bool)
         return out
-    grid = np.arange(ts[0], ts[-1] + tier_us, tier_us, dtype=np.int64)
+    if max_gap_buckets is not None:
+        # enumerate only fillable gap slots + observed slots (never the
+        # full dense range): bounded output regardless of series sparsity
+        gaps = np.diff(ts) // tier_us - 1  # missing buckets between points
+        fill_from = np.flatnonzero((gaps > 0) & (gaps <= max_gap_buckets))
+        pieces = [ts]
+        for i in fill_from:
+            pieces.append(np.arange(ts[i] + tier_us, ts[i + 1], tier_us, dtype=np.int64))
+        grid = np.sort(np.concatenate(pieces))
+    else:
+        grid = np.arange(ts[0], ts[-1] + tier_us, tier_us, dtype=np.int64)
     pos = np.searchsorted(ts, grid)
     observed = np.zeros(grid.size, dtype=bool)
     in_range = pos < ts.size
@@ -65,8 +84,9 @@ def gapfill_series(df: pd.DataFrame, tier_us: int, method: str = "locf") -> pd.D
     return out
 
 
-def gapfill_tier(tier_ds, tier: str, method: str = "locf"):
+def gapfill_tier(tier_ds, tier: str, method: str = "locf", max_gap_buckets: int | None = None):
     tier_us = TIERS_US[tier]
     return tier_ds.groupby(["host", "url"]).map_groups(
-        lambda df: gapfill_series(df, tier_us, method), batch_format="pandas"
+        lambda df: gapfill_series(df, tier_us, method, max_gap_buckets),
+        batch_format="pandas",
     )

@@ -189,3 +189,23 @@ class TestThroughRay:
         assert len(pdf) == 6
         dec = decode_blocks(pdf)
         assert len(dec) == 240  # 6 series x 40 dense buckets
+
+
+class TestGapfillBounded:
+    def test_max_gap_buckets_leaves_long_gaps(self):
+        df = _series_df([0, 1, 2, 100, 101], [1.0, 2.0, 3.0, 4.0, 5.0])
+        out = gapfill_series(df, TIERS_US["1m"], "locf", max_gap_buckets=5)
+        # the 97-bucket gap is NOT filled; observed points all present
+        assert len(out) == 5
+        assert not out["gap_filled"].any()
+
+    def test_max_gap_buckets_fills_short_gaps(self):
+        df = _series_df([0, 1, 5, 100], [1.0, 2.0, 3.0, 4.0])
+        out = gapfill_series(df, TIERS_US["1m"], "locf", max_gap_buckets=5)
+        # gap 2..4 (3 buckets) filled, gap 6..99 (94) left out
+        assert len(out) == 4 + 3
+        import numpy as np
+        np.testing.assert_allclose(
+            out["value"], [1.0, 2.0, 2.0, 2.0, 2.0, 3.0, 4.0]
+        )
+        assert out["gap_filled"].sum() == 3
