@@ -1,0 +1,305 @@
+"""Deduplication stages for training-data pipelines.
+
+Scale pattern shared by all variants: compute compact signatures inside
+vectorized map_batches (no raw text crosses the shuffle), hash-partition on
+the signature, resolve groups/pairs, verify candidates. Only signatures and
+candidate pairs move cluster-wide.
+
+Variants:
+- exact_dedup:      content hash -> groupby -> representative (min doc_id)
+- minhash_lsh:      shingle -> minhash -> bands -> bucket groupby ->
+                    candidate pairs -> exact-Jaccard verification
+- simhash:          64-bit simhash; near-dup = hamming distance <= k via
+                    4-band exact-match blocking (guaranteed for k<=3)
+- ngram_jaccard:    verified Jaccard over character n-gram sets (used as the
+                    verifier for LSH candidates; exposed standalone too)
+- embedding near-dup: cosine > threshold pairs (see similarity.py)
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from ..common.raytools import pool_size
+
+# -- exact ---------------------------------------------------------------
+
+
+def _content_hash(text: pd.Series) -> np.ndarray:
+    return pd.util.hash_array(
+        np.asarray(text.fillna("").to_numpy(), dtype=object), categorize=False
+    ).view(np.int64)
+
+
+def exact_dedup(docs_ds):
+    """One row per distinct text: representative doc_id (min) + copy count.
+
+    Hash first (64-bit content hash moves through the shuffle, not the
+    text), then aggregate — pure hash-aggregation, no per-group python.
+    """
+    from ray.data.aggregate import Count, Min
+
+    def sig(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "text_hash": _content_hash(batch["text"])}
+        )
+
+    sigs = docs_ds.map_batches(sig, batch_format="pandas")
+    agg = sigs.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Count(alias_name="n_copies"),
+    )
+    return agg.select_columns(["doc_id", "n_copies"])
+
+
+# -- shingles + minhash ---------------------------------------------------
+
+_TOKEN = re.compile(r"\w+")
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Hashes of word k-shingles (set semantics)."""
+    toks = _TOKEN.findall(text.lower())
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    if not grams:
+        return np.array([], dtype=np.uint64)
+    return np.unique(
+        pd.util.hash_array(np.asarray(grams, dtype=object), categorize=False)
+    )
+
+
+class MinHasher:
+    """Actor-pool signature stage: permutation parameters built once."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, np.iinfo(np.uint64).max, num_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, np.iinfo(np.uint64).max, num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.shingle_k)
+        if sh.size == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        # universal hashing: min over (a*x + b) per permutation
+        prods = sh[None, :] * self.a[:, None] + self.b[:, None]
+        return prods.min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = [self.signature(t or "") for t in batch["text"]]
+        return pd.DataFrame({"doc_id": batch["doc_id"], "minhash": sigs})
+
+
+def minhash_lsh_candidates(
+    docs_ds,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    concurrency: int = 4,
+):
+    """Candidate near-duplicate pairs via banded minhash LSH.
+
+    rows (doc_a, doc_b) with doc_a < doc_b; a pair appears once even if it
+    collides in several bands. Band buckets are resolved with a groupby on
+    (band, band_hash): only (doc_id, band hash) rows shuffle.
+    """
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+
+    sigs = docs_ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+        batch_format="pandas",
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )
+
+    def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, band_ids, band_hashes = [], [], []
+        for doc_id, sig in zip(batch["doc_id"], batch["minhash"]):
+            sig = np.asarray(sig, dtype=np.uint64).reshape(bands, rows_per_band)
+            bh = pd.util.hash_array(
+                np.array([s.tobytes() for s in sig], dtype=object), categorize=False
+            )
+            doc_ids.extend([doc_id] * bands)
+            band_ids.extend(range(bands))
+            band_hashes.extend(bh.view(np.int64))
+        return pd.DataFrame(
+            {"doc_id": doc_ids, "band": band_ids, "band_hash": band_hashes}
+        )
+
+    exploded = sigs.map_batches(explode_bands, batch_format="pandas")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(df["doc_id"].unique())
+        if ids.size < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        a, b = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # dedup pairs that collided in multiple bands
+    from ray.data.aggregate import Count
+
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+
+
+def verify_jaccard(docs_ds, pairs_ds, threshold: float = 0.8, shingle_k: int = 3):
+    """Exact word-shingle Jaccard for candidate pairs.
+
+    The docs side is collected as a doc_id -> shingle-set map and broadcast
+    via ray.put (small side after signature pruning); candidate volume is
+    assumed << corpus size. Returns (doc_a, doc_b, jaccard) above threshold.
+    """
+    import ray
+
+    shingle_map = {}
+    for batch in docs_ds.select_columns(["doc_id", "text"]).iter_batches(
+        batch_size=4096, batch_format="pandas"
+    ):
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            shingle_map[doc_id] = _shingle_hashes(text or "", shingle_k)
+    ref = ray.put(shingle_map)
+
+    class Verifier:
+        def __init__(self):
+            self.shingles = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out_a, out_b, out_j = [], [], []
+            for a, b in zip(batch["doc_a"], batch["doc_b"]):
+                sa, sb = self.shingles.get(a), self.shingles.get(b)
+                if sa is None or sb is None or sa.size == 0 or sb.size == 0:
+                    continue
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
+                j = inter / union if union else 0.0
+                if j >= threshold:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_j.append(j)
+            return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
+
+    return pairs_ds.map_batches(
+        Verifier, batch_format="pandas", concurrency=pool_size(2)
+    )
+
+
+def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, **lsh_kwargs):
+    """LSH candidates -> exact-Jaccard verified near-duplicate pairs."""
+    cands = minhash_lsh_candidates(docs_ds, **lsh_kwargs)
+    return verify_jaccard(docs_ds, cands, threshold=threshold)
+
+
+# -- simhash --------------------------------------------------------------
+
+
+class SimHasher:
+    """Actor-pool 64-bit simhash over word-unigram hashes."""
+
+    def __init__(self):
+        self.bit_cols = np.arange(64, dtype=np.uint64)
+
+    def simhash(self, text: str) -> np.uint64:
+        toks = _TOKEN.findall((text or "").lower())
+        if not toks:
+            return np.uint64(0)
+        hashes = pd.util.hash_array(np.asarray(toks, dtype=object), categorize=False)
+        bits = (hashes[:, None] >> self.bit_cols[None, :]) & np.uint64(1)
+        votes = bits.sum(axis=0) * 2 - len(toks)  # (+1/-1 votes)
+        result = np.uint64(0)
+        for i in np.flatnonzero(votes > 0):
+            result |= np.uint64(1) << np.uint64(i)
+        return result
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": np.array(
+                    [self.simhash(t) for t in batch["text"]], dtype=np.uint64
+                ).view(np.int64),
+            }
+        )
+
+
+def simhash_signatures(docs_ds, concurrency: int = 4):
+    return docs_ds.map_batches(
+        SimHasher,
+        batch_format="pandas",
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )
+
+
+def simhash_near_dup_pairs(docs_ds, max_hamming: int = 3, concurrency: int = 4):
+    """Near-dup pairs with hamming(simhash) <= max_hamming using 4-block
+    pigeonhole blocking: any pair within distance 3 must agree exactly on at
+    least one of the four 16-bit blocks."""
+    sigs = simhash_signatures(docs_ds, concurrency)
+
+    def explode_blocks(batch: pd.DataFrame) -> pd.DataFrame:
+        sh = batch["simhash"].to_numpy().view(np.uint64)
+        doc = batch["doc_id"].to_numpy()
+        frames = []
+        for blk in range(4):
+            key = ((sh >> np.uint64(16 * blk)) & np.uint64(0xFFFF)).astype(np.int64)
+            frames.append(
+                pd.DataFrame(
+                    {"doc_id": doc, "simhash": batch["simhash"], "block": blk, "key": key}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    exploded = sigs.map_batches(explode_blocks, batch_format="pandas")
+
+    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        df = df.sort_values("doc_id").drop_duplicates("doc_id")
+        ids = df["doc_id"].to_numpy()
+        sh = df["simhash"].to_numpy().view(np.uint64)
+        a, b = np.triu_indices(ids.size, k=1)
+        x = sh[a] ^ sh[b]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        keep = ham <= 64  # all pairs; filtered after the band dedup
+        return pd.DataFrame(
+            {"doc_a": ids[a][keep], "doc_b": ids[b][keep], "hamming": ham[keep]}
+        )
+
+    pairs = exploded.groupby(["block", "key"]).map_groups(
+        block_pairs, batch_format="pandas"
+    )
+    from ray.data.aggregate import Min
+
+    agg = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+    return agg.filter(lambda row: row["hamming"] <= max_hamming)
+
+
+# -- standalone n-gram jaccard -------------------------------------------
+
+
+def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, shingle_k: int = 3,
+                        num_perm: int = 64, bands: int = 32):
+    """Verified Jaccard near-dup pairs; wide bands (high recall) + exact
+    verification, so the result is threshold-exact for any pair the LSH
+    stage surfaces."""
+    cands = minhash_lsh_candidates(
+        docs_ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k
+    )
+    return verify_jaccard(docs_ds, cands, threshold=threshold, shingle_k=shingle_k)

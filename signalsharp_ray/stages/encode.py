@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..common.raytools import pool_size
 from ..codecs import (
     decode_timestamps_dod,
     decode_values_gorilla,
@@ -108,7 +109,7 @@ def encode_tier(series_points_ds, tier: str, concurrency: int = 4, batch_size: i
         fn_constructor_args=(tier,),
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
         num_cpus=1,
     )
 

@@ -33,6 +33,7 @@ TIERS_US = {
 }
 
 ROLLUP_KEY = ["host", "url", "bucket_ts"]
+DEFAULT_SERIES_KEY = ["host", "url"]
 
 
 import numpy as np
@@ -58,27 +59,32 @@ def bucket_timestamps(ts: pa.ChunkedArray, tier_us: int) -> pa.Array:
     return pa.array(floored.astype(np.int64), pa.timestamp("us"))
 
 
-def partial_rollup_batch(batch: pa.Table, tier_us: int) -> pa.Table:
-    """In-batch partial aggregate on (host, url, bucket): the combiner."""
-    t = pa.table(
-        {
-            "host": batch["host"],
-            "url": batch["url"],
-            "bucket_ts": bucket_timestamps(batch["ts"], tier_us),
-            "value": batch["value"],
-        }
-    )
-    g = t.group_by(ROLLUP_KEY, use_threads=False).aggregate(
+def partial_rollup_batch(
+    batch: pa.Table,
+    tier_us: int,
+    key_cols: list | None = None,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> pa.Table:
+    """In-batch partial aggregate on (key_cols..., bucket): the combiner."""
+    keys = list(key_cols or DEFAULT_SERIES_KEY)
+    cols = {k: batch[k] for k in keys}
+    cols["bucket_ts"] = bucket_timestamps(batch[ts_col], tier_us)
+    cols["value"] = batch[value_col]
+    t = pa.table(cols)
+    gk = keys + ["bucket_ts"]
+    g = t.group_by(gk, use_threads=False).aggregate(
         [("value", "count"), ("value", "sum"), ("value", "min"), ("value", "max")]
     )
-    return g.rename_columns(ROLLUP_KEY + ["count", "sum", "min", "max"])
+    return g.rename_columns(gk + ["count", "sum", "min", "max"])
 
 
-def _merge_partials(ds):
+def _merge_partials(ds, key_cols: list | None = None):
     """Cluster-wide final merge of partial rows (the one shuffle per tier)."""
     from ray.data.aggregate import Max, Min, Sum
 
-    out = ds.groupby(ROLLUP_KEY).aggregate(
+    gk = list(key_cols or DEFAULT_SERIES_KEY) + ["bucket_ts"]
+    out = ds.groupby(gk).aggregate(
         Sum("count", alias_name="count"),
         Sum("sum", alias_name="sum"),
         Min("min", alias_name="min"),
@@ -100,39 +106,43 @@ def _add_mean(batch: pa.Table) -> pa.Table:
     return batch.append_column("mean", mean)
 
 
-def rollup_tier(points_ds, tier: str):
-    """points (host,url,ts,value) -> tier aggregate rows."""
+def rollup_tier(
+    points_ds,
+    tier: str,
+    key_cols: list | None = None,
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """points (key_cols..., ts, value) -> tier aggregate rows."""
     tier_us = TIERS_US[tier]
+    keys = list(key_cols or DEFAULT_SERIES_KEY)
     partial = points_ds.map_batches(
-        lambda b: partial_rollup_batch(b, tier_us), batch_format="pyarrow"
+        lambda b: partial_rollup_batch(b, tier_us, keys, ts_col, value_col),
+        batch_format="pyarrow",
     )
-    return _merge_partials(partial)
+    return _merge_partials(partial, keys)
 
 
-def cascade_tier(finer_ds, coarser_tier: str):
+def cascade_tier(finer_ds, coarser_tier: str, key_cols: list | None = None):
     """Re-aggregate a finer tier's rows into a coarser tier — exact because
     count/sum/min/max merge associatively; mean recomputed at the end."""
     tier_us = TIERS_US[coarser_tier]
+    keys = list(key_cols or DEFAULT_SERIES_KEY)
+    gk = keys + ["bucket_ts"]
 
     def rebucket(batch: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "host": batch["host"],
-                "url": batch["url"],
-                "bucket_ts": bucket_timestamps(batch["bucket_ts"], tier_us),
-                "count": batch["count"],
-                "sum": batch["sum"],
-                "min": batch["min"],
-                "max": batch["max"],
-            }
-        )
-        g = t.group_by(ROLLUP_KEY, use_threads=False).aggregate(
+        cols = {k: batch[k] for k in keys}
+        cols["bucket_ts"] = bucket_timestamps(batch["bucket_ts"], tier_us)
+        for c in ("count", "sum", "min", "max"):
+            cols[c] = batch[c]
+        t = pa.table(cols)
+        g = t.group_by(gk, use_threads=False).aggregate(
             [("count", "sum"), ("sum", "sum"), ("min", "min"), ("max", "max")]
         )
-        return g.rename_columns(ROLLUP_KEY + ["count", "sum", "min", "max"])
+        return g.rename_columns(gk + ["count", "sum", "min", "max"])
 
     partial = finer_ds.map_batches(rebucket, batch_format="pyarrow")
-    return _merge_partials(partial)
+    return _merge_partials(partial, keys)
 
 
 def rollup_all_tiers(points_ds) -> dict:

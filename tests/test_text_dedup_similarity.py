@@ -1,0 +1,216 @@
+"""Text analysis, dedup family, similarity search, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _docs(n=60, dup_groups=5, seed=1):
+    rng = np.random.default_rng(seed)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    texts = []
+    for i in range(n):
+        body = " ".join(rng.choice(words, 30))
+        texts.append(body)
+    # inject exact duplicates
+    for g in range(dup_groups):
+        texts[n - 1 - g] = texts[g]
+    # inject near-duplicates (one word changed)
+    texts[10] = texts[0].replace(texts[0].split()[5], "OMEGA", 1)
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts,
+            "lang": "en",
+            "source": "synthetic",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+
+
+def _docs_ds(df):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(4)
+
+
+class TestText:
+    def test_token_counts(self):
+        from signalsharp_ray.stages.text import token_counts
+
+        df = _docs()
+        out = token_counts(_docs_ds(df)).to_pandas().sort_values("doc_id")
+        exp = df["text"].str.split().str.len().to_numpy()
+        np.testing.assert_array_equal(out["n_tokens_ws"].to_numpy(), exp)
+
+    def test_quality_scores(self):
+        from signalsharp_ray.stages.text import quality_scores
+
+        out = quality_scores(_docs_ds(_docs())).to_pandas()
+        assert ((out["quality_score"] >= 0) & (out["quality_score"] <= 1)).all()
+        assert (out["n_words"] == 30).all()
+
+    def test_language_id(self):
+        from signalsharp_ray.stages.text import language_id
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "the cat sat on the mat and it was good for all of them",
+                    "der Hund ist nicht mit der Katze und das ist ein Problem",
+                    "le chat est sur la table et les enfants sont pour une fois",
+                    "这是一个中文文本的例子用来测试语言识别功能的正确性表现",
+                ],
+                "lang": ["en", "de", "fr", "zh"],
+                "source": "t",
+                "n_chars": [10] * 4,
+            }
+        )
+        out = language_id(_docs_ds(df)).to_pandas().sort_values("doc_id")
+        assert out["pred_lang"].tolist() == ["en", "de", "fr", "zh"]
+
+    def test_fingerprints_deterministic(self):
+        from signalsharp_ray.stages.text import fingerprints
+
+        df = _docs()
+        a = fingerprints(_docs_ds(df)).to_pandas().sort_values("doc_id")
+        b = fingerprints(_docs_ds(df)).to_pandas().sort_values("doc_id")
+        np.testing.assert_array_equal(a["fingerprint"].to_numpy(), b["fingerprint"].to_numpy())
+        # identical texts -> identical fingerprints
+        assert (
+            a.set_index("doc_id")["fingerprint"][0]
+            == a.set_index("doc_id")["fingerprint"][59]
+        )
+
+
+class TestDedup:
+    def test_exact_dedup(self):
+        from signalsharp_ray.stages.dedup import exact_dedup
+
+        df = _docs(n=60, dup_groups=5)
+        out = exact_dedup(_docs_ds(df)).to_pandas()
+        n_distinct = df["text"].nunique()
+        assert len(out) == n_distinct
+        assert out["n_copies"].sum() == 60
+        dup_reps = out[out["n_copies"] == 2]["doc_id"]
+        assert set(dup_reps) == {0, 1, 2, 3, 4}  # min doc_id representative
+
+    def test_minhash_finds_near_dups(self):
+        from signalsharp_ray.stages.dedup import minhash_dedup_pairs
+
+        df = _docs()
+        out = minhash_dedup_pairs(
+            _docs_ds(df), threshold=0.5, num_perm=64, bands=32
+        ).to_pandas()
+        pairs = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
+        assert (0, 59) in pairs  # exact dup pair -> jaccard 1.0
+        assert (0, 10) in pairs  # near dup (1 word changed)
+        assert out.set_index(["doc_a", "doc_b"]).loc[(0, 59), "jaccard"] == 1.0
+
+    def test_simhash_near_dups(self):
+        from signalsharp_ray.stages.dedup import simhash_near_dup_pairs
+
+        df = _docs()
+        out = simhash_near_dup_pairs(_docs_ds(df), max_hamming=3).to_pandas()
+        pairs = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
+        assert (0, 59) in pairs
+        assert (out[(out["doc_a"] == 0) & (out["doc_b"] == 59)]["hamming"] == 0).all()
+
+
+class TestSimilarity:
+    def _emb_ds(self, n=200, dim=16, seed=0):
+        import ray.data as rd
+
+        rng = np.random.default_rng(seed)
+        m = rng.normal(size=(n, dim))
+        df = pd.DataFrame(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": [row.astype(np.float32) for row in m],
+                "label": rng.integers(0, 5, n).astype(np.int32),
+            }
+        )
+        return rd.from_pandas(df).repartition(4), m
+
+    def test_knn_matches_numpy_oracle(self):
+        from signalsharp_ray.stages.similarity import knn_brute_force
+
+        ds, m = self._emb_ds()
+        q = m[0]
+        out = knn_brute_force(ds, q[None, :], k=5)
+        mm = m.astype(np.float32).astype(np.float64)
+        norm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+        qq = norm[0]
+        sims = norm @ qq
+        exp_ids = np.argsort(-sims)[:5]
+        assert set(out["vec_id"]) == set(exp_ids)
+        assert out["cosine"].max() == pytest.approx(1.0)
+
+    def test_ivf_knn_recall(self):
+        from signalsharp_ray.stages.similarity import ivf_knn, knn_brute_force
+
+        ds, m = self._emb_ds(n=300)
+        q = m[7]
+        exact = knn_brute_force(ds, q[None, :], k=5)
+        approx = ivf_knn(ds, q[None, :], k=5, n_clusters=8, n_probe=4)
+        inter = set(exact["vec_id"]) & set(approx["vec_id"])
+        assert len(inter) >= 3  # decent recall with 4/8 probes
+
+    def test_embedding_near_dup(self):
+        import ray.data as rd
+
+        from signalsharp_ray.stages.similarity import embedding_near_dup_pairs
+
+        rng = np.random.default_rng(2)
+        base = rng.normal(size=(50, 8))
+        near = base[3] + rng.normal(0, 0.01, 8)  # near-dup of vec 3
+        m = np.vstack([base, near])
+        df = pd.DataFrame(
+            {
+                "vec_id": np.arange(51, dtype=np.int64),
+                "embedding": [r.astype(np.float32) for r in m],
+                "label": 0,
+            }
+        )
+        out = embedding_near_dup_pairs(
+            rd.from_pandas(df).repartition(2), threshold=0.99
+        ).to_pandas()
+        pairs = set(map(tuple, out[["a", "b"]].to_numpy()))
+        assert (3, 50) in pairs
+
+
+class TestMultimodal:
+    def test_feature_extraction_fake(self):
+        import ray.data as rd
+
+        from signalsharp_ray.stages.multimodal import extract_features, synth_media_table
+
+        media = synth_media_table(32)
+        out = extract_features(rd.from_pandas(media), mode="fake").to_pandas()
+        assert len(out) == 32
+        assert all(len(f) == 16 for f in out["feature"])
+        # deterministic: same payload -> same feature
+        out2 = extract_features(rd.from_pandas(media), mode="fake").to_pandas()
+        f1 = out.sort_values("media_id")["feature"].iloc[0]
+        f2 = out2.sort_values("media_id")["feature"].iloc[0]
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+    def test_strict_mode_raises(self):
+        from signalsharp_ray.stages.multimodal import MediaDecoder
+
+        with pytest.raises(NotImplementedError, match="stubbed"):
+            MediaDecoder(mode="strict").decode(b"xx", "image")
+
+    def test_frame_sampling(self):
+        import ray.data as rd
+
+        from signalsharp_ray.stages.multimodal import sample_frames, synth_media_table
+
+        media = synth_media_table(32)
+        out = sample_frames(rd.from_pandas(media), every_n=2).to_pandas()
+        n_videos = (media["kind"] == "video").sum()
+        assert len(out) == n_videos * 4  # 8 frames, every 2nd
+        assert set(out["frame_index"].unique()) == {0, 2, 4, 6}
