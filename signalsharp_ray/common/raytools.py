@@ -2,6 +2,66 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def hash_bucket_aggregate(
+    ds,
+    keys: list[str],
+    aggs: list[tuple[str, str]],
+    n_buckets: int = 64,
+    count_alias: str | None = None,
+):
+    """Exact grouped aggregation that scales with HIGH key cardinality.
+
+    Ray's built-in groupby().aggregate() iterates result groups in Python,
+    which is O(#groups) interpreter work — measured ~90s for 55k groups on
+    one node. This helper instead shuffles on hash(keys) % n_buckets (a
+    LOW-cardinality key) and runs the real aggregation inside each bucket
+    with pyarrow's C++ hash groupby. Exact for commutative aggregates
+    (sum/min/max/count): every row of a key lands in the same bucket.
+
+    aggs: [(column, op)] with op in {sum, min, max}; count_alias adds a
+    row-count column. Output columns: keys + [column aliases] (+ count).
+    """
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for k in keys:
+            col = batch[k].to_numpy(zero_copy_only=False)
+            h = h * np.uint64(1000003) + pd.util.hash_array(
+                np.asarray(col, dtype=object)
+                if col.dtype == object
+                else col,
+                categorize=False,
+            )
+        return batch.append_column(
+            "__bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    agg_specs = [(c, op) for c, op in aggs]
+    if count_alias is not None:
+        agg_specs = agg_specs + [(keys[0], "count")]
+    out_names = list(keys) + [f"{c}_{op}" for c, op in aggs] + (
+        [count_alias] if count_alias is not None else []
+    )
+
+    def agg_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__bucket"])
+        g = t.group_by(keys, use_threads=False).aggregate(agg_specs)
+        # pyarrow names results "<col>_<op>"; put keys first, stable order
+        cols = {k: g[k] for k in keys}
+        for c, op in aggs:
+            cols[f"{c}_{op}"] = g[f"{c}_{op}"]
+        if count_alias is not None:
+            cols[count_alias] = g[f"{keys[0]}_count"]
+        return pa.table(cols)
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(agg_bucket, batch_format="pyarrow")
+
 
 def pool_size(requested: int, num_cpus_per_actor: float = 1.0) -> tuple[int, int]:
     """Return an AUTOSCALING pool spec (1, n) clamped to the cluster size.

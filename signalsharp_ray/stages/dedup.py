@@ -40,7 +40,7 @@ def exact_dedup(docs_ds):
     Hash first (64-bit content hash moves through the shuffle, not the
     text), then aggregate — pure hash-aggregation, no per-group python.
     """
-    from ray.data.aggregate import Count, Min
+    from ..common.raytools import hash_bucket_aggregate
 
     def sig(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -48,11 +48,18 @@ def exact_dedup(docs_ds):
         )
 
     sigs = docs_ds.map_batches(sig, batch_format="pandas")
-    agg = sigs.groupby("text_hash").aggregate(
-        Min("doc_id", alias_name="doc_id"),
-        Count(alias_name="n_copies"),
+    agg = hash_bucket_aggregate(
+        sigs, ["text_hash"], [("doc_id", "min")], count_alias="n_copies"
     )
-    return agg.select_columns(["doc_id", "n_copies"])
+
+    def rename(batch):
+        import pyarrow as pa
+
+        return pa.table(
+            {"doc_id": batch["doc_id_min"], "n_copies": batch["n_copies"]}
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
 
 
 # -- shingles + minhash ---------------------------------------------------
@@ -147,14 +154,12 @@ def minhash_lsh_candidates(
     pairs = exploded.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas"
     )
-    # dedup pairs that collided in multiple bands
-    from ray.data.aggregate import Count
+    # dedup pairs that collided in multiple bands (bucketed aggregation:
+    # pair-key cardinality equals the candidate count)
+    from ..common.raytools import hash_bucket_aggregate
 
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands"))
-        .select_columns(["doc_a", "doc_b"])
-    )
+    agg = hash_bucket_aggregate(pairs, ["doc_a", "doc_b"], [], count_alias="n_bands")
+    return agg.select_columns(["doc_a", "doc_b"])
 
 
 def verify_jaccard(docs_ds, pairs_ds, threshold: float = 0.8, shingle_k: int = 3):
@@ -268,27 +273,49 @@ def simhash_near_dup_pairs(docs_ds, max_hamming: int = 3, concurrency: int = 4):
 
     def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "hamming": pd.Series(dtype="int64"),
+                }
+            )
         df = df.sort_values("doc_id").drop_duplicates("doc_id")
         ids = df["doc_id"].to_numpy()
         sh = df["simhash"].to_numpy().view(np.uint64)
         a, b = np.triu_indices(ids.size, k=1)
         x = sh[a] ^ sh[b]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        keep = ham <= 64  # all pairs; filtered after the band dedup
+        # vectorized popcount; filter to the distance bound INSIDE the
+        # bucket so only true near-dup pairs ever leave this kernel
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
         return pd.DataFrame(
-            {"doc_a": ids[a][keep], "doc_b": ids[b][keep], "hamming": ham[keep]}
+            {
+                "doc_a": ids[a][keep],
+                "doc_b": ids[b][keep],
+                "hamming": ham[keep].astype(np.int64),
+            }
         )
 
     pairs = exploded.groupby(["block", "key"]).map_groups(
         block_pairs, batch_format="pandas"
     )
-    from ray.data.aggregate import Min
+    from ..common.raytools import hash_bucket_aggregate
 
-    agg = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
-    )
-    return agg.filter(lambda row: row["hamming"] <= max_hamming)
+    agg = hash_bucket_aggregate(pairs, ["doc_a", "doc_b"], [("hamming", "min")])
+
+    def rename(batch):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "hamming": batch["hamming_min"],
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
 
 
 # -- standalone n-gram jaccard -------------------------------------------

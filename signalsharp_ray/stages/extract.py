@@ -91,15 +91,29 @@ def dedup_points(points_ds):
     scale): duplicate crawl rows carry identical payloads (same url =>
     byte-identical text => same value/hash; host is a function of url), so
     `min` over each duplicate set reproduces the row exactly. In-batch
-    pre-dedup first, so the shuffle moves mostly-unique rows."""
-    from ray.data.aggregate import Min
+    pre-dedup first, so the shuffle moves mostly-unique rows. The final
+    merge is a bucketed C++ aggregation (see hash_bucket_aggregate) because
+    (url, ts) is per-row cardinality."""
+    from ..common.raytools import hash_bucket_aggregate
 
     pre = points_ds.map_batches(_first_per_key, batch_format="pyarrow")
-    agg = pre.groupby(["url", "ts"]).aggregate(
-        Min("value", alias_name="value"),
-        Min("text_hash", alias_name="text_hash"),
+    agg = hash_bucket_aggregate(
+        pre, ["url", "ts"], [("value", "min"), ("text_hash", "min")]
     )
-    return agg.map_batches(_restore_host, batch_format="pyarrow")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch["url"],
+                "ts": batch["ts"],
+                "value": batch["value_min"],
+                "text_hash": batch["text_hash_min"],
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow").map_batches(
+        _restore_host, batch_format="pyarrow"
+    )
 
 
 def check_text_byte_identity(points_ds) -> int:

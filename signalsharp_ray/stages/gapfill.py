@@ -30,6 +30,7 @@ def gapfill_series(
     tier_us: int,
     method: str = "locf",
     max_gap_buckets: int | None = None,
+    key_cols: tuple = ("host", "url"),
 ) -> pd.DataFrame:
     """max_gap_buckets bounds the fill: a gap with more than this many
     missing buckets is left as a gap (its slots are dropped, not
@@ -69,8 +70,7 @@ def gapfill_series(
 
     out = pd.DataFrame(
         {
-            "host": df["host"].iloc[0],
-            "url": df["url"].iloc[0],
+            **{k: df[k].iloc[0] for k in key_cols},
             "bucket_ts": pd.to_datetime(grid, unit="us"),
             "value": value,
             "gap_filled": ~observed,
@@ -84,9 +84,15 @@ def gapfill_series(
     return out
 
 
-def gapfill_tier(tier_ds, tier: str, method: str = "locf", max_gap_buckets: int | None = None):
+def gapfill_tier(
+    tier_ds,
+    tier: str,
+    method: str = "locf",
+    max_gap_buckets: int | None = None,
+    key_cols: tuple = ("host", "url"),
+):
     tier_us = TIERS_US[tier]
-    return tier_ds.groupby(["host", "url"]).map_groups(
-        lambda df: gapfill_series(df, tier_us, method, max_gap_buckets),
+    return tier_ds.groupby(list(key_cols)).map_groups(
+        lambda df: gapfill_series(df, tier_us, method, max_gap_buckets, key_cols),
         batch_format="pandas",
     )

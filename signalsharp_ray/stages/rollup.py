@@ -26,6 +26,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..common.raytools import hash_bucket_aggregate
+
 TIERS_US = {
     "1m": 60_000_000,
     "1h": 3_600_000_000,
@@ -80,17 +82,30 @@ def partial_rollup_batch(
 
 
 def _merge_partials(ds, key_cols: list | None = None):
-    """Cluster-wide final merge of partial rows (the one shuffle per tier)."""
-    from ray.data.aggregate import Max, Min, Sum
+    """Cluster-wide final merge of partial rows (the one shuffle per tier).
 
+    Uses hash_bucket_aggregate instead of Ray's groupby().aggregate():
+    tier keys are HIGH cardinality (one group per series-bucket) and Ray's
+    aggregate pays Python-per-group overhead; the bucketed C++ aggregation
+    is exact for these commutative merges and O(#buckets) in Python."""
     gk = list(key_cols or DEFAULT_SERIES_KEY) + ["bucket_ts"]
-    out = ds.groupby(gk).aggregate(
-        Sum("count", alias_name="count"),
-        Sum("sum", alias_name="sum"),
-        Min("min", alias_name="min"),
-        Max("max", alias_name="max"),
+    agg = hash_bucket_aggregate(
+        ds,
+        gk,
+        [("count", "sum"), ("sum", "sum"), ("min", "min"), ("max", "max")],
     )
-    return out.map_batches(_add_mean, batch_format="pyarrow")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        cols = {k: batch[k] for k in gk}
+        cols["count"] = batch["count_sum"]
+        cols["sum"] = batch["sum_sum"]
+        cols["min"] = batch["min_min"]
+        cols["max"] = batch["max_max"]
+        return pa.table(cols)
+
+    return agg.map_batches(rename, batch_format="pyarrow").map_batches(
+        _add_mean, batch_format="pyarrow"
+    )
 
 
 def _add_mean(batch: pa.Table) -> pa.Table:

@@ -161,6 +161,15 @@ def embedding_near_dup_pairs(embeddings_ds, threshold: float = 0.95,
         )
 
     pairs = assigned.groupby("cell").map_groups(cell_pairs, batch_format="pandas")
-    from ray.data.aggregate import Max
+    from ..common.raytools import hash_bucket_aggregate
 
-    return pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))
+    agg = hash_bucket_aggregate(pairs, ["a", "b"], [("cosine", "max")])
+
+    def rename(batch):
+        import pyarrow as pa
+
+        return pa.table(
+            {"a": batch["a"], "b": batch["b"], "cosine": batch["cosine_max"]}
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
