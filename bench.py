@@ -1,0 +1,191 @@
+"""Benchmark harness for the signalsharp_ray engine.
+
+Default mode: run the headline pipeline (synthetic Common-Crawl-style pages
+-> extract+dedup -> 1m/1h/1d rollup tiers -> gap-fill + Gorilla/DoD encode
+-> PELT changepoints -> parquet) over an input sized from $GRAFT_SF_DIR
+(default /root/testdata/sf0.1) at num_cpus = $RAY_GRAFT_CPUS (default 32),
+then print ONE JSON line:
+
+    {"metric": ..., "value": <end-to-end sec>, "unit": "sec",
+     "queries": {<stage>: sec, ...}, "sf": ..., "num_cpus": N,
+     "rows": ..., "rows_per_s": ..., "input_gb": ..., "gb_per_s": ...}
+
+--scaling: run the same pipeline twice in FRESH processes (num_cpus=8 then
+32) on the same cached input and report both throughputs plus scaling
+efficiency = (t8/t32)/4 (1.0 = linear). Records the in-sandbox evidence for
+the north rule's N -> 4N criterion (see BASELINE.md).
+
+The synthetic input parquet is generated once per (sf, rows) and cached
+under /tmp/signalsharp_ray/bench_input_* — generation is input
+materialization, not part of the measured pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def input_spec(sf: float):
+    from signalsharp_ray.sources.synth import WebPagesSpec
+
+    # ~20M pages/sf-unit: sf0.1 -> 2M rows, sf0.01 -> 200k
+    n_rows = max(50_000, int(20_000_000 * sf))
+    return WebPagesSpec(
+        n_rows=n_rows,
+        n_hosts=max(200, int(n_rows / 2_000)),
+        urls_per_host=10,
+        rows_per_shard=100_000,
+    )
+
+
+def ensure_input(spec) -> str:
+    """Generate (once) and cache the synthetic pages parquet."""
+    cache = f"/tmp/signalsharp_ray/bench_input_{spec.seed}_{spec.n_rows}_{spec.n_hosts}"
+    done = os.path.join(cache, "_DONE")
+    if os.path.exists(done):
+        return cache
+    from signalsharp_ray.sources.synth import generate_webpages_dataset
+
+    tmp = cache + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    generate_webpages_dataset(spec).write_parquet(tmp)
+    if os.path.isdir(cache):
+        shutil.rmtree(cache)
+    os.replace(tmp, cache)
+    with open(done, "w") as f:
+        f.write("ok")
+    return cache
+
+
+def dir_bytes(d: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(d)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
+def run_pipeline(input_dir: str, out_root: str, encode_concurrency: int) -> dict:
+    import ray.data as rd
+
+    from signalsharp_ray.pipelines.flagship import FlagshipConfig, run_flagship
+    from signalsharp_ray.stages.analysis import ChangepointConfig
+
+    if os.path.isdir(out_root):
+        shutil.rmtree(out_root)  # benchmark never resumes: measure full work
+    cfg = FlagshipConfig(
+        out_root=out_root,
+        encode_concurrency=encode_concurrency,
+        changepoints=ChangepointConfig(method="pelt", cost="l2", penalty=5.0, min_size=2),
+    )
+    res = run_flagship(
+        lambda: rd.read_parquet(input_dir), f"bench:{input_dir}", cfg
+    )
+    return res
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = sf_from_dir(sf_dir)
+
+    if "--scaling" in sys.argv:
+        run_scaling(sf_dir)
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+
+    spec = input_spec(sf)
+    input_dir = ensure_input(spec)
+    input_gb = dir_bytes(input_dir) / 1e9
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import ray.data as rd
+
+    rd.read_parquet(input_dir).count()
+
+    t0 = time.time()
+    res = run_pipeline(
+        input_dir, f"/tmp/signalsharp_ray/bench_out_{num_cpus}", encode_concurrency=max(2, num_cpus // 4)
+    )
+    wall = time.time() - t0
+
+    out = {
+        "metric": "end-to-end pages->tiers->encode->changepoints wall time",
+        "value": round(wall, 2),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in res["metrics"].items()},
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "rows": spec.n_rows,
+        "rows_per_s": round(spec.n_rows / wall),
+        "input_gb": round(input_gb, 3),
+        "gb_per_s": round(input_gb / wall, 4),
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+def run_scaling(sf_dir: str) -> None:
+    """Same input + code at 8 and 32 CPUs in fresh processes."""
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (8 -> 32 cpus, same input)",
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "rows_per_s_8": r_lo["rows_per_s"],
+                "rows_per_s_32": r_hi["rows_per_s"],
+                "gb_per_s_8": r_lo["gb_per_s"],
+                "gb_per_s_32": r_hi["gb_per_s"],
+                "scaling_efficiency": round(eff, 3),
+                "sf": r_lo["sf"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -11,8 +11,9 @@ def hash_bucket_aggregate(
     ds,
     keys: list[str],
     aggs: list[tuple[str, str]],
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     count_alias: str | None = None,
+    bucket_cols: list[str] | None = None,
 ):
     """Exact grouped aggregation that scales with HIGH key cardinality.
 
@@ -25,18 +26,27 @@ def hash_bucket_aggregate(
 
     aggs: [(column, op)] with op in {sum, min, max}; count_alias adds a
     row-count column. Output columns: keys + [column aliases] (+ count).
+    bucket_cols: columns to derive the shuffle bucket from (must be a
+    function of the keys — e.g. a precomputed integer url_hash — so every
+    key still lands in exactly one bucket); defaults to the keys.
     """
+    if n_buckets is None:
+        n_buckets = default_buckets()
+    bcols = bucket_cols or keys
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         h = np.zeros(batch.num_rows, dtype=np.uint64)
-        for k in keys:
+        for k in bcols:
             col = batch[k].to_numpy(zero_copy_only=False)
-            h = h * np.uint64(1000003) + pd.util.hash_array(
-                np.asarray(col, dtype=object)
-                if col.dtype == object
-                else col,
-                categorize=False,
-            )
+            if np.issubdtype(col.dtype, np.integer):
+                h = h * np.uint64(1000003) ^ col.view(np.uint64)
+            else:
+                h = h * np.uint64(1000003) + pd.util.hash_array(
+                    np.asarray(col, dtype=object)
+                    if col.dtype == object
+                    else col,
+                    categorize=False,
+                )
         return batch.append_column(
             "__bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
         )
@@ -80,3 +90,55 @@ def pool_size(requested: int, num_cpus_per_actor: float = 1.0) -> tuple[int, int
         if total:
             cap = max(1, min(requested, int((total - 1) // max(num_cpus_per_actor, 0.001))))
     return (1, cap)
+
+
+def default_buckets() -> int:
+    import ray
+
+    if ray.is_initialized():
+        total = ray.cluster_resources().get("CPU", 8)
+        return max(32, int(total) * 4)
+    return 64
+
+
+def bucketed_map_groups(
+    ds,
+    key_cols: list[str],
+    fn,
+    n_buckets: int | None = None,
+):
+    """groupby(key).map_groups(fn) with BOUNDED Ray per-group overhead.
+
+    Ray's map_groups pays interpreter + block overhead per group; with
+    millions of (host, url) series that dominates wall time. This shuffles
+    on hash(key) % n_buckets instead and applies `fn` per key-group INSIDE
+    the bucket kernel via pandas groupby — same whole-group-in-one-call
+    contract, Ray overhead proportional to n_buckets only. fn takes and
+    returns a pandas DataFrame.
+    """
+    if n_buckets is None:
+        n_buckets = default_buckets()
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(len(batch), dtype=np.uint64)
+        for k in key_cols:
+            col = batch[k].to_numpy()
+            h = h * np.uint64(1000003) + pd.util.hash_array(
+                np.asarray(col, dtype=object) if col.dtype == object else col,
+                categorize=False,
+            )
+        batch = batch.copy()
+        batch["__bucket"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return batch
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["__bucket"])
+        outs = [fn(g) for _, g in df.groupby(key_cols, sort=False)]
+        outs = [o for o in outs if o is not None]
+        if not outs:
+            # empty bucket: emit fn's empty-but-typed schema
+            return fn(df.iloc[:0])
+        return pd.concat(outs, ignore_index=True)
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")

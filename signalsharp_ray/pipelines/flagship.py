@@ -24,9 +24,8 @@ from dataclasses import dataclass, field
 
 from ..sources.synth import WebPagesSpec, generate_webpages_dataset
 from ..stages.analysis import ChangepointConfig, detect_changepoints
-from ..stages.encode import encode_tier
+from ..stages.encode import gapfill_and_encode_tier
 from ..stages.extract import extract_points
-from ..stages.gapfill import gapfill_tier
 from ..stages.rollup import cascade_tier, rollup_tier
 from ..state.manifest import PipelineManifest
 
@@ -100,8 +99,13 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
         for tier in cfg.tiers:
             def write_blocks(out_dir, tier=tier):
                 tier_ds = rd.read_parquet(outputs[f"tier_{tier}"])
-                filled = gapfill_tier(tier_ds, tier, cfg.gapfill_method, cfg.max_gap_buckets)
-                blocks = encode_tier(filled, tier, concurrency=cfg.encode_concurrency)
+                blocks = gapfill_and_encode_tier(
+                    tier_ds,
+                    tier,
+                    cfg.gapfill_method,
+                    cfg.max_gap_buckets,
+                    concurrency=cfg.encode_concurrency,
+                )
                 blocks.write_parquet(out_dir)
 
             timed(f"blocks_{tier}", [f"tier_{tier}"], write_blocks)

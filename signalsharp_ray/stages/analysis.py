@@ -117,9 +117,11 @@ def changepoints_kernel(
 
 
 def detect_changepoints(tier_ds, config: ChangepointConfig | None = None, value_col: str = "mean"):
+    from ..common.raytools import bucketed_map_groups
+
     cfg = config or ChangepointConfig()
-    return tier_ds.groupby(["host", "url"]).map_groups(
-        lambda df: changepoints_kernel(df, cfg, value_col), batch_format="pandas"
+    return bucketed_map_groups(
+        tier_ds, ["host", "url"], lambda df: changepoints_kernel(df, cfg, value_col)
     )
 
 
@@ -164,9 +166,11 @@ def smooth_kernel(
 
 
 def smooth_series(tier_ds, config: SmoothingConfig | None = None, value_col: str = "mean"):
+    from ..common.raytools import bucketed_map_groups
+
     cfg = config or SmoothingConfig()
-    return tier_ds.groupby(["host", "url"]).map_groups(
-        lambda df: smooth_kernel(df, cfg, value_col), batch_format="pandas"
+    return bucketed_map_groups(
+        tier_ds, ["host", "url"], lambda df: smooth_kernel(df, cfg, value_col)
     )
 
 
@@ -214,7 +218,9 @@ def forecast_kernel(
 
 
 def forecast_series(tier_ds, tier_us: int, config: ForecastConfig | None = None, value_col: str = "mean"):
+    from ..common.raytools import bucketed_map_groups
+
     cfg = config or ForecastConfig()
-    return tier_ds.groupby(["host", "url"]).map_groups(
-        lambda df: forecast_kernel(df, cfg, tier_us, value_col), batch_format="pandas"
+    return bucketed_map_groups(
+        tier_ds, ["host", "url"], lambda df: forecast_kernel(df, cfg, tier_us, value_col)
     )

@@ -97,13 +97,44 @@ class SeriesBlockEncoder:
 def encode_tier(series_points_ds, tier: str, concurrency: int = 4, batch_size: int = 64):
     """Gap-filled tier rows -> compressed block rows.
 
-    The groupby shuffles once on (host, url); the encoder pool then streams
-    assembled series. batch_size is small because each row carries a whole
-    series.
+    The bucketed groupby shuffles once on hash(host, url); the encoder pool
+    then streams assembled series. batch_size is small because each row
+    carries a whole series.
     """
-    assembled = series_points_ds.groupby(["host", "url"]).map_groups(
-        assemble_series, batch_format="pandas"
+    from ..common.raytools import bucketed_map_groups
+
+    assembled = bucketed_map_groups(series_points_ds, ["host", "url"], assemble_series)
+    return assembled.map_batches(
+        SeriesBlockEncoder,
+        fn_constructor_args=(tier,),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
     )
+
+
+def gapfill_and_encode_tier(
+    tier_ds,
+    tier: str,
+    method: str = "locf",
+    max_gap_buckets: int | None = None,
+    concurrency: int = 4,
+    batch_size: int = 64,
+):
+    """Fused gap-fill + assemble in ONE shuffle, then the actor-pool
+    encoder. Avoids shuffling the same (host, url) key twice."""
+    from ..common.raytools import bucketed_map_groups
+    from .gapfill import gapfill_series
+    from .rollup import TIERS_US
+
+    tier_us = TIERS_US[tier]
+
+    def fill_and_assemble(df: pd.DataFrame) -> pd.DataFrame:
+        filled = gapfill_series(df, tier_us, method, max_gap_buckets)
+        return assemble_series(filled, value_col="value")
+
+    assembled = bucketed_map_groups(tier_ds, ["host", "url"], fill_and_assemble)
     return assembled.map_batches(
         SeriesBlockEncoder,
         fn_constructor_args=(tier,),

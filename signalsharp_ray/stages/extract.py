@@ -18,7 +18,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-POINT_COLUMNS = ["url", "host", "ts", "value", "text_hash"]
+POINT_COLUMNS = ["url", "host", "ts", "value", "text_hash", "url_hash"]
 
 
 def extract_points_batch(batch: pa.Table) -> pa.Table:
@@ -26,9 +26,11 @@ def extract_points_batch(batch: pa.Table) -> pa.Table:
     host = pc.extract_regex(url, r"^[a-z]+://(?P<host>[^/]+)")
     host = pc.struct_field(host, "host")
     value = pc.cast(pc.binary_length(pc.cast(batch["text"], pa.binary())), pa.float64())
-    # 64-bit FNV-1a-style vectorized hash of the text bytes for the
-    # byte-identity invariant (cheap, stable, collision-safe enough for QA)
+    # 64-bit vectorized content hashes: text_hash for the byte-identity
+    # invariant, url_hash as the cheap integer partition key every later
+    # shuffle buckets on (strings never get re-hashed downstream)
     text_hash = _hash_strings(batch["text"])
+    url_hash = _hash_strings(url)
     return pa.table(
         {
             "url": url,
@@ -36,6 +38,7 @@ def extract_points_batch(batch: pa.Table) -> pa.Table:
             "ts": batch["warc_ts"],
             "value": value,
             "text_hash": text_hash,
+            "url_hash": url_hash,
         }
     )
 
@@ -64,18 +67,15 @@ def extract_points(pages_ds, drop_duplicates: bool = True):
 
 
 def _first_per_key(batch: pa.Table) -> pa.Table:
-    """Keep the first row of each (url, ts) key inside a batch (vectorized
-    in-batch pre-dedup)."""
-    import pandas as pd
-
-    df = batch
-    keys = pd.MultiIndex.from_arrays(
-        [df["url"].to_numpy(zero_copy_only=False), df["ts"].to_numpy(zero_copy_only=False)]
-    )
-    mask = ~keys.duplicated()
-    if mask.all():
-        return df
-    return df.filter(pa.array(mask))
+    """Keep the first row of each (url, ts) key inside a batch (pure-numpy
+    in-batch pre-dedup on the integer (url_hash, ts) pair)."""
+    uh = batch["url_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+    key = uh * np.uint64(1000003) ^ ts
+    _, first_idx = np.unique(key, return_index=True)
+    if first_idx.size == len(batch):
+        return batch
+    return batch.take(pa.array(np.sort(first_idx)))
 
 
 def _restore_host(batch: pa.Table) -> pa.Table:
@@ -98,7 +98,10 @@ def dedup_points(points_ds):
 
     pre = points_ds.map_batches(_first_per_key, batch_format="pyarrow")
     agg = hash_bucket_aggregate(
-        pre, ["url", "ts"], [("value", "min"), ("text_hash", "min")]
+        pre,
+        ["url", "ts"],
+        [("value", "min"), ("text_hash", "min"), ("url_hash", "min")],
+        bucket_cols=["url_hash"],
     )
 
     def rename(batch: pa.Table) -> pa.Table:
@@ -108,6 +111,7 @@ def dedup_points(points_ds):
                 "ts": batch["ts"],
                 "value": batch["value_min"],
                 "text_hash": batch["text_hash_min"],
+                "url_hash": batch["url_hash_min"],
             }
         )
 

@@ -91,8 +91,11 @@ def gapfill_tier(
     max_gap_buckets: int | None = None,
     key_cols: tuple = ("host", "url"),
 ):
+    from ..common.raytools import bucketed_map_groups
+
     tier_us = TIERS_US[tier]
-    return tier_ds.groupby(list(key_cols)).map_groups(
+    return bucketed_map_groups(
+        tier_ds,
+        list(key_cols),
         lambda df: gapfill_series(df, tier_us, method, max_gap_buckets, key_cols),
-        batch_format="pandas",
     )

@@ -45,7 +45,7 @@ def test_synth_host_skew():
 def test_extract_batch():
     pages = _pages_table()
     pts = extract_points_batch(pages)
-    assert pts.column_names == ["url", "host", "ts", "value", "text_hash"]
+    assert pts.column_names == ["url", "host", "ts", "value", "text_hash", "url_hash"]
     df = pts.to_pandas()
     pdf = pages.to_pandas()
     np.testing.assert_array_equal(
