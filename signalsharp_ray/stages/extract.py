@@ -139,3 +139,106 @@ def check_text_byte_identity(points_ds) -> int:
     )
     bad = per_url.filter(lambda row: row["n_variants"] > 1)
     return bad.count()
+
+
+def extract_points_compact(pages_ds, drop_duplicates: bool = True):
+    """Dictionary-encoded extract: returns (points_ds, url_dict_ds).
+
+    points:   (url_hash:int64, ts, value, text_hash) — every downstream
+              shuffle (dedup, rollup, series assembly) moves int64 keys
+              instead of url/host strings (~4x fewer shuffle bytes; at
+              10^12 rows this is the difference between a sort that fits
+              and one that does not).
+    url_dict: (url_hash, url, host) — one row per distinct url; joined back
+              onto final outputs (broadcast at this scale; co-partitioned
+              dictionary join on a cluster).
+    """
+    from ..common.raytools import hash_bucket_aggregate
+
+    pts_full = pages_ds.select_columns(["url", "warc_ts", "text"]).map_batches(
+        extract_points_batch, batch_format="pyarrow"
+    )
+
+    def compact(batch: pa.Table) -> pa.Table:
+        return batch.select(["url_hash", "ts", "value", "text_hash"])
+
+    def batch_dict(batch: pa.Table) -> pa.Table:
+        t = batch.select(["url_hash", "url", "host"])
+        g = t.group_by(["url_hash"], use_threads=False).aggregate(
+            [("url", "min"), ("host", "min")]
+        )
+        return g.rename_columns(["url_hash", "url", "host"])
+
+    points = pts_full.map_batches(compact, batch_format="pyarrow")
+    if drop_duplicates:
+        points = dedup_points_compact(points)
+
+    dict_partial = pts_full.map_batches(batch_dict, batch_format="pyarrow")
+    agg = hash_bucket_aggregate(
+        dict_partial, ["url_hash"], [("url", "min"), ("host", "min")]
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url_hash": batch["url_hash"],
+                "url": batch["url_min"],
+                "host": batch["host_min"],
+            }
+        )
+
+    url_dict = agg.map_batches(rename, batch_format="pyarrow")
+    return points, url_dict
+
+
+def _first_per_key_compact(batch: pa.Table) -> pa.Table:
+    uh = batch["url_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+    key = uh * np.uint64(1000003) ^ ts
+    _, first_idx = np.unique(key, return_index=True)
+    if first_idx.size == len(batch):
+        return batch
+    return batch.take(pa.array(np.sort(first_idx)))
+
+
+def dedup_points_compact(points_ds):
+    """Exact (url_hash, ts) dedup over the compact schema — int-only shuffle."""
+    from ..common.raytools import hash_bucket_aggregate
+
+    pre = points_ds.map_batches(_first_per_key_compact, batch_format="pyarrow")
+    agg = hash_bucket_aggregate(
+        pre,
+        ["url_hash", "ts"],
+        [("value", "min"), ("text_hash", "min")],
+        bucket_cols=["url_hash"],
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url_hash": batch["url_hash"],
+                "ts": batch["ts"],
+                "value": batch["value_min"],
+                "text_hash": batch["text_hash_min"],
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def attach_url_dict(ds, url_dict_df, key: str = "url_hash"):
+    """Join url/host strings back onto url_hash-keyed rows via a broadcast
+    dictionary (ray.put once; pandas merge per batch)."""
+    import pandas as pd
+    import ray
+
+    ref = ray.put(url_dict_df)
+
+    class Attach:
+        def __init__(self):
+            self.dict = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.dict, on=key, how="left")
+
+    return ds.map_batches(Attach, batch_format="pandas", concurrency=(1, 2))

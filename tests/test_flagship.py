@@ -48,7 +48,11 @@ def test_flagship_end_to_end_and_resume(out_root):
 
     blocks = pd.read_parquet(outs["blocks_1d"])
     dec = decode_blocks(blocks)
-    assert dec.groupby(["host", "url"]).size().min() >= 1
+    assert dec.groupby(["url_hash"]).size().min() >= 1
+    # changepoints carry the re-attached url/host strings
+    cps = pd.read_parquet(outs["changepoints_1d"])
+    assert {"host", "url", "url_hash"} <= set(cps.columns)
+    assert cps["url"].notna().all()
 
     # resume: run again, every stage must be skipped (identical manifest)
     manifest_before = res["manifest"]

@@ -1,0 +1,67 @@
+"""Contract tests for the driver-facing queries()/oracle_sql() registry."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __ray_entry__ as entrymod  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 30
+    assert len(oracles) >= 15
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = np.round(df[c].astype(np.float64), 6)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", ["rollup_1h_cascade", "sma", "exact_dedup"])
+def test_query_matches_duckdb_oracle(con, name):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    res = qs[name](SF)
+    ray_df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    sql_df = con.execute(oracles[name]).fetchdf()
+    a, b = _normalize(ray_df), _normalize(sql_df)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, rtol=0, atol=1e-9)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_entry_smoke():
+    ds = entrymod.entry()
+    assert ds.count() > 0
+    names = set(ds.schema().names)
+    assert {"host", "url", "bucket_ts", "count", "sum", "mean"} <= names
