@@ -41,8 +41,10 @@ def sf_from_dir(sf_dir: str) -> float:
 def input_spec(sf: float):
     from signalsharp_ray.sources.synth import WebPagesSpec
 
-    # ~20M pages/sf-unit: sf0.1 -> 2M rows, sf0.01 -> 200k
-    n_rows = max(50_000, int(20_000_000 * sf))
+    # ~50M pages/sf-unit: sf0.1 -> 5M rows, sf0.01 -> 500k. Sized so compute
+    # dominates per-stage fixed overheads at 32 cpus (the scaling-efficiency
+    # measurement needs the parallel fraction to be the signal).
+    n_rows = max(50_000, int(50_000_000 * sf))
     return WebPagesSpec(
         n_rows=n_rows,
         n_hosts=max(200, int(n_rows / 2_000)),

@@ -25,6 +25,7 @@ def hash_bucket_aggregate(
     n_buckets: int | None = None,
     count_alias: str | None = None,
     bucket_cols: list[str] | None = None,
+    keep_bucket: bool = False,
 ):
     """Exact grouped aggregation that scales with HIGH key cardinality.
 
@@ -72,6 +73,7 @@ def hash_bucket_aggregate(
     def agg_bucket(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t.drop_columns(["__bucket"])
+        bucket_val = t["__bucket"][0]
         t = t.drop_columns(["__bucket"])
         g = t.group_by(keys, use_threads=False).aggregate(agg_specs)
         # pyarrow names results "<col>_<op>"; put keys first, stable order
@@ -80,6 +82,10 @@ def hash_bucket_aggregate(
             cols[f"{c}_{op}"] = g[f"{c}_{op}"]
         if count_alias is not None:
             cols[count_alias] = g[f"{keys[0]}_count"]
+        if keep_bucket:
+            cols["__bucket"] = pa.array(
+                np.full(g.num_rows, bucket_val.as_py(), dtype=np.int64)
+            )
         return pa.table(cols)
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -102,6 +108,8 @@ def pool_size(requested: int, num_cpus_per_actor: float = 1.0) -> tuple[int, int
         total = ray.cluster_resources().get("CPU")
         if total:
             cap = max(1, min(requested, int((total - 1) // max(num_cpus_per_actor, 0.001))))
+    # min=1: measured better than a higher floor on this node — a floor of
+    # cap//2 caused actor/worker churn that outweighed the extra parallelism
     return (1, cap)
 
 
@@ -156,3 +164,39 @@ def bucketed_map_groups(
 
     bucketed = ds.map_batches(add_bucket, batch_format="pandas")
     return bucketed.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def map_partition_dirs(root: str, fn, key_cols: list[str], drop_cols: tuple = ("series_bucket", "__bucket")):
+    """Run a per-series kernel over a hive-partitioned dataset WITHOUT a
+    shuffle: the writer already partitioned by hash(series key) (__bucket),
+    so every partition directory contains complete series. One Ray task per
+    partition reads its files and applies `fn` per series group.
+
+    This is the 'choose one partitioning key and reuse it' path: rollup
+    writes tier parquet partitioned by __bucket = hash(url_hash) % N, and
+    gap-fill/encode/analysis consume it shuffle-free.
+    """
+    import glob
+    import os
+
+    import ray.data as rd
+
+    dirs = sorted(glob.glob(os.path.join(root, "series_bucket=*")))
+    if not dirs:
+        raise FileNotFoundError(f"No series_bucket=* partitions under {root}")
+
+    def process(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for path in batch["path"]:
+            df = pd.read_parquet(path)
+            df = df.drop(columns=[c for c in drop_cols if c in df.columns])
+            for _, g in df.groupby(key_cols, sort=False):
+                out = fn(g)
+                if out is not None:
+                    outs.append(out)
+        if not outs:
+            return pd.DataFrame()
+        return pd.concat(outs, ignore_index=True)
+
+    paths = rd.from_items([{"path": d} for d in dirs])
+    return paths.map_batches(process, batch_size=1, batch_format="pandas")

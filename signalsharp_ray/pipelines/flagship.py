@@ -23,8 +23,9 @@ import time
 from dataclasses import dataclass, field
 
 from ..sources.synth import WebPagesSpec, generate_webpages_dataset
-from ..stages.analysis import ChangepointConfig, detect_changepoints
-from ..stages.encode import gapfill_and_encode_tier
+from ..common.raytools import map_partition_dirs, pool_size
+from ..stages.analysis import ChangepointConfig, changepoints_kernel
+from ..stages.encode import SeriesBlockEncoder, assemble_series
 from ..stages.extract import attach_url_dict, extract_points_compact
 from ..stages.rollup import cascade_tier, rollup_tier
 from ..state.manifest import PipelineManifest
@@ -95,11 +96,14 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
         def write_tier(out_dir, src_dir=src_dir, tier=tier, is_first=is_first):
             src = rd.read_parquet(src_dir)
             out = (
-                rollup_tier(src, tier, key_cols=["url_hash"])
+                rollup_tier(src, tier, key_cols=["url_hash"], keep_bucket=True)
                 if is_first
-                else cascade_tier(src, tier, key_cols=["url_hash"])
+                else cascade_tier(src, tier, key_cols=["url_hash"], keep_bucket=True)
             )
-            out.write_parquet(out_dir)
+            # hive-partition by the series-hash bucket: downstream per-series
+            # stages (gap-fill/encode/analysis) consume partitions directly,
+            # with no further shuffle
+            out.write_parquet(out_dir, partition_cols=["series_bucket"])
 
         timed(tier_stage, [("points" if is_first else f"tier_{prev}")], write_tier)
         prev = tier
@@ -108,14 +112,26 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
     if cfg.encode:
         for tier in cfg.tiers:
             def write_blocks(out_dir, tier=tier):
-                tier_ds = rd.read_parquet(outputs[f"tier_{tier}"])
-                blocks = gapfill_and_encode_tier(
-                    tier_ds,
-                    tier,
-                    cfg.gapfill_method,
-                    cfg.max_gap_buckets,
-                    concurrency=cfg.encode_concurrency,
-                    key_cols=("url_hash",),
+                from ..stages.gapfill import gapfill_series
+                from ..stages.rollup import TIERS_US
+
+                tier_us = TIERS_US[tier]
+                # encode fused into the per-partition task: the codec is
+                # stateless, and elastic tasks outperform an actor pool that
+                # cannot scale while upstream tasks hold the CPUs (measured);
+                # the actor-pool encoder remains available as encode_tier()
+                encoder = SeriesBlockEncoder(tier, ("url_hash",))
+
+                def fill_assemble_encode(df):
+                    filled = gapfill_series(
+                        df, tier_us, cfg.gapfill_method, cfg.max_gap_buckets,
+                        key_cols=("url_hash",),
+                    )
+                    assembled = assemble_series(filled, "value", ("url_hash",))
+                    return encoder(assembled).to_pandas()
+
+                blocks = map_partition_dirs(
+                    outputs[f"tier_{tier}"], fill_assemble_encode, ["url_hash"]
                 )
                 blocks.write_parquet(out_dir)
 
@@ -126,9 +142,12 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
         tier = cfg.analysis_tier
 
         def write_changepoints(out_dir, tier=tier):
-            tier_ds = rd.read_parquet(outputs[f"tier_{tier}"])
-            cps = detect_changepoints(
-                tier_ds, cfg.changepoints, cfg.analysis_value_col, key_cols=("url_hash",)
+            cps = map_partition_dirs(
+                outputs[f"tier_{tier}"],
+                lambda df: changepoints_kernel(
+                    df, cfg.changepoints, cfg.analysis_value_col, ("url_hash",)
+                ),
+                ["url_hash"],
             )
             # final human-facing output: join url/host strings back on
             url_dict = rd.read_parquet(outputs["url_dict"]).to_pandas()

@@ -228,17 +228,17 @@ def dedup_points_compact(points_ds):
 
 def attach_url_dict(ds, url_dict_df, key: str = "url_hash"):
     """Join url/host strings back onto url_hash-keyed rows via a broadcast
-    dictionary (ray.put once; pandas merge per batch)."""
+    dictionary: ray.put ONCE on the driver, ray.get per task (plasma reads
+    of the same object are shared on a node). Stateless tasks scale
+    elastically; an actor pool here was measured 4x slower (startup +
+    capped concurrency dominate for small outputs)."""
     import pandas as pd
     import ray
 
     ref = ray.put(url_dict_df)
 
-    class Attach:
-        def __init__(self):
-            self.dict = ray.get(ref)
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        return batch.merge(lookup, on=key, how="left")
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.dict, on=key, how="left")
-
-    return ds.map_batches(Attach, batch_format="pandas", concurrency=(1, 2))
+    return ds.map_batches(attach, batch_format="pandas")

@@ -81,18 +81,26 @@ def partial_rollup_batch(
     return g.rename_columns(gk + ["count", "sum", "min", "max"])
 
 
-def _merge_partials(ds, key_cols: list | None = None):
+def _merge_partials(ds, key_cols: list | None = None, keep_bucket: bool = False):
     """Cluster-wide final merge of partial rows (the one shuffle per tier).
 
     Uses hash_bucket_aggregate instead of Ray's groupby().aggregate():
     tier keys are HIGH cardinality (one group per series-bucket) and Ray's
     aggregate pays Python-per-group overhead; the bucketed C++ aggregation
-    is exact for these commutative merges and O(#buckets) in Python."""
-    gk = list(key_cols or DEFAULT_SERIES_KEY) + ["bucket_ts"]
+    is exact for these commutative merges and O(#buckets) in Python.
+
+    The shuffle bucket is derived from the SERIES key only (not bucket_ts),
+    so a whole series lands in one bucket; with keep_bucket=True the bucket
+    id column survives, letting the writer hive-partition by it and every
+    downstream per-series stage run SHUFFLE-FREE (map_partition_dirs)."""
+    keys = list(key_cols or DEFAULT_SERIES_KEY)
+    gk = keys + ["bucket_ts"]
     agg = hash_bucket_aggregate(
         ds,
         gk,
         [("count", "sum"), ("sum", "sum"), ("min", "min"), ("max", "max")],
+        bucket_cols=keys,
+        keep_bucket=keep_bucket,
     )
 
     def rename(batch: pa.Table) -> pa.Table:
@@ -101,6 +109,10 @@ def _merge_partials(ds, key_cols: list | None = None):
         cols["sum"] = batch["sum_sum"]
         cols["min"] = batch["min_min"]
         cols["max"] = batch["max_max"]
+        if keep_bucket:
+            # leading underscores are invisible to pyarrow dataset discovery,
+            # so the persisted hive partition column gets a clean name
+            cols["series_bucket"] = batch["__bucket"]
         return pa.table(cols)
 
     return agg.map_batches(rename, batch_format="pyarrow").map_batches(
@@ -127,6 +139,7 @@ def rollup_tier(
     key_cols: list | None = None,
     ts_col: str = "ts",
     value_col: str = "value",
+    keep_bucket: bool = False,
 ):
     """points (key_cols..., ts, value) -> tier aggregate rows."""
     tier_us = TIERS_US[tier]
@@ -135,10 +148,10 @@ def rollup_tier(
         lambda b: partial_rollup_batch(b, tier_us, keys, ts_col, value_col),
         batch_format="pyarrow",
     )
-    return _merge_partials(partial, keys)
+    return _merge_partials(partial, keys, keep_bucket)
 
 
-def cascade_tier(finer_ds, coarser_tier: str, key_cols: list | None = None):
+def cascade_tier(finer_ds, coarser_tier: str, key_cols: list | None = None, keep_bucket: bool = False):
     """Re-aggregate a finer tier's rows into a coarser tier — exact because
     count/sum/min/max merge associatively; mean recomputed at the end."""
     tier_us = TIERS_US[coarser_tier]
@@ -157,7 +170,7 @@ def cascade_tier(finer_ds, coarser_tier: str, key_cols: list | None = None):
         return g.rename_columns(gk + ["count", "sum", "min", "max"])
 
     partial = finer_ds.map_batches(rebucket, batch_format="pyarrow")
-    return _merge_partials(partial, keys)
+    return _merge_partials(partial, keys, keep_bucket)
 
 
 def rollup_all_tiers(points_ds) -> dict:

@@ -31,7 +31,12 @@ def test_flagship_end_to_end_and_resume(out_root):
     # all stages produced parquet
     for stage in ["points", "tier_1m", "tier_1h", "tier_1d", "blocks_1m", "changepoints_1d"]:
         assert os.path.isdir(outs[stage]), stage
-        assert any(f.endswith(".parquet") for f in os.listdir(outs[stage])), stage
+        has_parquet = any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(outs[stage])
+            for f in files
+        )
+        assert has_parquet, stage
 
     pts = pd.read_parquet(outs["points"])
     t1m = pd.read_parquet(outs["tier_1m"])
