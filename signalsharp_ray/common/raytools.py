@@ -200,3 +200,36 @@ def map_partition_dirs(root: str, fn, key_cols: list[str], drop_cols: tuple = ("
 
     paths = rd.from_items([{"path": d} for d in dirs])
     return paths.map_batches(process, batch_size=1, batch_format="pandas")
+
+
+def map_partition_tables(root: str, fn, bucket_col: str = "series_bucket"):
+    """Apply a whole-table transform per hive partition dir (no shuffle),
+    re-attaching the partition column so the output can be written with the
+    same partitioning. fn: pandas DataFrame -> pandas DataFrame."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    dirs = sorted(glob.glob(os.path.join(root, f"{bucket_col}=*")))
+    if not dirs:
+        raise FileNotFoundError(f"No {bucket_col}=* partitions under {root}")
+
+    def process(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for path in batch["path"]:
+            bucket = int(os.path.basename(path).split("=")[-1])
+            df = pd.read_parquet(path)
+            df = df.drop(columns=[c for c in (bucket_col, "__bucket") if c in df.columns])
+            out = fn(df)
+            if out is None or len(out) == 0:
+                continue
+            out = out.copy()
+            out[bucket_col] = bucket
+            outs.append(out)
+        if not outs:
+            return pd.DataFrame()
+        return pd.concat(outs, ignore_index=True)
+
+    paths = rd.from_items([{"path": d} for d in dirs])
+    return paths.map_batches(process, batch_size=1, batch_format="pandas")

@@ -23,11 +23,11 @@ import time
 from dataclasses import dataclass, field
 
 from ..sources.synth import WebPagesSpec, generate_webpages_dataset
-from ..common.raytools import map_partition_dirs, pool_size
+from ..common.raytools import map_partition_dirs, map_partition_tables, pool_size
 from ..stages.analysis import ChangepointConfig, changepoints_kernel
 from ..stages.encode import SeriesBlockEncoder, assemble_series
 from ..stages.extract import attach_url_dict, extract_points_compact
-from ..stages.rollup import cascade_tier, rollup_tier
+from ..stages.rollup import TIERS_US, cascade_partition_pandas, rollup_partition_pandas
 from ..state.manifest import PipelineManifest
 
 
@@ -77,8 +77,12 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
     # the points table carries int64 url_hash only; url/host strings live in
     # a small side dictionary written once and joined back onto final outputs
     def write_points(out_dir):
-        pts, url_dict = extract_points_compact(pages_ds_factory(), drop_duplicates=True)
-        pts.write_parquet(out_dir + "/data")
+        pts, url_dict = extract_points_compact(
+            pages_ds_factory(), drop_duplicates=True, keep_bucket=True
+        )
+        # the ONE shuffle of the whole pipeline: points land hash-partitioned
+        # by series key; every later stage is partition-aligned (no shuffle)
+        pts.write_parquet(out_dir + "/data", partition_cols=["series_bucket"])
         url_dict.write_parquet(out_dir + "/dict")
 
     points_stage, _ = timed("points", ["pages"], write_points)
@@ -94,15 +98,9 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
         is_first = prev is None
 
         def write_tier(out_dir, src_dir=src_dir, tier=tier, is_first=is_first):
-            src = rd.read_parquet(src_dir)
-            out = (
-                rollup_tier(src, tier, key_cols=["url_hash"], keep_bucket=True)
-                if is_first
-                else cascade_tier(src, tier, key_cols=["url_hash"], keep_bucket=True)
-            )
-            # hive-partition by the series-hash bucket: downstream per-series
-            # stages (gap-fill/encode/analysis) consume partitions directly,
-            # with no further shuffle
+            tier_us = TIERS_US[tier]
+            fn = rollup_partition_pandas if is_first else cascade_partition_pandas
+            out = map_partition_tables(src_dir, lambda df: fn(df, tier_us))
             out.write_parquet(out_dir, partition_cols=["series_bucket"])
 
         timed(tier_stage, [("points" if is_first else f"tier_{prev}")], write_tier)

@@ -141,7 +141,7 @@ def check_text_byte_identity(points_ds) -> int:
     return bad.count()
 
 
-def extract_points_compact(pages_ds, drop_duplicates: bool = True):
+def extract_points_compact(pages_ds, drop_duplicates: bool = True, keep_bucket: bool = False):
     """Dictionary-encoded extract: returns (points_ds, url_dict_ds).
 
     points:   (url_hash:int64, ts, value, text_hash) — every downstream
@@ -171,7 +171,7 @@ def extract_points_compact(pages_ds, drop_duplicates: bool = True):
 
     points = pts_full.map_batches(compact, batch_format="pyarrow")
     if drop_duplicates:
-        points = dedup_points_compact(points)
+        points = dedup_points_compact(points, keep_bucket=keep_bucket)
 
     dict_partial = pts_full.map_batches(batch_dict, batch_format="pyarrow")
     agg = hash_bucket_aggregate(
@@ -201,8 +201,14 @@ def _first_per_key_compact(batch: pa.Table) -> pa.Table:
     return batch.take(pa.array(np.sort(first_idx)))
 
 
-def dedup_points_compact(points_ds):
-    """Exact (url_hash, ts) dedup over the compact schema — int-only shuffle."""
+def dedup_points_compact(points_ds, keep_bucket: bool = False):
+    """Exact (url_hash, ts) dedup over the compact schema — int-only shuffle.
+
+    With keep_bucket=True the series-hash bucket column survives as
+    `series_bucket`: the points parquet is then hive-partitioned by it and
+    THIS is the pipeline's only shuffle — rollup, cascade, gap-fill, encode
+    and analysis all consume partitions aligned on the same key.
+    """
     from ..common.raytools import hash_bucket_aggregate
 
     pre = points_ds.map_batches(_first_per_key_compact, batch_format="pyarrow")
@@ -211,17 +217,19 @@ def dedup_points_compact(points_ds):
         ["url_hash", "ts"],
         [("value", "min"), ("text_hash", "min")],
         bucket_cols=["url_hash"],
+        keep_bucket=keep_bucket,
     )
 
     def rename(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "url_hash": batch["url_hash"],
-                "ts": batch["ts"],
-                "value": batch["value_min"],
-                "text_hash": batch["text_hash_min"],
-            }
-        )
+        cols = {
+            "url_hash": batch["url_hash"],
+            "ts": batch["ts"],
+            "value": batch["value_min"],
+            "text_hash": batch["text_hash_min"],
+        }
+        if keep_bucket:
+            cols["series_bucket"] = batch["__bucket"]
+        return pa.table(cols)
 
     return agg.map_batches(rename, batch_format="pyarrow")
 

@@ -184,3 +184,42 @@ def rollup_all_tiers(points_ds) -> dict:
     tiers["1h"] = cascade_tier(tiers["1m"], "1h")
     tiers["1d"] = cascade_tier(tiers["1h"], "1d")
     return tiers
+
+
+def rollup_partition_pandas(df, tier_us: int, key: str = "url_hash"):
+    """Whole-partition rollup in pandas (C-level groupby): used by the
+    partition-aligned path where the points parquet is already hash-
+    partitioned by the series key, so no cluster shuffle is needed.
+    Identical bucket semantics to partial_rollup_batch."""
+    import pandas as pd
+
+    ts = df["ts"].astype("datetime64[us]").astype("int64")
+    bucket = (ts // tier_us) * tier_us
+    g = df.groupby([df[key], bucket], sort=False)["value"].agg(
+        ["count", "sum", "min", "max"]
+    )
+    out = g.reset_index()
+    out.columns = [key, "bucket_ts", "count", "sum", "min", "max"]
+    out["bucket_ts"] = pd.to_datetime(out["bucket_ts"], unit="us")
+    out["mean"] = out["sum"] / out["count"]
+    return out
+
+
+def cascade_partition_pandas(df, tier_us: int, key: str = "url_hash"):
+    """Whole-partition tier cascade in pandas — exact re-aggregation of
+    count/sum/min/max into coarser buckets."""
+    import pandas as pd
+
+    ts = df["bucket_ts"].astype("datetime64[us]").astype("int64")
+    bucket = (ts // tier_us) * tier_us
+    g = df.groupby([df[key], bucket], sort=False).agg(
+        count=("count", "sum"),
+        sum=("sum", "sum"),
+        min=("min", "min"),
+        max=("max", "max"),
+    )
+    out = g.reset_index()
+    out.columns = [key, "bucket_ts", "count", "sum", "min", "max"]
+    out["bucket_ts"] = pd.to_datetime(out["bucket_ts"], unit="us")
+    out["mean"] = out["sum"] / out["count"]
+    return out
