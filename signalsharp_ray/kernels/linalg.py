@@ -1,0 +1,69 @@
+"""Matrix / polynomial utilities mirroring the reference's public surface.
+
+The reference implements Gauss-Jordan inverse, QR least-squares and a
+normal-equation polynomial fitter by hand
+(/root/reference/SignalSharp/Utilities/MatrixOperations.cs:32-319,
+PolynomialFitter.cs:21-100); we delegate to numpy's LAPACK-backed routines,
+preserving the failure semantics the cost functions rely on
+(singular system -> try_solve returns None -> +inf cost).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def solve_linear_system(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Square systems: exact solve; over-determined: least squares
+    (mirrors MatrixOperations.SolveLinearSystem's QR path)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if a.ndim != 2:
+        raise ValueError("a must be 2-D")
+    if a.shape[0] == a.shape[1]:
+        return np.linalg.solve(a, b)
+    if a.shape[0] < a.shape[1]:
+        raise ValueError("System is under-determined (rows < cols).")
+    sol, *_ = np.linalg.lstsq(a, b, rcond=None)
+    return sol
+
+
+def try_solve_linear_system(a: np.ndarray, b: np.ndarray) -> np.ndarray | None:
+    """None on singular/failed solve (the reference's Try variant returns
+    false and the caller maps it to an infinite segment cost)."""
+    try:
+        sol = solve_linear_system(a, b)
+    except (np.linalg.LinAlgError, ValueError):
+        return None
+    if not np.all(np.isfinite(sol)):
+        return None
+    return sol
+
+
+def invert(a: np.ndarray) -> np.ndarray:
+    return np.linalg.inv(np.asarray(a, dtype=np.float64))
+
+
+def fit_polynomial(x: np.ndarray, y: np.ndarray, order: int) -> np.ndarray:
+    """Least-squares polynomial fit; coefficients LOWEST order first
+    (PolynomialFitter.FitPolynomial solves the normal equations; numpy's
+    QR-based lstsq agrees to rounding on the small edge windows it's used
+    for)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if x.shape != y.shape:
+        raise ValueError("Input arrays must have the same length.")
+    if order < 0:
+        raise ValueError("Polynomial order must be non-negative.")
+    if x.size <= order:
+        raise ValueError("Number of data points must exceed the polynomial order.")
+    design = np.vander(x, order + 1, increasing=True)
+    xtx = design.T @ design
+    xty = design.T @ y
+    return np.linalg.solve(xtx, xty)
+
+
+def evaluate_polynomial(coefficients: np.ndarray, x: float | np.ndarray):
+    """Evaluate with coefficients lowest-order first."""
+    coefficients = np.asarray(coefficients, dtype=np.float64)
+    return np.polyval(coefficients[::-1], x)

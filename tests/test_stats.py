@@ -81,3 +81,43 @@ def test_sample_kurtosis_g2():
         (n - 2) * (n - 3)
     )
     assert stats.sample_kurtosis_g2(x) == pytest.approx(expected)
+
+
+class TestLinalg:
+    def test_solve_square(self):
+        from signalsharp_ray.kernels.linalg import solve_linear_system
+
+        a = np.array([[2.0, 1.0], [1.0, 3.0]])
+        b = np.array([3.0, 5.0])
+        np.testing.assert_allclose(a @ solve_linear_system(a, b), b)
+
+    def test_solve_overdetermined_least_squares(self):
+        from signalsharp_ray.kernels.linalg import solve_linear_system
+
+        x = np.arange(5.0)
+        a = np.column_stack([np.ones(5), x])
+        b = 2.0 + 3.0 * x
+        np.testing.assert_allclose(solve_linear_system(a, b), [2.0, 3.0], atol=1e-12)
+
+    def test_try_solve_singular_returns_none(self):
+        from signalsharp_ray.kernels.linalg import try_solve_linear_system
+
+        a = np.array([[1.0, 2.0], [2.0, 4.0]])
+        assert try_solve_linear_system(a, np.array([1.0, 2.0])) is None
+
+    def test_fit_and_evaluate_polynomial(self):
+        from signalsharp_ray.kernels.linalg import evaluate_polynomial, fit_polynomial
+
+        x = np.arange(6.0)
+        y = 1.0 - 2.0 * x + 0.5 * x ** 2
+        c = fit_polynomial(x, y, 2)
+        np.testing.assert_allclose(c, [1.0, -2.0, 0.5], atol=1e-9)
+        assert evaluate_polynomial(c, 10.0) == pytest.approx(1 - 20 + 50)
+
+    def test_fit_polynomial_validation(self):
+        from signalsharp_ray.kernels.linalg import fit_polynomial
+
+        with pytest.raises(ValueError):
+            fit_polynomial([1, 2], [1, 2, 3], 1)
+        with pytest.raises(ValueError):
+            fit_polynomial([1.0, 2.0], [1.0, 2.0], 2)
