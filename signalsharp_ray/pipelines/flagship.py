@@ -26,7 +26,7 @@ from ..sources.synth import WebPagesSpec, generate_webpages_dataset
 from ..common.raytools import map_partition_dirs, map_partition_tables, pool_size
 from ..stages.analysis import ChangepointConfig, changepoints_kernel
 from ..stages.encode import SeriesBlockEncoder, assemble_series
-from ..stages.extract import attach_url_dict, extract_points_compact
+from ..stages.extract import attach_url_dict, build_url_dict, extract_dedup_exchange
 from ..stages.rollup import TIERS_US, cascade_partition_pandas, rollup_partition_pandas
 from ..state.manifest import PipelineManifest
 
@@ -77,13 +77,14 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
     # the points table carries int64 url_hash only; url/host strings live in
     # a small side dictionary written once and joined back onto final outputs
     def write_points(out_dir):
-        pts, url_dict = extract_points_compact(
-            pages_ds_factory(), drop_duplicates=True, keep_bucket=True
-        )
-        # the ONE shuffle of the whole pipeline: points land hash-partitioned
-        # by series key; every later stage is partition-aligned (no shuffle)
+        # the ONE all-to-all of the whole pipeline (manual hash exchange —
+        # no Ray sort): points land hash-partitioned by series key; every
+        # later stage is partition-aligned and shuffle-free
+        pts = extract_dedup_exchange(pages_ds_factory())
         pts.write_parquet(out_dir + "/data", partition_cols=["series_bucket"])
-        url_dict.write_parquet(out_dir + "/dict")
+        # dictionary from the url column only (projection pushdown: html and
+        # text bytes are never read for this pass)
+        build_url_dict(pages_ds_factory()).write_parquet(out_dir + "/dict")
 
     points_stage, _ = timed("points", ["pages"], write_points)
     points_dir = points_stage + "/data"

@@ -250,3 +250,76 @@ def attach_url_dict(ds, url_dict_df, key: str = "url_hash"):
         return batch.merge(lookup, on=key, how="left")
 
     return ds.map_batches(attach, batch_format="pandas")
+
+
+def build_url_dict(pages_ds):
+    """(url_hash, url, host) dictionary from the url column alone — the
+    projection pushes down to the parquet read, so this never touches
+    html/text bytes (unlike re-running the full extract)."""
+    from ..common.raytools import hash_bucket_aggregate
+
+    def batch_dict(batch: pa.Table) -> pa.Table:
+        url = batch["url"]
+        host = pc.struct_field(
+            pc.extract_regex(url, r"^[a-z]+://(?P<host>[^/]+)"), "host"
+        )
+        t = pa.table({"url_hash": _hash_strings(url), "url": url, "host": host})
+        g = t.group_by(["url_hash"], use_threads=False).aggregate(
+            [("url", "min"), ("host", "min")]
+        )
+        return g.rename_columns(["url_hash", "url", "host"])
+
+    partial = pages_ds.select_columns(["url"]).map_batches(
+        batch_dict, batch_format="pyarrow"
+    )
+    agg = hash_bucket_aggregate(
+        partial, ["url_hash"], [("url", "min"), ("host", "min")]
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url_hash": batch["url_hash"],
+                "url": batch["url_min"],
+                "host": batch["host_min"],
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def extract_dedup_exchange(pages_ds, n_buckets: int | None = None):
+    """Extract + exact dedup via the manual hash exchange (single all-to-all,
+    no Ray sort): returns a Dataset of deduplicated compact points carrying
+    `series_bucket` — ready to be written hive-partitioned."""
+    from ..common.raytools import default_buckets, hash_exchange
+
+    if n_buckets is None:
+        n_buckets = default_buckets()
+
+    pts = pages_ds.select_columns(["url", "warc_ts", "text"]).map_batches(
+        extract_points_batch, batch_format="pyarrow"
+    )
+
+    def compact_bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.select(["url_hash", "ts", "value", "text_hash"])
+        batch = _first_per_key_compact(batch)
+        uh = batch["url_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        bucket = (uh % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("__bucket", pa.array(bucket))
+
+    bucketed = pts.map_batches(compact_bucket, batch_format="pyarrow")
+
+    def reduce_dedup(t: pa.Table) -> pa.Table:
+        bucket_val = t["__bucket"][0].as_py()
+        t = t.drop_columns(["__bucket"])
+        g = t.group_by(["url_hash", "ts"], use_threads=False).aggregate(
+            [("value", "min"), ("text_hash", "min")]
+        )
+        g = g.rename_columns(["url_hash", "ts", "value", "text_hash"])
+        return g.append_column(
+            "series_bucket",
+            pa.array(np.full(g.num_rows, bucket_val, dtype=np.int64)),
+        )
+
+    return hash_exchange(bucketed, n_buckets, reduce_dedup)
