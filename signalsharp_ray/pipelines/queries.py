@@ -688,6 +688,9 @@ def build_queries() -> dict:
         "embedding_near_dups": q_embedding_near_dups,
         "ivf_knn": q_ivf_knn,
         "media_features": q_media_features,
+        "pelt_cost_functions": q_pelt_cost_functions,
+        "pelt_multivariate": q_pelt_multivariate,
+        "optimize_ses_alpha": q_optimize_ses_alpha,
     }
 
 
@@ -826,3 +829,114 @@ LIMIT 10
         # embedding_near_dups: threshold on float boundary -> rows-only to
         # avoid knife-edge hash mismatches; ivf_knn approximate -> rows-only.
     }
+
+
+def q_pelt_cost_functions(sf_dir: str):
+    """Breakpoints per cost function (L2/L1/RBF/Gaussian/Poisson/Bernoulli/
+    AR) on the 1h-tier count/mean series per event_type — §2.2 coverage
+    through the distributed path. Rows-only (DP not SQL-expressible)."""
+    t1h = rollup_tier(_events(sf_dir), "1h", key_cols=["event_type"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bucket_ts")
+        mean = df["mean"].to_numpy(dtype=np.float64)
+        count = df["count"].to_numpy(dtype=np.float64)
+        rows = []
+        configs = [
+            ("l2", mean, 10.0, {}),
+            ("l1", mean[:500], 10.0, {}),
+            ("rbf", mean[:500], 1.0, {}),
+            ("gaussian", mean, 20.0, {}),
+            ("poisson", count, 20.0, {}),
+            ("bernoulli", (count > np.median(count)).astype(float), 5.0, {}),
+            ("ar", mean, 50.0, {"order": 1}),
+        ]
+        for cost, series, penalty, kwargs in configs:
+            try:
+                bkps = pelt_breakpoints(
+                    series, penalty, cost=cost, min_size=5, **kwargs
+                )
+            except Exception:
+                bkps = []
+            for b in bkps:
+                rows.append((df["event_type"].iloc[0], cost, int(b)))
+        return pd.DataFrame(
+            rows, columns=["event_type", "cost", "breakpoint_index"]
+        )
+
+    return t1h.groupby("event_type").map_groups(fn, batch_format="pandas")
+
+
+def q_pelt_multivariate(sf_dir: str):
+    """Multivariate PELT (dims x time: [mean, count z-scored]) on the 1h
+    tier per event_type — reference double[,] semantics distributed."""
+    t1h = rollup_tier(_events(sf_dir), "1h", key_cols=["event_type"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bucket_ts")
+        mat = np.vstack(
+            [
+                stats.zscore(df["mean"].to_numpy(dtype=np.float64)),
+                stats.zscore(df["count"].to_numpy(dtype=np.float64)),
+            ]
+        )
+        bkps = pelt_breakpoints(mat, penalty=5.0, cost="l2", min_size=5)
+        return pd.DataFrame(
+            {
+                "event_type": np.repeat(df["event_type"].iloc[0], len(bkps)),
+                "breakpoint_index": np.asarray(bkps, dtype=np.int64),
+            }
+        )
+
+    return t1h.groupby("event_type").map_groups(fn, batch_format="pandas")
+
+
+def q_optimize_ses_alpha(sf_dir: str):
+    """Per-series SES alpha tuned by the grid-search optimizer (one-step-
+    ahead SSE objective) with Nelder-Mead refinement — §2.6 coverage."""
+    from ..kernels.optimize import (
+        GridSearchOptimizer,
+        GridSearchOptions,
+        NelderMeadOptimizer,
+        NelderMeadOptions,
+        ParameterDefinition,
+    )
+
+    def sse_for(vals):
+        def objective(params):
+            alpha = params["alpha"]
+            level = vals[0]
+            sse = 0.0
+            for v in vals:
+                err = v - level
+                sse += err * err
+                level = alpha * v + (1 - alpha) * level
+            return sse
+
+        return objective
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = _sorted_group(df)
+        vals = df["value"].to_numpy(dtype=np.float64)[:500]
+        obj = sse_for(vals)
+        grid = GridSearchOptimizer(GridSearchOptions(default_grid_steps=11)).optimize(
+            obj, [ParameterDefinition("alpha", 0.01, 0.99)]
+        )
+        nm = NelderMeadOptimizer(NelderMeadOptions(max_iterations=100)).optimize(
+            obj,
+            [
+                ParameterDefinition(
+                    "alpha", 0.01, 0.99, initial_guess=grid.best_parameters["alpha"]
+                )
+            ],
+        )
+        best = nm if nm.minimized_metric <= grid.minimized_metric else grid
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "alpha": [_r6(best.best_parameters["alpha"])],
+                "sse": [_r6(best.minimized_metric)],
+            }
+        )
+
+    return _per_series(sf_dir, fn)
