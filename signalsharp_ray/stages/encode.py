@@ -164,3 +164,14 @@ def decode_blocks(blocks: pa.Table | pd.DataFrame) -> pd.DataFrame:
     if not frames:
         return pd.DataFrame(columns=key_cols + ["tier", "bucket_ts", "value"])
     return pd.concat(frames, ignore_index=True)
+
+
+def read_blocks(blocks_dir: str):
+    """Read a compressed-blocks parquet dataset back into a Dataset of
+    decoded (key..., tier, bucket_ts, value) point rows — the inverse sink
+    of the encode stage, decoded lazily per batch (streaming, not driver-
+    side)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(blocks_dir)
+    return ds.map_batches(decode_blocks, batch_format="pandas")

@@ -129,3 +129,26 @@ class TestKalman:
         x = np.sin(np.linspace(0, 4, 200)) + rng.normal(0, 0.3, 200)
         out = kalman_filter(x, KalmanOptions(process_variance=1e-3, measurement_variance=0.09))
         assert np.var(np.diff(out)) < np.var(np.diff(x))
+
+
+class TestHoltReferenceGoldens:
+    def test_additive_damped_golden(self):
+        # HoltMethodExtrapolatorTests.cs:326-343
+        out = holt_forecast(
+            [11.5, 12.0, 12.8, 13.5],
+            2,
+            HoltOptions(
+                alpha=0.2, beta=0.3, damp_trend=True, phi=0.9,
+                initial_level=10.0, initial_trend=1.0,
+            ),
+        )
+        np.testing.assert_allclose(out, [14.0385570389, 14.6087640486], atol=1e-9)
+
+    def test_multiplicative_golden(self):
+        # HoltMethodExtrapolatorTests.cs:345-362
+        out = holt_forecast(
+            [10.0, 12.0, 15.0, 18.0],
+            2,
+            HoltOptions(alpha=0.4, beta=0.6, trend_type="multiplicative"),
+        )
+        np.testing.assert_allclose(out, [20.1240675210, 23.5419248994], atol=1e-9)

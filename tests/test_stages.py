@@ -209,3 +209,32 @@ class TestGapfillBounded:
             out["value"], [1.0, 2.0, 2.0, 2.0, 2.0, 3.0, 4.0]
         )
         assert out["gap_filled"].sum() == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_blocks_roundtrip(tmp_path):
+    import ray.data as rd
+
+    from signalsharp_ray.stages.encode import encode_tier, read_blocks
+    from signalsharp_ray.stages.gapfill import gapfill_tier
+
+    frames = [
+        _series_df(range(30), np.arange(30.0) + i, host=f"h{i}.example.com",
+                   url=f"https://h{i}.example.com/p")
+        for i in range(4)
+    ]
+    tier = rd.from_pandas(pd.concat(frames, ignore_index=True))
+    filled = gapfill_tier(tier, "1m", "locf")
+    blocks = encode_tier(filled, "1m", concurrency=2)
+    out_dir = str(tmp_path / "blocks")
+    blocks.write_parquet(out_dir)
+
+    decoded = read_blocks(out_dir).to_pandas()
+    assert len(decoded) == 4 * 30
+    got = decoded.sort_values(["host", "bucket_ts"]).reset_index(drop=True)
+    exp = (
+        pd.concat(frames, ignore_index=True)
+        .sort_values(["host", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(got["value"].to_numpy(), exp["mean"].to_numpy())
