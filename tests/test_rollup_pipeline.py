@@ -133,3 +133,54 @@ def test_dedup_collapses_duplicate_crawls():
         pages.to_pandas().drop_duplicates(["url", "warc_ts"]).shape[0]
     )
     assert pts.count() == n_unique
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_host_skew_rollup_exact():
+    """Extreme skew: one url gets ~60% of all rows. Partial (in-batch)
+    aggregation acts as the salt — each map task pre-combines the hot key —
+    so the rollup stays exact and no single reduce group sees raw rows."""
+    import ray.data as rd
+
+    from signalsharp_ray.stages.extract import extract_points
+    from signalsharp_ray.stages.rollup import TIERS_US, rollup_tier
+
+    rng = np.random.default_rng(9)
+    n = 20_000
+    hot = rng.random(n) < 0.6
+    host_id = np.where(hot, 0, rng.integers(1, 40, n))
+    url_id = np.where(hot, 0, rng.integers(0, 5, n))
+    t0 = 1_704_067_200_000_000
+    ts = t0 + rng.integers(0, 3 * 24 * 3600 * 1_000_000, n)
+    urls = [f"https://host{h}.example.com/p/{u}" for h, u in zip(host_id, url_id)]
+    texts = [f"text-{h}-{u}" for h, u in zip(host_id, url_id)]
+    pages = pa.table(
+        {
+            "url": pa.array(urls),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array([t.encode() for t in texts], pa.binary()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n),
+        }
+    )
+    ds = rd.from_arrow(pages).repartition(8)
+    pts = extract_points(ds, drop_duplicates=False)
+    out = rollup_tier(pts, "1h").to_pandas()
+
+    oracle = pd.DataFrame(
+        {
+            "host": [f"host{h}.example.com" for h in host_id],
+            "url": urls,
+            "bucket": (ts // TIERS_US["1h"]) * TIERS_US["1h"],
+            "value": [len(t.encode()) for t in texts],
+        }
+    )
+    exp = (
+        oracle.groupby(["host", "url", "bucket"])["value"]
+        .agg(["count", "sum"])
+        .reset_index()
+    )
+    assert out["count"].sum() == n
+    got_hot = out[out["url"] == "https://host0.example.com/p/0"]["count"].sum()
+    exp_hot = exp[exp["url"] == "https://host0.example.com/p/0"]["count"].sum()
+    assert got_hot == exp_hot == hot.sum()
