@@ -47,11 +47,19 @@ def encode_timestamps_dod(timestamps: np.ndarray) -> bytes:
         return header + w.to_bytes()
     deltas = np.diff(ts)
     w.write(_zigzag(int(deltas[0])) & ((1 << 64) - 1), 64)
-    dods = np.diff(deltas).tolist()
-    for d in dods:
-        if d == 0:
-            w.write(0, 1)
-        elif -63 <= d <= 64:
+    dods_arr = np.diff(deltas)
+    # zero-run packing: regular-interval series (the rolled-up tier case)
+    # emit one write per run instead of one per point
+    nonzero_idx = np.flatnonzero(dods_arr)
+    dods = dods_arr.tolist()
+    pos = 0
+    for nz in nonzero_idx.tolist():
+        run = nz - pos
+        if run:
+            w.write(0, run)
+        pos = nz + 1
+        d = dods[nz]
+        if -63 <= d <= 64:
             w.write(2, 2)
             w.write(d + 63, 7)
         elif -255 <= d <= 256:
@@ -63,6 +71,9 @@ def encode_timestamps_dod(timestamps: np.ndarray) -> bytes:
         else:
             w.write(15, 4)
             w.write(_zigzag(int(d)) & ((1 << 64) - 1), 64)
+    tail = len(dods) - pos
+    if tail:
+        w.write(0, tail)
     return header + w.to_bytes()
 
 

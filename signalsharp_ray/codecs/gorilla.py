@@ -32,14 +32,23 @@ def encode_values_gorilla(values: np.ndarray) -> bytes:
         return header
     w = BitWriter()
     w.write(int(bits[0]), 64)
-    prev = int(bits[0])
     prev_lead, prev_mean = 65, 0  # "no previous window" sentinel
-    xors = (bits[1:] ^ bits[:-1]).tolist()
-    for x in xors:
-        if x == 0:
-            w.write(0, 1)
-            prev = prev  # value unchanged
-            continue
+    xors_arr = bits[1:] ^ bits[:-1]
+    # vectorized zero-run packing: a run of k unchanged values is k '0'
+    # bits — emitted as ONE write (the dominant case for gap-filled / slowly
+    # changing series, where the python-per-point loop was the bottleneck)
+    nonzero_idx = np.flatnonzero(xors_arr)
+    xors = xors_arr.tolist()
+    pos = 0
+    segments: list[tuple[int, int]] = []  # (zero_run_len, nonzero_index)
+    for nz in nonzero_idx.tolist():
+        segments.append((nz - pos, nz))
+        pos = nz + 1
+    tail_zeros = len(xors) - pos
+    for run, nz in segments:
+        if run:
+            w.write(0, run)
+        x = xors[nz]
         lead = _clz64(x)
         trail = _ctz64(x)
         if lead > 31:
@@ -60,6 +69,8 @@ def encode_values_gorilla(values: np.ndarray) -> bytes:
             w.write(mean & 0x3F, 6)  # 64 wraps to 0
             w.write(x >> trail, mean)
             prev_lead, prev_mean = lead, mean
+    if tail_zeros:
+        w.write(0, tail_zeros)
     return header + w.to_bytes()
 
 
