@@ -24,7 +24,14 @@ from dataclasses import dataclass, field
 
 from ..sources.synth import WebPagesSpec, generate_webpages_dataset
 from ..common.raytools import map_partition_dirs, map_partition_tables, pool_size
-from ..stages.analysis import ChangepointConfig, changepoints_kernel
+from ..stages.analysis import (
+    ChangepointConfig,
+    ForecastConfig,
+    SmoothingConfig,
+    changepoints_kernel,
+    forecast_kernel,
+    smooth_kernel,
+)
 from ..stages.encode import SeriesBlockEncoder, assemble_series
 from ..stages.extract import attach_url_dict, build_url_dict, extract_dedup_exchange
 from ..stages.rollup import TIERS_US, cascade_partition_pandas, rollup_partition_pandas
@@ -47,7 +54,15 @@ class FlagshipConfig:
             method="pelt", cost="l2", penalty=10.0, min_size=1
         )
     )
+    smoothing: SmoothingConfig = field(
+        default_factory=lambda: SmoothingConfig(op="ema", alpha=0.3)
+    )
+    forecast: ForecastConfig = field(
+        default_factory=lambda: ForecastConfig(method="linear", horizon=3)
+    )
     analyze: bool = True
+    smooth: bool = True
+    do_forecast: bool = True
     encode: bool = True
 
 
@@ -137,7 +152,8 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
             timed(f"blocks_{tier}", [f"tier_{tier}"], write_blocks)
 
     # 4. changepoint analysis on the configured tier
-    if cfg.analyze:
+    tier_available = f"tier_{cfg.analysis_tier}" in outputs
+    if cfg.analyze and tier_available:
         tier = cfg.analysis_tier
 
         def write_changepoints(out_dir, tier=tier):
@@ -154,6 +170,36 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
             cps.write_parquet(out_dir)
 
         timed(f"changepoints_{tier}", [f"tier_{tier}"], write_changepoints)
+
+    # 5. smoothing + forecast tables on the same tier (same aligned path)
+    if cfg.smooth and tier_available:
+        tier = cfg.analysis_tier
+
+        def write_smoothed(out_dir, tier=tier):
+            sm = map_partition_dirs(
+                outputs[f"tier_{tier}"],
+                lambda df: smooth_kernel(df, cfg.smoothing, cfg.analysis_value_col),
+                ["url_hash"],
+            )
+            sm.write_parquet(out_dir)
+
+        timed(f"smoothed_{tier}", [f"tier_{tier}"], write_smoothed)
+
+    if cfg.do_forecast and tier_available:
+        tier = cfg.analysis_tier
+        from ..stages.rollup import TIERS_US as _T
+
+        def write_forecast(out_dir, tier=tier):
+            fc = map_partition_dirs(
+                outputs[f"tier_{tier}"],
+                lambda df: forecast_kernel(
+                    df, cfg.forecast, _T[tier], cfg.analysis_value_col, ("url_hash",)
+                ),
+                ["url_hash"],
+            )
+            fc.write_parquet(out_dir)
+
+        timed(f"forecast_{tier}", [f"tier_{tier}"], write_forecast)
 
     return {"outputs": outputs, "metrics": metrics, "manifest": manifest.records()}
 

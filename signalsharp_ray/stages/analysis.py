@@ -195,10 +195,14 @@ class ForecastConfig:
 
 
 def forecast_kernel(
-    df: pd.DataFrame, config: ForecastConfig, tier_us: int, value_col: str = "mean"
+    df: pd.DataFrame,
+    config: ForecastConfig,
+    tier_us: int,
+    value_col: str = "mean",
+    key_cols: tuple = ("host", "url"),
 ) -> pd.DataFrame:
     df, values = _sorted_series(df, value_col)
-    host, url = df["host"].iloc[0], df["url"].iloc[0]
+    key_vals = {k: df[k].iloc[0] for k in key_cols}
     try:
         if config.method == "linear":
             fc = linear_forecast(values, config.horizon, config.window_size)
@@ -211,20 +215,20 @@ def forecast_kernel(
     except ValueError:
         # series too short / invalid for the model -> no forecast rows
         return pd.DataFrame(
-            columns=["host", "url", "method", "h", "forecast_ts", "forecast"]
+            columns=list(key_cols) + ["method", "h", "forecast_ts", "forecast"]
         )
     last_ts = df["bucket_ts"].astype("datetime64[us]").astype("int64").iloc[-1]
     hs = np.arange(1, config.horizon + 1)
-    return pd.DataFrame(
+    out = {k: np.repeat(v, config.horizon) for k, v in key_vals.items()}
+    out.update(
         {
-            "host": np.repeat(host, config.horizon),
-            "url": np.repeat(url, config.horizon),
             "method": np.repeat(config.method, config.horizon),
             "h": hs.astype(np.int32),
             "forecast_ts": pd.to_datetime(last_ts + hs * tier_us, unit="us"),
             "forecast": fc,
         }
     )
+    return pd.DataFrame(out)
 
 
 def forecast_series(tier_ds, tier_us: int, config: ForecastConfig | None = None, value_col: str = "mean"):
@@ -232,5 +236,7 @@ def forecast_series(tier_ds, tier_us: int, config: ForecastConfig | None = None,
 
     cfg = config or ForecastConfig()
     return bucketed_map_groups(
-        tier_ds, ["host", "url"], lambda df: forecast_kernel(df, cfg, tier_us, value_col)
+        tier_ds,
+        ["host", "url"],
+        lambda df: forecast_kernel(df, cfg, tier_us, value_col, ("host", "url")),
     )

@@ -90,3 +90,16 @@ def test_flagship_fingerprint_invalidation(out_root):
         > res1["manifest"]["points"]["completed_at"]
     )
     assert res2["manifest"]["points"]["rows"] < res1["manifest"]["points"]["rows"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_flagship_smoothed_and_forecast_outputs(tmp_path):
+    cfg = FlagshipConfig(out_root=str(tmp_path / "fs"), encode=False)
+    res = run_flagship_synthetic(SPEC, cfg)
+    outs = res["outputs"]
+    sm = pd.read_parquet(outs["smoothed_1d"])
+    assert {"url_hash", "bucket_ts", "smoothed", "op"} <= set(sm.columns)
+    assert (sm["op"] == "ema").all()
+    fc = pd.read_parquet(outs["forecast_1d"])
+    assert {"url_hash", "method", "h", "forecast_ts", "forecast"} <= set(fc.columns)
+    assert set(fc["h"].unique()) == {1, 2, 3}
