@@ -691,6 +691,7 @@ def build_queries() -> dict:
         "pelt_cost_functions": q_pelt_cost_functions,
         "pelt_multivariate": q_pelt_multivariate,
         "optimize_ses_alpha": q_optimize_ses_alpha,
+        "lineitem_rollup_1d": q_lineitem_rollup_1d,
     }
 
 
@@ -826,6 +827,14 @@ LIMIT 10
         # DP — not SQL-expressible; the driver records rows-only checks.
         # minhash/simhash/language_id/quality/fingerprints/media: heuristic
         # or hash-based — rows-only.
+        "lineitem_rollup_1d": """
+SELECT l_returnflag,
+       date_trunc('day', l_shipdate) AS bucket_ts,
+       COUNT(*) AS cnt,
+       ROUND(SUM(l_quantity), 6) AS sum_qty,
+       ROUND(ROUND(SUM(l_quantity), 6) / COUNT(*), 6) AS mean_qty
+FROM lineitem GROUP BY 1, 2
+""",
         # embedding_near_dups: threshold on float boundary -> rows-only to
         # avoid knife-edge hash mismatches; ivf_knn approximate -> rows-only.
     }
@@ -940,3 +949,32 @@ def q_optimize_ses_alpha(sf_dir: str):
         )
 
     return _per_series(sf_dir, fn)
+
+
+def q_lineitem_rollup_1d(sf_dir: str):
+    """Engine generality: the same tiered-rollup machinery over a different
+    table/shape (lineitem by l_returnflag on l_shipdate)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_shipdate", "l_quantity"],
+    )
+    out = rollup_tier(
+        ds, "1d", key_cols=["l_returnflag"], ts_col="l_shipdate", value_col="l_quantity"
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        cnt = batch["count"].astype(np.int64)
+        sum_r = _r6(batch["sum"])
+        return pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "bucket_ts": batch["bucket_ts"],
+                "cnt": cnt,
+                "sum_qty": sum_r,
+                "mean_qty": _r6(sum_r / cnt.to_numpy()),
+            }
+        )
+
+    return out.map_batches(fmt, batch_format="pandas")
