@@ -692,6 +692,9 @@ def build_queries() -> dict:
         "pelt_multivariate": q_pelt_multivariate,
         "optimize_ses_alpha": q_optimize_ses_alpha,
         "lineitem_rollup_1d": q_lineitem_rollup_1d,
+        "sliding_window_3h": q_sliding_window_3h,
+        "session_windows": q_session_windows,
+        "asof_join_orders": q_asof_join_orders,
     }
 
 
@@ -835,6 +838,50 @@ SELECT l_returnflag,
        ROUND(ROUND(SUM(l_quantity), 6) / COUNT(*), 6) AS mean_qty
 FROM lineitem GROUP BY 1, 2
 """,
+        "sliding_window_3h": """
+WITH r AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts, SUM(value) AS s
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket_ts,
+       ROUND(SUM(s) OVER w, 6) AS window_sum,
+       ROUND(AVG(s) OVER w, 6) AS window_mean
+FROM r
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+        "session_windows": """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY 1, 2
+""",
+        "asof_join_orders": """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         MAX(o_orderkey) AS o_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       CAST(o.o_orderkey AS DOUBLE) AS orderkey,
+       ROUND(o.o_totalprice, 6) AS total_price
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
         # embedding_near_dups: threshold on float boundary -> rows-only to
         # avoid knife-edge hash mismatches; ivf_knn approximate -> rows-only.
     }
@@ -974,6 +1021,89 @@ def q_lineitem_rollup_1d(sf_dir: str):
                 "cnt": cnt,
                 "sum_qty": sum_r,
                 "mean_qty": _r6(sum_r / cnt.to_numpy()),
+            }
+        )
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
+def q_sliding_window_3h(sf_dir: str):
+    """3-bucket sliding aggregate over the 1h rollup per event_type."""
+    from ..stages.windows import sliding_window
+
+    t1h = rollup_tier(_events(sf_dir), "1h", key_cols=["event_type"])
+    out = sliding_window(t1h, ["event_type"], window=3, value_col="sum")
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "bucket_ts": batch["bucket_ts"],
+                "window_sum": _r6(batch["window_sum"]),
+                "window_mean": _r6(batch["window_mean"]),
+            }
+        )
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
+def q_session_windows(sf_dir: str):
+    """30-minute-gap sessionization per user_id."""
+    from ..stages.windows import session_windows
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id"])
+    out = session_windows(ev, "user_id", timeout_us=1_800_000_000)
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype(np.int64),
+                "session_id": batch["session_id"].astype(np.int64),
+                "session_start": batch["session_start"],
+                "session_end": batch["session_end"],
+                "n_events": batch["n_events"].astype(np.int64),
+            }
+        )
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
+def q_asof_join_orders(sf_dir: str):
+    """For every event, the latest order of the same customer placed at or
+    before the event time (backward as-of join on user_id)."""
+    import ray.data as rd
+
+    from ..stages.windows import asof_join
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+    )
+
+    def prep_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        df = batch.rename(columns={"o_custkey": "user_id", "o_orderdate": "ts"})
+        # dedupe ties (same customer+date): keep the max orderkey so both
+        # sides resolve ties identically
+        df = df.sort_values("o_orderkey").drop_duplicates(
+            ["user_id", "ts"], keep="last"
+        )
+        return df
+
+    right = orders.map_batches(prep_orders, batch_format="pandas")
+    out = asof_join(
+        ev, right, "user_id", left_ts="ts", right_ts="ts",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].astype(np.int64),
+                "user_id": batch["user_id"].astype(np.int64),
+                "ts": batch["ts"],
+                "orderkey": batch["o_orderkey"].astype(np.float64),
+                "total_price": _r6(batch["o_totalprice"].fillna(np.nan)),
             }
         )
 

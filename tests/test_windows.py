@@ -1,0 +1,119 @@
+"""Windowed custom operators: sliding window, sessionization, as-of join."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(3)
+
+
+def test_sliding_window_matches_pandas_rolling():
+    from signalsharp_ray.stages.windows import sliding_window
+
+    rng = np.random.default_rng(1)
+    frames = []
+    for k in ("a", "b"):
+        frames.append(
+            pd.DataFrame(
+                {
+                    "key": k,
+                    "bucket_ts": pd.to_datetime(
+                        np.sort(rng.choice(500, 60, replace=False)) * 3_600_000_000,
+                        unit="us",
+                    ),
+                    "sum": rng.normal(size=60),
+                }
+            )
+        )
+    df = pd.concat(frames, ignore_index=True)
+    out = (
+        sliding_window(_ds(df), ["key"], window=3, value_col="sum")
+        .to_pandas()
+        .sort_values(["key", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    for k, grp in df.groupby("key"):
+        grp = grp.sort_values("bucket_ts")
+        exp = grp["sum"].rolling(3, min_periods=1).sum().to_numpy()
+        got = out[out["key"] == k]["window_sum"].to_numpy()
+        np.testing.assert_allclose(got, exp)
+
+
+def test_session_windows_gap_semantics():
+    from signalsharp_ray.stages.windows import session_windows
+
+    base = 1_700_000_000_000_000
+    minute = 60_000_000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "user_id": np.int64(7),
+            "ts": pd.to_datetime(
+                [base, base + minute, base + 40 * minute, base + 45 * minute,
+                 base + 120 * minute, base + 121 * minute],
+                unit="us",
+            ),
+        }
+    )
+    out = (
+        session_windows(_ds(df), "user_id", timeout_us=30 * minute)
+        .to_pandas()
+        .sort_values("session_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    np.testing.assert_array_equal(out["n_events"], [2, 2, 2])
+    assert out["session_start"].iloc[1] == df["ts"].iloc[2]
+
+
+def test_asof_join_backward():
+    from signalsharp_ray.stages.windows import asof_join
+
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "user_id": np.int64(1),
+            "ts": pd.to_datetime([100, 200, 300, 50], unit="s"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": np.int64(1),
+            "ts": pd.to_datetime([90, 250], unit="s"),
+            "payload": [10.0, 20.0],
+        }
+    )
+    out = (
+        asof_join(_ds(left), _ds(right), "user_id", right_cols=["payload"])
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # event at t=50 has no prior right row -> null; 100,200 -> 10; 300 -> 20
+    np.testing.assert_array_equal(
+        out["payload"].to_numpy(), [10.0, 10.0, 20.0, np.nan]
+    )
+
+
+def test_asof_join_right_only_keys_ignored():
+    from signalsharp_ray.stages.windows import asof_join
+
+    left = pd.DataFrame(
+        {"event_id": [0], "user_id": np.int64(1), "ts": pd.to_datetime([100], unit="s")}
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": np.array([1, 99], dtype=np.int64),
+            "ts": pd.to_datetime([50, 60], unit="s"),
+            "payload": [1.0, 2.0],
+        }
+    )
+    out = asof_join(_ds(left), _ds(right), "user_id", right_cols=["payload"]).to_pandas()
+    assert len(out) == 1
+    assert out["payload"].iloc[0] == 1.0
