@@ -20,6 +20,7 @@ durable, resumable boundary after every shuffle, and the cascade re-reads the
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from ..sources.synth import WebPagesSpec, generate_webpages_dataset
@@ -122,7 +123,12 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
         timed(tier_stage, [("points" if is_first else f"tier_{prev}")], write_tier)
         prev = tier
 
-    # 3. gap-fill + encode per tier (actor-pool encoder)
+    # 3-5. everything downstream of the tiers is independent: run the
+    # per-tier encode jobs and the analysis jobs CONCURRENTLY (each thread
+    # drives its own Dataset execution; the streaming executor interleaves
+    # them, overlapping per-stage fixed costs and filling idle CPUs)
+    deferred = []
+
     if cfg.encode:
         for tier in cfg.tiers:
             def write_blocks(out_dir, tier=tier):
@@ -149,7 +155,7 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
                 )
                 blocks.write_parquet(out_dir)
 
-            timed(f"blocks_{tier}", [f"tier_{tier}"], write_blocks)
+            deferred.append((f"blocks_{tier}", [f"tier_{tier}"], write_blocks))
 
     # 4. changepoint analysis on the configured tier
     tier_available = f"tier_{cfg.analysis_tier}" in outputs
@@ -169,7 +175,7 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
             cps = attach_url_dict(cps, url_dict)
             cps.write_parquet(out_dir)
 
-        timed(f"changepoints_{tier}", [f"tier_{tier}"], write_changepoints)
+        deferred.append((f"changepoints_{tier}", [f"tier_{tier}"], write_changepoints))
 
     # 5. smoothing + forecast tables on the same tier (same aligned path)
     if cfg.smooth and tier_available:
@@ -183,7 +189,7 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
             )
             sm.write_parquet(out_dir)
 
-        timed(f"smoothed_{tier}", [f"tier_{tier}"], write_smoothed)
+        deferred.append((f"smoothed_{tier}", [f"tier_{tier}"], write_smoothed))
 
     if cfg.do_forecast and tier_available:
         tier = cfg.analysis_tier
@@ -199,7 +205,16 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
             )
             fc.write_parquet(out_dir)
 
-        timed(f"forecast_{tier}", [f"tier_{tier}"], write_forecast)
+        deferred.append((f"forecast_{tier}", [f"tier_{tier}"], write_forecast))
+
+    if deferred:
+        with ThreadPoolExecutor(max_workers=min(6, len(deferred))) as pool:
+            futures = [
+                pool.submit(timed, stage, lineage, fn)
+                for stage, lineage, fn in deferred
+            ]
+            for f in futures:
+                f.result()
 
     return {"outputs": outputs, "metrics": metrics, "manifest": manifest.records()}
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 from dataclasses import asdict, dataclass, field
 
@@ -39,6 +40,7 @@ class PipelineManifest:
         os.makedirs(root, exist_ok=True)
         self._path = os.path.join(root, self.FILENAME)
         self._records: dict[str, dict] = {}
+        self._lock = threading.Lock()  # stages may complete concurrently
         if os.path.exists(self._path):
             with open(self._path) as f:
                 self._records = json.load(f)
@@ -56,11 +58,12 @@ class PipelineManifest:
 
     def record(self, rec: StageRecord) -> None:
         rec.completed_at = time.time()
-        self._records[rec.stage] = asdict(rec)
-        tmp = self._path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self._records, f, indent=2)
-        os.replace(tmp, self._path)
+        with self._lock:
+            self._records[rec.stage] = asdict(rec)
+            tmp = f"{self._path}.tmp-{threading.get_ident()}"
+            with open(tmp, "w") as f:
+                json.dump(self._records, f, indent=2)
+            os.replace(tmp, self._path)
 
     def records(self) -> dict[str, dict]:
         return dict(self._records)
