@@ -39,5 +39,24 @@ def _configure_ray_data() -> None:
     except Exception:  # pragma: no cover - older Ray without the knob
         pass
 
+    # fsspec's http module needs aiohttp (absent here). Ray imports it on
+    # every read and tolerates ModuleNotFoundError — but under CONCURRENT
+    # Dataset executions a second thread can observe the module mid-failed-
+    # import and get a plain ImportError instead, crashing the stage. Stub
+    # the module once so the import is deterministic and thread-safe.
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ModuleNotFoundError:
+        stub = types.ModuleType("fsspec.implementations.http")
+
+        class _NoHTTPFileSystem:  # sentinel; nothing is ever an instance
+            pass
+
+        stub.HTTPFileSystem = _NoHTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = stub
+
 
 _configure_ray_data()

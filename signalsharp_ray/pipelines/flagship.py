@@ -208,6 +208,12 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
         deferred.append((f"forecast_{tier}", [f"tier_{tier}"], write_forecast))
 
     if deferred:
+        # pre-import modules the threads would otherwise import concurrently
+        # (a mid-import module seen from a second thread loses names)
+        try:
+            import fsspec.implementations.http  # noqa: F401
+        except ImportError:
+            pass
         with ThreadPoolExecutor(max_workers=min(6, len(deferred))) as pool:
             futures = [
                 pool.submit(timed, stage, lineage, fn)
