@@ -52,3 +52,28 @@ def test_alternating_no_normalization():
 def test_short_and_empty():
     assert cusum_changepoints([]).size == 0
     assert cusum_changepoints([1.0]).size == 0
+
+
+def test_long_constant_znormalized_no_changepoints():
+    # CUSUMTests.cs:91-108 — z-normalizing a constant signal gives zeros
+    x = zscore(np.full(100, 0.1))
+    opts = CUSUMOptions(threshold_factor=5, slack_factor=1)
+    assert cusum_changepoints(x, opts).size == 0
+
+
+def test_zero_variance_large_sigma_no_changepoints():
+    # CUSUMTests.cs:194-212
+    opts = CUSUMOptions(expected_std=1e5, threshold_factor=5, slack_factor=1)
+    assert cusum_changepoints(np.zeros(5), opts).size == 0
+
+
+def test_option_validation_matches_reference():
+    # CUSUMTests.cs:118-150 — constructor argument guards
+    import pytest
+
+    with pytest.raises(ValueError):
+        CUSUMOptions(expected_std=0.0)
+    with pytest.raises(ValueError):
+        CUSUMOptions(threshold_factor=0.0)
+    with pytest.raises(ValueError):
+        CUSUMOptions(slack_factor=-0.1)

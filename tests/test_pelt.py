@@ -69,3 +69,25 @@ def test_jump_matches_exact_on_simple():
     # jump>1 is approximate, but on this easy signal it finds the same answer
     out = pelt_breakpoints(SIMPLE, 2.0, cost="l2", min_size=1, jump=2)
     assert list(out) in ([3, 6], [4, 6], [2, 6])  # approximation tolerance
+
+
+def test_detect_without_fit_raises():
+    # PELTTests.cs:26-33
+    from signalsharp_ray.common.exceptions import UninitializedDataError
+
+    with pytest.raises(UninitializedDataError):
+        PELT(PELTOptions()).detect(2.0)
+
+
+def test_matrix_input_simple():
+    # PELTTests.cs:35-55 — 2-D single-row matrix behaves as the 1-D signal
+    sig = np.array([[1.0, 1, 1, 5, 5, 5, 1, 1, 1]])
+    opts = PELTOptions(cost_function="l2", min_size=1, jump=1)
+    np.testing.assert_array_equal(PELT(opts).fit_and_detect(sig, 2.0), [3, 6])
+
+
+def test_docstring_multivariate_example():
+    # PELTAlgorithm.cs:183-187 doc example: { {1,1,10,10}, {5,5,20,20} } -> [2]
+    sig = np.array([[1.0, 1, 10, 10], [5.0, 5, 20, 20]])
+    out = pelt_breakpoints(sig, 8.0, cost="l2", min_size=1)
+    np.testing.assert_array_equal(out, [2])
