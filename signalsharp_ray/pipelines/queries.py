@@ -590,10 +590,9 @@ def q_knn_cosine(sf_dir: str, k: int = 10):
 
     q = _query_vector(sf_dir)
     ds = _embeddings(sf_dir)
-    min_id = 0
-    out = knn_brute_force(
-        ds.filter(lambda row: row["vec_id"] != min_id), q[None, :], k=k
-    )
+    # arrow expression filter (vectorized; pushes into the scan) — never a
+    # per-row python predicate
+    out = knn_brute_force(ds.filter(expr="vec_id != 0"), q[None, :], k=k)
     return pd.DataFrame(
         {"vec_id": out["vec_id"].astype(np.int64), "cosine": _r6(out["cosine"])}
     )
@@ -859,8 +858,8 @@ WITH g AS (
 ),
 s AS (
   SELECT user_id, ts,
-         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id,
@@ -1082,18 +1081,16 @@ def q_asof_join_orders(sf_dir: str):
     )
 
     def prep_orders(batch: pd.DataFrame) -> pd.DataFrame:
-        df = batch.rename(columns={"o_custkey": "user_id", "o_orderdate": "ts"})
-        # dedupe ties (same customer+date): keep the max orderkey so both
-        # sides resolve ties identically
-        df = df.sort_values("o_orderkey").drop_duplicates(
-            ["user_id", "ts"], keep="last"
-        )
-        return df
+        return batch.rename(columns={"o_custkey": "user_id", "o_orderdate": "ts"})
 
+    # ties (same customer+date) are resolved globally inside the asof
+    # kernel via right_tiebreak=max(o_orderkey) — never per batch, which
+    # would depend on block layout
     right = orders.map_batches(prep_orders, batch_format="pandas")
     out = asof_join(
         ev, right, "user_id", left_ts="ts", right_ts="ts",
         right_cols=["o_orderkey", "o_totalprice"],
+        right_tiebreak=["o_orderkey"],
     )
 
     def fmt(batch: pd.DataFrame) -> pd.DataFrame:

@@ -137,7 +137,7 @@ def check_text_byte_identity(points_ds) -> int:
         ),
         batch_format="pandas",
     )
-    bad = per_url.filter(lambda row: row["n_variants"] > 1)
+    bad = per_url.filter(expr="n_variants > 1")
     return bad.count()
 
 

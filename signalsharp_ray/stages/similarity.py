@@ -131,8 +131,13 @@ def ivf_knn(embeddings_ds, query_vectors: np.ndarray, k: int = 5, n_clusters: in
     assigned, cent = ivf_build_assignments(embeddings_ds, n_clusters, id_col=id_col, col=col)
     q = _normalize(np.atleast_2d(np.asarray(query_vectors, dtype=np.float64)))
     probe_cells = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]
-    wanted = set(probe_cells.ravel().tolist())
-    pruned = assigned.filter(lambda row: row["cell"] in wanted)
+    wanted = sorted(set(probe_cells.ravel().tolist()))
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        # vectorized cell-membership filter (no per-row python predicate)
+        return batch[batch["cell"].isin(wanted)]
+
+    pruned = assigned.map_batches(prune, batch_format="pandas")
     return knn_brute_force(pruned, query_vectors, k=k, id_col=id_col, col=col)
 
 

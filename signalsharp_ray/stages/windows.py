@@ -84,12 +84,20 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
+    right_tiebreak: list[str] | None = None,
 ):
     """Backward as-of join: latest right row with ts <= left ts per key.
 
     Both sides travel through ONE bucketed exchange: rows are tagged with a
     side marker, unioned, hash-grouped by key, and merge_asof'd inside the
     kernel. Left rows with no prior right row keep nulls.
+
+    ``right_tiebreak``: columns that break ties among right rows sharing the
+    same ``right_ts`` — the row with the MAX tiebreak value wins.  Resolved
+    *inside* the per-key kernel (after the bucketed exchange sees every row
+    of the key), so the result is independent of block layout; a per-batch
+    dedup upstream would not be (duplicates in different blocks both
+    survive a batch-local drop_duplicates).
     """
 
     # union requires aligned schemas: add each side's missing columns as
@@ -133,9 +141,13 @@ def asof_join(
                 if c not in out.columns:
                     out[c] = np.nan
             return out
+        tb = [c for c in (right_tiebreak or []) if c in right.columns]
         right = right[
-            [c for c in dict.fromkeys([right_ts, *keep]) if c in right.columns]
-        ].sort_values(right_ts)
+            [c for c in dict.fromkeys([right_ts, *tb, *keep]) if c in right.columns]
+        ].sort_values([right_ts, *tb])
+        # merge_asof(direction="backward") picks the positionally-last right
+        # row with ts <= left ts, so sorting by (ts, *tiebreak) makes the
+        # max-tiebreak row win among same-ts duplicates — a global arg_max.
         out = pd.merge_asof(
             left,
             right,
