@@ -424,7 +424,11 @@ def q_cusum_changepoints(sf_dir: str):
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = _sorted_group(df)
-        z = stats.zscore(df["value"].to_numpy(dtype=np.float64))
+        # z ROUNDED to 6 on both the engine and oracle side: with identical
+        # inputs the CUSUM recurrence is the same float ops in the same
+        # order, so breakpoint indices match bitwise (the raw zscore would
+        # differ by summation order between numpy and the SQL engine)
+        z = _r6(stats.zscore(df["value"].to_numpy(dtype=np.float64)))
         bkps = cusum_changepoints(z, opts)
         return pd.DataFrame(
             {
@@ -452,6 +456,33 @@ def q_pelt_changepoints(sf_dir: str):
         )
 
     return t1d.groupby("event_type").map_groups(fn, batch_format="pandas")
+
+
+def q_pelt_step_detection(sf_dir: str, step: int = 40):
+    """SQL-verifiable PELT: a noiseless two-level step series (period
+    `step` over the 1h bucket index, levels 0/100) is built per event_type
+    from the distributed rollup; exact PELT/L2 (penalty 5, min_size 1) must
+    recover precisely the level-change indices — multiples of `step` — which
+    the DuckDB oracle derives in closed form. This drives the real
+    distributed PELT path (rollup -> per-series DP) with an independent
+    ground truth, covering the DP/backtrack/pruning machinery the
+    free-form changepoint queries cannot oracle."""
+    t1h = rollup_tier(_events(sf_dir), "1h", key_cols=["event_type"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bucket_ts")
+        n = len(df)
+        idx = np.arange(n, dtype=np.int64)
+        vals = 100.0 * ((idx // step) % 2).astype(np.float64)
+        bkps = pelt_breakpoints(vals, penalty=5.0, cost="l2", min_size=1)
+        return pd.DataFrame(
+            {
+                "event_type": np.repeat(df["event_type"].iloc[0], len(bkps)),
+                "breakpoint_index": np.asarray(bkps, dtype=np.int64),
+            }
+        )
+
+    return t1h.groupby("event_type").map_groups(fn, batch_format="pandas")
 
 
 def q_pelt_auto_penalty(sf_dir: str):
@@ -674,6 +705,7 @@ def build_queries() -> dict:
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "cusum_changepoints": q_cusum_changepoints,
         "pelt_changepoints": q_pelt_changepoints,
+        "pelt_step_detection": q_pelt_step_detection,
         "pelt_auto_penalty": q_pelt_auto_penalty,
         "token_count": q_token_count,
         "char_stats": q_char_stats,
@@ -825,10 +857,242 @@ WHERE e.vec_id <> (SELECT MIN(vec_id) FROM embeddings)
 ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC
 LIMIT 10
 """,
-        # ema/savgol/kalman/cusum/pelt/holt/ses: sequential recurrences or
-        # DP — not SQL-expressible; the driver records rows-only checks.
-        # minhash/simhash/language_id/quality/fingerprints/media: heuristic
-        # or hash-based — rows-only.
+        # Sequential recurrences (ema/ses/holt/kalman/cusum) ARE
+        # SQL-expressible via recursive CTEs carrying the scalar state —
+        # the same float64 operations in the same order as the kernels, so
+        # the results match bitwise (modulo the shared ROUND(x, 6)).
+        "ema": """
+WITH RECURSIVE r AS MATERIALIZED (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS idx
+  FROM events
+),
+e AS (
+  SELECT event_type, idx, value, value AS ema FROM r WHERE idx = 0
+  UNION ALL
+  SELECT r.event_type, r.idx, r.value, 0.3*r.value + 0.7*e.ema
+  FROM e JOIN r ON r.event_type = e.event_type AND r.idx = e.idx + 1
+)
+SELECT event_type, CAST(idx AS BIGINT) AS idx, ROUND(ema, 6) AS ema FROM e
+""",
+        "ses_forecast": """
+WITH RECURSIVE r AS MATERIALIZED (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS idx
+  FROM events
+),
+s AS (
+  -- level starts at x[0]; the update loop INCLUDES x[0] (reference quirk)
+  SELECT event_type, -1 AS idx, value AS level FROM r WHERE idx = 0
+  UNION ALL
+  SELECT r.event_type, r.idx, 0.3*r.value + 0.7*s.level
+  FROM s JOIN r ON r.event_type = s.event_type AND r.idx = s.idx + 1
+),
+n AS (SELECT event_type, MAX(idx) AS mx FROM r GROUP BY 1)
+SELECT s.event_type, CAST(h.h AS BIGINT) AS h, ROUND(s.level, 6) AS forecast
+FROM s JOIN n ON s.event_type = n.event_type AND s.idx = n.mx
+CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS h) h
+""",
+        "holt_forecast": """
+WITH RECURSIVE r AS MATERIALIZED (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS idx
+  FROM events
+),
+hs AS (
+  -- L0 = x[0], T0 = x[1]-x[0]; update loop includes t=0; alpha=beta=0.5,
+  -- phi=1 (no damping): L' = 0.5 v + 0.5 (L + 1.0 T); T' = 0.5 (L'-L) + 0.5 1.0 T
+  SELECT r0.event_type, -1 AS idx, r0.value AS level, r1.value - r0.value AS trend
+  FROM r r0 JOIN r r1 ON r0.event_type = r1.event_type AND r1.idx = 1
+  WHERE r0.idx = 0
+  UNION ALL
+  SELECT r.event_type, r.idx,
+         0.5*r.value + 0.5*(hs.level + 1.0*hs.trend),
+         0.5*((0.5*r.value + 0.5*(hs.level + 1.0*hs.trend)) - hs.level) + 0.5*1.0*hs.trend
+  FROM hs JOIN r ON r.event_type = hs.event_type AND r.idx = hs.idx + 1
+),
+n AS (SELECT event_type, MAX(idx) AS mx FROM r GROUP BY 1)
+SELECT hs.event_type, CAST(h.h AS BIGINT) AS h,
+       ROUND(hs.level + h.h * hs.trend, 6) AS forecast
+FROM hs JOIN n ON hs.event_type = n.event_type AND hs.idx = n.mx
+CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS h) h
+""",
+        "kalman": """
+WITH RECURSIVE r AS MATERIALIZED (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS idx
+  FROM events
+),
+ks AS (
+  -- local-level Kalman, q=1e-5 r=1e-2 p0=1 x0=z[0]; gain sequence carried
+  -- in-state: p_pred = p+q; k = p_pred/(p_pred+r); x += k (z-x); p = (1-k) p_pred
+  -- state literals cast to DOUBLE: the recursive CTE's column types are
+  -- locked to the base case, and a bare 1.0 is DECIMAL(2,1) in DuckDB
+  SELECT event_type, -1 AS idx, value AS x, CAST(1.0 AS DOUBLE) AS p
+  FROM r WHERE idx = 0
+  UNION ALL
+  SELECT r.event_type, r.idx,
+         ks.x + ((ks.p + 1e-5) / ((ks.p + 1e-5) + 1e-2)) * (r.value - ks.x),
+         (1.0 - ((ks.p + 1e-5) / ((ks.p + 1e-5) + 1e-2))) * (ks.p + 1e-5)
+  FROM ks JOIN r ON r.event_type = ks.event_type AND r.idx = ks.idx + 1
+)
+SELECT event_type, CAST(idx AS BIGINT) AS idx, ROUND(x, 6) AS filtered
+FROM ks WHERE idx >= 0
+""",
+        "cusum_changepoints": """
+WITH RECURSIVE z AS MATERIALIZED (
+  SELECT event_type,
+         row_number() OVER w - 1 AS idx,
+         ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+               / stddev_pop(value) OVER (PARTITION BY event_type), 6) AS zv
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+c AS (
+  -- two-sided CUSUM on the rounded zscores; mean=0, slack=0.1, threshold=1.5;
+  -- scan starts at i=1; both sums reset on detection
+  -- DOUBLE casts: the recursive column types are locked to the base case,
+  -- and a bare 0.0 literal is DECIMAL(2,1) in DuckDB
+  SELECT event_type, 0 AS idx, CAST(0.0 AS DOUBLE) AS high,
+         CAST(0.0 AS DOUBLE) AS low, FALSE AS emit
+  FROM z WHERE idx = 0
+  UNION ALL
+  SELECT z.event_type, z.idx,
+         CASE WHEN GREATEST(0.0, c.high + (z.zv - 0.1)) > 1.5
+                   OR LEAST(0.0, c.low + (z.zv + 0.1)) < -1.5
+              THEN 0.0 ELSE GREATEST(0.0, c.high + (z.zv - 0.1)) END,
+         CASE WHEN GREATEST(0.0, c.high + (z.zv - 0.1)) > 1.5
+                   OR LEAST(0.0, c.low + (z.zv + 0.1)) < -1.5
+              THEN 0.0 ELSE LEAST(0.0, c.low + (z.zv + 0.1)) END,
+         GREATEST(0.0, c.high + (z.zv - 0.1)) > 1.5
+             OR LEAST(0.0, c.low + (z.zv + 0.1)) < -1.5
+  FROM c JOIN z ON z.event_type = c.event_type AND z.idx = c.idx + 1
+)
+SELECT event_type, CAST(idx AS BIGINT) AS breakpoint_index FROM c WHERE emit
+""",
+        "savgol": """
+-- SavGol w=5 p=2 deriv=0: the reference restores the middle to the raw
+-- input; only the first/last halfWindow=2 points are quadratic-refit. The
+-- quadratic LSQ projection over 5 equispaced points has the classic
+-- rational coefficient rows (31,9,-3,-5,3)/35 etc.
+SELECT event_type, CAST(idx AS BIGINT) AS idx,
+  ROUND(CASE
+    WHEN idx = 0     THEN (31*value + 9*f1 - 3*f2 - 5*f3 + 3*f4) / 35
+    WHEN idx = 1     THEN (9*b1 + 13*value + 12*f1 + 6*f2 - 5*f3) / 35
+    WHEN idx = n - 2 THEN (-5*b3 + 6*b2 + 12*b1 + 13*value + 9*f1) / 35
+    WHEN idx = n - 1 THEN (3*b4 - 5*b3 - 3*b2 + 9*b1 + 31*value) / 35
+    ELSE value END, 6) AS smoothed
+FROM (
+  SELECT event_type, value,
+         row_number() OVER w - 1 AS idx,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         lead(value, 1) OVER w AS f1, lead(value, 2) OVER w AS f2,
+         lead(value, 3) OVER w AS f3, lead(value, 4) OVER w AS f4,
+         lag(value, 1) OVER w AS b1, lag(value, 2) OVER w AS b2,
+         lag(value, 3) OVER w AS b3, lag(value, 4) OVER w AS b4
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+""",
+        "pelt_step_detection": """
+-- ground truth for the noiseless 0/100 step series with period 40 built
+-- over the 1h bucket index: PELT/L2 must emit exactly the level-change
+-- indices (multiples of 40 below the series length)
+WITH b AS (
+  SELECT event_type, COUNT(DISTINCT date_trunc('hour', ts)) AS n
+  FROM events GROUP BY 1
+)
+SELECT b.event_type, CAST(g AS BIGINT) AS breakpoint_index
+FROM b, UNNEST(generate_series(40, CAST(b.n AS BIGINT) - 1, 40)) AS t(g)
+""",
+        "quality_scores": """
+WITH c AS (
+  SELECT doc_id,
+         length(COALESCE(text, '')) AS n_chars,
+         length(COALESCE(text, ''))
+           - length(regexp_replace(COALESCE(text, ''), '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+         length(COALESCE(text, ''))
+           - length(regexp_replace(COALESCE(text, ''), '[0-9]', '', 'g')) AS n_digit,
+         length(COALESCE(text, ''))
+           - length(regexp_replace(COALESCE(text, ''), '[A-Z]', '', 'g')) AS n_upper,
+         regexp_extract_all(COALESCE(text, ''), '[a-zA-Z'']+') AS words
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars,
+         len(words) AS n_words,
+         n_punct / GREATEST(n_chars, 1)::DOUBLE AS punct_ratio,
+         n_digit / GREATEST(n_chars, 1)::DOUBLE AS digit_ratio,
+         n_upper / GREATEST(n_chars, 1)::DOUBLE AS upper_ratio,
+         len(list_filter(words, w -> list_contains(
+           ['the','of','and','a','to','in','is','was','he','for','it','with',
+            'as','his','on','be','at','by','i','this','had','not','are','but',
+            'from','or','have','an','they','which','one','you','were','her',
+            'all','she','there','would','their','we','him','been','has','when',
+            'who','will'], lower(w))))
+           / GREATEST(len(words), 1)::DOUBLE AS stopword_ratio
+  FROM c
+)
+SELECT doc_id, n_chars, CAST(n_words AS BIGINT) AS n_words,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(digit_ratio, 6) AS digit_ratio,
+       ROUND(upper_ratio, 6) AS upper_ratio,
+       ROUND(stopword_ratio, 6) AS stopword_ratio,
+       ROUND(LEAST(n_words / 100.0, 1.0) * 0.4
+             + LEAST(stopword_ratio * 2.5, 1.0) * 0.4
+             + (1.0 - LEAST(digit_ratio * 5, 1.0)) * 0.2, 6) AS quality_score
+FROM m
+""",
+        "language_id": """
+WITH c AS (
+  SELECT doc_id, COALESCE(text, '') AS s,
+         length(COALESCE(text, ''))
+           - length(regexp_replace(COALESCE(text, ''), '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS cjk,
+         list_transform(regexp_extract_all(COALESCE(text, ''), '[\\p{L}]+'), w -> lower(w)) AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id, s, cjk, len(toks) AS n_toks,
+         len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in','that','it','was','for'], t))) AS h_en,
+         len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','ein','ich','mit','den'], t))) AS h_de,
+         len(list_filter(toks, t -> list_contains(['le','la','les','et','des','est','un','une','que','pour'], t))) AS h_fr,
+         len(list_filter(toks, t -> list_contains(['el','la','los','las','es','y','en','que','por','una'], t))) AS h_es,
+         len(list_filter(toks, t -> list_contains(['o','a','os','de','e','que','em','um','uma','para'], t))) AS h_pt,
+         len(list_filter(toks, t -> list_contains(['и','в','не','на','что','это','с','по','как','из'], t))) AS h_ru
+  FROM c
+)
+SELECT doc_id,
+  CASE
+    WHEN s = '' THEN 'und'
+    WHEN cjk > GREATEST(8, 0.05 * length(s)) THEN 'zh'
+    WHEN n_toks = 0 THEN 'und'
+    -- first-wins argmax in profile order en,de,fr,es,pt,ru (a later entry
+    -- must be strictly greater to displace an earlier one)
+    WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en >= h_pt AND h_en >= h_ru THEN 'en'
+    WHEN h_de > 0 AND h_de > h_en AND h_de >= h_fr AND h_de >= h_es AND h_de >= h_pt AND h_de >= h_ru THEN 'de'
+    WHEN h_fr > 0 AND h_fr > h_en AND h_fr > h_de AND h_fr >= h_es AND h_fr >= h_pt AND h_fr >= h_ru THEN 'fr'
+    WHEN h_es > 0 AND h_es > h_en AND h_es > h_de AND h_es > h_fr AND h_es >= h_pt AND h_es >= h_ru THEN 'es'
+    WHEN h_pt > 0 AND h_pt > h_en AND h_pt > h_de AND h_pt > h_fr AND h_pt > h_es AND h_pt >= h_ru THEN 'pt'
+    WHEN h_ru > 0 AND h_ru > h_en AND h_ru > h_de AND h_ru > h_fr AND h_ru > h_es AND h_ru > h_pt THEN 'ru'
+    ELSE 'und'
+  END AS pred_lang
+FROM h
+""",
+        "fingerprints": """
+-- md5_number_upper = little-endian uint64 of the first 8 md5 bytes; the
+-- HUGEINT detour reinterprets it as the engine's signed int64
+SELECT doc_id,
+       CAST(CASE WHEN md5_number_upper(COALESCE(text, '')) >= 9223372036854775808
+                 THEN md5_number_upper(COALESCE(text, ''))::HUGEINT
+                      - 18446744073709551616::HUGEINT
+                 ELSE md5_number_upper(COALESCE(text, ''))::HUGEINT END
+            AS BIGINT) AS fingerprint
+FROM documents
+""",
+        # pelt free-form/auto-penalty/multivariate/cost-function sweeps and
+        # the optimizer query: DP/argmin not SQL-expressible — rows-only
+        # (pelt_step_detection above carries the SQL-verified PELT path).
+        # minhash/simhash/ivf/media: hash- or model-heuristic — rows-only.
         "lineitem_rollup_1d": """
 SELECT l_returnflag,
        date_trunc('day', l_shipdate) AS bucket_ts,

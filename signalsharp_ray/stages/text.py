@@ -157,22 +157,28 @@ def language_id(docs_ds, concurrency: int = 4):
 
 # -- document fingerprinting ---------------------------------------------
 
-_FP_BASE = np.uint64(1099511628211)
-
 
 def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """64-bit polynomial rolling hash of the utf-8 bytes (vectorized via
-    pandas' C-level string hash combined with a byte-length salt — stable
-    across runs and processes)."""
+    """64-bit content fingerprint: the first 8 bytes of md5(utf-8 text),
+    little-endian — stable across runs/processes AND reproducible in SQL
+    engines (DuckDB's md5_number_upper), so the operator is
+    oracle-verifiable. md5 here is a content hash, not a security
+    primitive; hashlib.md5 runs at C speed per row."""
+    import hashlib
+
     text = batch["text"].fillna("")
-    h = pd.util.hash_array(np.asarray(text.to_numpy(), dtype=object), categorize=False)
-    salt = (text.str.len().to_numpy().astype(np.uint64) * _FP_BASE) & np.uint64(
-        0xFFFFFFFFFFFFFFFF
+    fps = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
+            for t in text
+        ),
+        dtype=np.uint64,
+        count=len(text),
     )
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
-            "fingerprint": (h ^ salt).view(np.int64),
+            "fingerprint": fps.view(np.int64),
         }
     )
 
