@@ -127,6 +127,7 @@ def bucketed_map_groups(
     key_cols: list[str],
     fn,
     n_buckets: int | None = None,
+    whole_bucket_fn=None,
 ):
     """groupby(key).map_groups(fn) with BOUNDED Ray per-group overhead.
 
@@ -136,6 +137,11 @@ def bucketed_map_groups(
     the bucket kernel via pandas groupby — same whole-group-in-one-call
     contract, Ray overhead proportional to n_buckets only. fn takes and
     returns a pandas DataFrame.
+
+    whole_bucket_fn: alternative kernel applied to the ENTIRE bucket frame
+    at once (all rows of every key hashing into the bucket) — for kernels
+    that are themselves vectorized across keys (e.g. a self-merge per
+    shingle); pass fn=None with it.
     """
     if n_buckets is None:
         n_buckets = default_buckets()
@@ -154,6 +160,8 @@ def bucketed_map_groups(
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=["__bucket"])
+        if whole_bucket_fn is not None:
+            return whole_bucket_fn(df)
         if len(df) == 0:
             return df
         outs = [fn(g) for _, g in df.groupby(key_cols, sort=False)]
@@ -164,6 +172,100 @@ def bucketed_map_groups(
 
     bucketed = ds.map_batches(add_bucket, batch_format="pandas")
     return bucketed.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def bucketed_join(
+    left_ds,
+    right_ds,
+    on: list[str],
+    how: str = "inner",
+    n_buckets: int | None = None,
+    suffix: str = "_r",
+):
+    """Distributed hash join through ONE bucketed exchange — the
+    co-partitioned alternative to broadcasting a side to the driver.
+
+    Both sides are tagged, schema-aligned with typed nulls, unioned, hash
+    bucketed on the key columns, and pandas-merged per bucket (vectorized
+    C join inside each kernel; Ray overhead proportional to n_buckets).
+    Neither side is ever collected on the driver, so both may be
+    arbitrarily large. Key columns must be hashable scalars.
+    """
+    import pyarrow as pa
+
+    if n_buckets is None:
+        n_buckets = default_buckets()
+
+    lschema, rschema = left_ds.schema(), right_ds.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    lcols, rcols = list(ltypes), list(rtypes)
+    all_types = dict(ltypes)
+    for n, t in rtypes.items():
+        all_types.setdefault(n, t)
+    all_names = list(all_types)
+
+    def tag(side):
+        def fn(t: pa.Table) -> pa.Table:
+            for name in all_names:
+                if name not in t.column_names:
+                    t = t.append_column(name, pa.nulls(t.num_rows, all_types[name]))
+            t = t.select(all_names)
+            return t.append_column("__side", pa.array([side] * t.num_rows))
+
+        return fn
+
+    both = left_ds.map_batches(tag("l"), batch_format="pyarrow").union(
+        right_ds.map_batches(tag("r"), batch_format="pyarrow")
+    )
+
+    def _restore(df: pd.DataFrame, types: dict) -> pd.DataFrame:
+        # the per-bucket concat of both sides turns int columns with
+        # cross-side nulls into float64; restore each side's declared
+        # dtypes so merge keys AND output columns stay exact int64
+        df = df.copy()
+        for c, t in types.items():
+            if df[c].isna().any():
+                continue
+            if pa.types.is_integer(t):
+                df[c] = df[c].astype(np.int64)
+            elif pa.types.is_floating(t):
+                df[c] = df[c].astype(np.float64)
+            elif pa.types.is_boolean(t):
+                df[c] = df[c].astype(bool)
+        return df
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left = _restore(df[df["__side"] == "l"][lcols], ltypes)
+        right = _restore(df[df["__side"] == "r"][rcols], rtypes)
+        return left.merge(right, on=on, how=how, suffixes=("", suffix))
+
+    # hash each key under ONE unified dtype: a float64 block and an int64
+    # block carrying the same values must land in the same bucket
+    key_is_int = {
+        k: pa.types.is_integer(ltypes[k]) and pa.types.is_integer(rtypes[k])
+        for k in on
+    }
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(len(batch), dtype=np.uint64)
+        for k in on:
+            col = batch[k].to_numpy()
+            if key_is_int[k] and col.dtype != np.int64 and col.dtype != object:
+                col = col.astype(np.int64)
+            h = h * np.uint64(1000003) + pd.util.hash_array(
+                np.asarray(col, dtype=object) if col.dtype == object else col,
+                categorize=False,
+            )
+        batch = batch.copy()
+        batch["__bucket"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return batch
+
+    bucketed = both.map_batches(add_bucket, batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(
+        lambda df: merge_bucket(df.drop(columns=["__bucket"])),
+        batch_format="pandas",
+    )
 
 
 def map_partition_dirs(root: str, fn, key_cols: list[str], drop_cols: tuple = ("series_bucket", "__bucket")):

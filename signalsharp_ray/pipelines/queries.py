@@ -602,6 +602,25 @@ def q_simhash_near_dups(sf_dir: str):
     return simhash_near_dup_pairs(_documents(sf_dir), max_hamming=3)
 
 
+def q_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
+    """EXACT word-3-shingle Jaccard near-dup pairs (distributed inverted
+    index; SQL-verifiable, unlike the minhash approximation)."""
+    from ..stages.dedup import exact_jaccard_pairs
+
+    ds = exact_jaccard_pairs(_documents(sf_dir), threshold=threshold)
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_a": batch["doc_a"].astype(np.int64),
+                "doc_b": batch["doc_b"].astype(np.int64),
+                "jaccard": _r6(batch["jaccard"]),
+            }
+        )
+
+    return ds.map_batches(fmt, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -715,6 +734,7 @@ def build_queries() -> dict:
         "fingerprints": q_fingerprints,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
+        "jaccard_pairs": q_jaccard_pairs,
         "knn_cosine": q_knn_cosine,
         "embedding_near_dups": q_embedding_near_dups,
         "ivf_knn": q_ivf_knn,
@@ -1077,6 +1097,38 @@ SELECT doc_id,
     ELSE 'und'
   END AS pred_lang
 FROM h
+""",
+        "jaccard_pairs": """
+-- exact word-3-shingle Jaccard via the same inverted-index join the
+-- engine distributes: shingles -> co-occurrence counts -> set sizes
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[\\p{L}\\p{N}_]+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) = 0 THEN []
+              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(len(toks) - 2),
+                                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+         END AS sh
+  FROM t
+),
+d AS (SELECT doc_id, list_distinct(sh) AS sh FROM s WHERE len(sh) > 0),
+sizes AS (SELECT doc_id, len(sh) AS n FROM d),
+ex AS (SELECT doc_id, UNNEST(sh) AS g FROM d),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(i.i / (sa.n + sb.n - i.i)::DOUBLE, 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE ROUND(i.i / (sa.n + sb.n - i.i)::DOUBLE, 6) >= 0.5
 """,
         "fingerprints": """
 -- md5_number_upper = little-endian uint64 of the first 8 md5 bytes; the
