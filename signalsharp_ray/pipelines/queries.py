@@ -1098,6 +1098,14 @@ SELECT doc_id,
   END AS pred_lang
 FROM h
 """,
+        "embedding_near_dups": """
+-- exact all-pairs cosine (DOUBLE-cast so both sides compute in float64;
+-- threshold compares the ROUNDED value on both sides)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+""",
         "jaccard_pairs": """
 -- exact word-3-shingle Jaccard via the same inverted-index join the
 -- engine distributes: shingles -> co-occurrence counts -> set sizes

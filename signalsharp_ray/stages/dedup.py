@@ -382,72 +382,141 @@ def simhash_signatures(docs_ds, concurrency: int = 4):
     )
 
 
-def simhash_near_dup_pairs(docs_ds, max_hamming: int = 3, concurrency: int = 4):
-    """Near-dup pairs with hamming(simhash) <= max_hamming using 4-block
-    pigeonhole blocking: any pair within distance 3 must agree exactly on at
-    least one of the four 16-bit blocks."""
-    sigs = simhash_signatures(docs_ds, concurrency)
+# Manku-style multi-table blocking (public scheme, Manku/Jain/Sarma WWW'07):
+# split the 64 bits into B=6 blocks; any pair within hamming distance k<=3
+# leaves >= B-k = 3 blocks untouched, so it matches EXACTLY on the 3 chosen
+# blocks of at least one of the C(6,3)=20 tables. Table keys are ~32 bits
+# (vs 16 in a naive 4-block scheme), so bucket cardinality scales to
+# billions of docs instead of capping at 65,536 buckets.
+_SIMHASH_BLOCKS = [(0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)]
 
-    def explode_blocks(batch: pd.DataFrame) -> pd.DataFrame:
+
+def _simhash_tables(max_hamming: int):
+    from itertools import combinations
+
+    b = len(_SIMHASH_BLOCKS)
+    n_match = b - max_hamming
+    if n_match < 1:
+        raise ValueError("max_hamming must be <= 5 for the 6-block scheme")
+    combos = list(combinations(range(b), n_match))
+    masks = []
+    for combo in combos:
+        m = np.uint64(0)
+        for bi in combo:
+            sh, w = _SIMHASH_BLOCKS[bi]
+            m |= ((np.uint64(1) << np.uint64(w)) - np.uint64(1)) << np.uint64(sh)
+        masks.append(m)
+    return combos, np.array(masks, dtype=np.uint64)
+
+
+def simhash_near_dup_pairs(docs_ds, max_hamming: int = 3, concurrency: int = 4):
+    """Near-dup pairs with hamming(simhash) <= max_hamming, multi-table
+    pigeonhole blocking (see _SIMHASH_BLOCKS note).
+
+    Each pair is emitted EXACTLY ONCE with no cross-table dedup exchange:
+    the kernel computes, from the pair's xor alone, the FIRST table in
+    which the pair collides and emits only there. In-bucket compute is
+    bounded by grouping identical simhashes first — the all-pairs scan
+    runs over UNIQUE simhash values (O(U^2) per bucket), and doc-level
+    expansion is O(output)."""
+    sigs = simhash_signatures(docs_ds, concurrency)
+    combos, masks = _simhash_tables(max_hamming)
+
+    def explode_tables(batch: pd.DataFrame) -> pd.DataFrame:
         sh = batch["simhash"].to_numpy().view(np.uint64)
-        doc = batch["doc_id"].to_numpy()
+        doc = batch["doc_id"].to_numpy(np.int64)
         frames = []
-        for blk in range(4):
-            key = ((sh >> np.uint64(16 * blk)) & np.uint64(0xFFFF)).astype(np.int64)
+        for t, combo in enumerate(combos):
+            key = np.zeros(sh.size, dtype=np.uint64)
+            for bi in combo:
+                shift, w = _SIMHASH_BLOCKS[bi]
+                key = (key << np.uint64(w)) | (
+                    (sh >> np.uint64(shift)) & ((np.uint64(1) << np.uint64(w)) - np.uint64(1))
+                )
             frames.append(
                 pd.DataFrame(
-                    {"doc_id": doc, "simhash": batch["simhash"], "block": blk, "key": key}
+                    {
+                        "doc_id": doc,
+                        "simhash": batch["simhash"],
+                        "table": np.int16(t),
+                        "key": key.view(np.int64),
+                    }
                 )
             )
         return pd.concat(frames, ignore_index=True)
 
-    exploded = sigs.map_batches(explode_blocks, batch_format="pandas")
+    exploded = sigs.map_batches(explode_tables, batch_format="pandas")
 
-    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series(dtype="int64"),
-                    "doc_b": pd.Series(dtype="int64"),
-                    "hamming": pd.Series(dtype="int64"),
-                }
-            )
-        df = df.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = df["doc_id"].to_numpy()
-        sh = df["simhash"].to_numpy().view(np.uint64)
-        a, b = np.triu_indices(ids.size, k=1)
-        x = sh[a] ^ sh[b]
-        # vectorized popcount; filter to the distance bound INSIDE the
-        # bucket so only true near-dup pairs ever leave this kernel
-        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
-        keep = ham <= max_hamming
+    _EMPTY = pd.DataFrame(
+        {
+            "doc_a": pd.Series(dtype="int64"),
+            "doc_b": pd.Series(dtype="int64"),
+            "hamming": pd.Series(dtype="int64"),
+        }
+    )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized fast path: drop singleton (table, key) groups first
+        df = df[df.duplicated(subset=["table", "key"], keep=False)]
+        if df.empty:
+            return _EMPTY.copy()
+        out_a, out_b, out_h = [], [], []
+        for (t, _k), g in df.groupby(["table", "key"], sort=False):
+            # group identical simhashes: the candidate scan runs over
+            # unique values only; identical-value cliques (xor=0 matches
+            # every mask) are emitted solely by table 0
+            by_val: dict = {}
+            for d, s in zip(g["doc_id"].to_numpy(np.int64),
+                            g["simhash"].to_numpy().view(np.uint64)):
+                by_val.setdefault(s, []).append(d)
+            vals = np.fromiter(by_val.keys(), dtype=np.uint64, count=len(by_val))
+            if t == 0:
+                for s, docs in by_val.items():
+                    if len(docs) > 1:
+                        ids = np.sort(np.unique(np.asarray(docs, dtype=np.int64)))
+                        ia, ib = np.triu_indices(ids.size, k=1)
+                        out_a.append(ids[ia])
+                        out_b.append(ids[ib])
+                        out_h.append(np.zeros(ia.size, dtype=np.int64))
+            if vals.size < 2:
+                continue
+            ia, ib = np.triu_indices(vals.size, k=1)
+            x = vals[ia] ^ vals[ib]
+            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+            near = ham <= max_hamming
+            if not near.any():
+                continue
+            x, ia, ib, ham = x[near], ia[near], ib[near], ham[near]
+            # first-colliding-table ownership: emit only where this table
+            # is the first whose mask bits are all clean in the xor
+            first = np.argmax((x[:, None] & masks[None, :]) == 0, axis=1)
+            own = first == t
+            for xi in np.flatnonzero(own):
+                da = np.asarray(by_val[vals[ia[xi]]], dtype=np.int64)
+                db = np.asarray(by_val[vals[ib[xi]]], dtype=np.int64)
+                aa = np.repeat(da, db.size)
+                bb = np.tile(db, da.size)
+                swap = aa > bb
+                a2 = np.where(swap, bb, aa)
+                b2 = np.where(swap, aa, bb)
+                out_a.append(a2)
+                out_b.append(b2)
+                out_h.append(np.full(a2.size, ham[xi], dtype=np.int64))
+        if not out_a:
+            return _EMPTY.copy()
         return pd.DataFrame(
             {
-                "doc_a": ids[a][keep],
-                "doc_b": ids[b][keep],
-                "hamming": ham[keep].astype(np.int64),
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
             }
         )
 
-    pairs = exploded.groupby(["block", "key"]).map_groups(
-        block_pairs, batch_format="pandas"
+    from ..common.raytools import bucketed_map_groups
+
+    return bucketed_map_groups(
+        exploded, ["table", "key"], None, whole_bucket_fn=bucket_pairs
     )
-    from ..common.raytools import hash_bucket_aggregate
-
-    agg = hash_bucket_aggregate(pairs, ["doc_a", "doc_b"], [("hamming", "min")])
-
-    def rename(batch):
-        import pyarrow as pa
-
-        return pa.table(
-            {
-                "doc_a": batch["doc_a"],
-                "doc_b": batch["doc_b"],
-                "hamming": batch["hamming_min"],
-            }
-        )
-
-    return agg.map_batches(rename, batch_format="pyarrow")
 
 
 # -- standalone n-gram jaccard -------------------------------------------

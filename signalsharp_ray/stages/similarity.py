@@ -142,39 +142,59 @@ def ivf_knn(embeddings_ds, query_vectors: np.ndarray, k: int = 5, n_clusters: in
 
 
 def embedding_near_dup_pairs(embeddings_ds, threshold: float = 0.95,
-                             id_col: str = "vec_id", col: str = "embedding"):
-    """All (a, b) pairs with cosine >= threshold.
+                             id_col: str = "vec_id", col: str = "embedding",
+                             chunk_rows: int = 4096):
+    """All (a, b) pairs with cosine >= threshold — EXACT, via a blocked
+    cartesian over object-store chunks.
 
-    Exact per cell + neighbor-cell probing would be the 100TB path; at
-    moderate cardinality per cell the in-cell exact pass dominates recall.
-    Implemented as: assign cells -> per-cell exact pairs (groupby) ->
-    global pair dedup.
+    (The round-1 version was in-cell-only and silently missed cross-cell
+    duplicates.) Each normalized chunk lives once in the object store; one
+    Ray task per chunk pair (i <= j) does a dense (chunk x chunk) matmul
+    and emits only above-threshold pairs. The driver holds chunk REFS, not
+    vectors. O((n/chunk)^2) tasks — exact and the right choice up to
+    ~10^6-vector shards; beyond that, partition the corpus (e.g. by
+    language/source) or use the IVF/LSH approximate path and accept the
+    recall trade-off. Threshold compares ROUND(cosine, 6) so an
+    independent SQL oracle agrees exactly at the boundary.
     """
-    assigned, _ = ivf_build_assignments(embeddings_ds, n_clusters=8, id_col=id_col, col=col)
+    import ray
+    import ray.data as rd
 
-    def cell_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
-        df = df.sort_values(id_col)
-        m = _normalize(_stack_embeddings(df, col))
-        ids = df[id_col].to_numpy()
-        sims = m @ m.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= threshold
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(_stack_embeddings(batch, col))
         return pd.DataFrame(
-            {"a": ids[ia][keep], "b": ids[ib][keep], "cosine": sims[ia, ib][keep]}
+            {id_col: batch[id_col].to_numpy(np.int64), "norm": list(m)}
         )
 
-    pairs = assigned.groupby("cell").map_groups(cell_pairs, batch_format="pandas")
-    from ..common.raytools import hash_bucket_aggregate
+    chunks = (
+        embeddings_ds.select_columns([id_col, col])
+        .map_batches(prep, batch_format="pandas", batch_size=chunk_rows)
+        .materialize()
+    )
+    refs = chunks.to_pandas_refs()
 
-    agg = hash_bucket_aggregate(pairs, ["a", "b"], [("cosine", "max")])
+    @ray.remote
+    def pair_block(left: pd.DataFrame, right: pd.DataFrame, same: bool) -> pd.DataFrame:
+        ml = np.stack(left["norm"].to_numpy())
+        mr = np.stack(right["norm"].to_numpy())
+        il = left[id_col].to_numpy(np.int64)
+        ir = right[id_col].to_numpy(np.int64)
+        sims = ml @ mr.T
+        if same:
+            ia, ib = np.triu_indices(len(il), k=1)
+        else:
+            ia, ib = np.indices(sims.shape).reshape(2, -1)
+        s = sims[ia, ib]
+        keep = np.round(s, 6) >= threshold
+        a, b, s = il[ia[keep]], ir[ib[keep]], s[keep]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({"a": a2, "b": b2, "cosine": s})
 
-    def rename(batch):
-        import pyarrow as pa
-
-        return pa.table(
-            {"a": batch["a"], "b": batch["b"], "cosine": batch["cosine_max"]}
-        )
-
-    return agg.map_batches(rename, batch_format="pyarrow")
+    tasks = [
+        pair_block.remote(refs[i], refs[j], i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    return rd.from_pandas_refs(tasks)
