@@ -268,7 +268,14 @@ def bucketed_join(
     )
 
 
-def map_partition_dirs(root: str, fn, key_cols: list[str], drop_cols: tuple = ("series_bucket", "__bucket")):
+def map_partition_dirs(
+    root: str,
+    fn,
+    key_cols: list[str],
+    drop_cols: tuple = ("series_bucket", "__bucket"),
+    attach_root: str | None = None,
+    attach_key: str = "url_hash",
+):
     """Run a per-series kernel over a hive-partitioned dataset WITHOUT a
     shuffle: the writer already partitioned by hash(series key) (__bucket),
     so every partition directory contains complete series. One Ray task per
@@ -277,6 +284,12 @@ def map_partition_dirs(root: str, fn, key_cols: list[str], drop_cols: tuple = ("
     This is the 'choose one partitioning key and reuse it' path: rollup
     writes tier parquet partitioned by __bucket = hash(url_hash) % N, and
     gap-fill/encode/analysis consume it shuffle-free.
+
+    attach_root: a side dataset hive-partitioned by the SAME series_bucket
+    hash (e.g. the url dictionary). Each task left-merges its own
+    partition's slice of the side table onto its output — a fully
+    co-partitioned dictionary join with no shuffle and no driver-side
+    broadcast (the dictionary can be arbitrarily large).
     """
     import glob
     import os
@@ -292,10 +305,23 @@ def map_partition_dirs(root: str, fn, key_cols: list[str], drop_cols: tuple = ("
         for path in batch["path"]:
             df = pd.read_parquet(path)
             df = df.drop(columns=[c for c in drop_cols if c in df.columns])
+            part_outs = []
             for _, g in df.groupby(key_cols, sort=False):
                 out = fn(g)
-                if out is not None:
-                    outs.append(out)
+                if out is not None and len(out):
+                    part_outs.append(out)
+            if not part_outs:
+                continue
+            part = pd.concat(part_outs, ignore_index=True)
+            if attach_root is not None:
+                side_dir = os.path.join(attach_root, os.path.basename(path))
+                if os.path.isdir(side_dir):
+                    side = pd.read_parquet(side_dir)
+                    side = side.drop(
+                        columns=[c for c in drop_cols if c in side.columns]
+                    )
+                    part = part.merge(side, on=attach_key, how="left")
+            outs.append(part)
         if not outs:
             return pd.DataFrame()
         return pd.concat(outs, ignore_index=True)
@@ -378,12 +404,17 @@ def hash_exchange(ds, n_buckets: int, reduce_fn, bucket_col: str = "__bucket"):
         return reduce_fn(merged)
 
     # coalesce the map side: fewer, larger splits keep the object count at
-    # n_map x n_buckets instead of n_input_blocks x n_buckets
-    import math
-
-    block_refs = ds.to_arrow_refs()
-    n_map = max(8, min(64, int(math.sqrt(len(block_refs)) * 4)))
-    if len(block_refs) > n_map:
+    # n_map x n_buckets instead of n_input_blocks x n_buckets. n_map is
+    # sized by BYTES (~256MB per map task), not a constant cap — a fixed 64
+    # would mean ~1.5TB per task at 100TB input. When the input block count
+    # is already in range, stream the blocks as-is (no pre-coalesce pass,
+    # no doubled object-store footprint).
+    mat = ds.materialize()
+    block_refs = mat.to_arrow_refs()
+    total_bytes = mat.size_bytes() or 0
+    target_map_bytes = 256 << 20
+    n_map = max(8, -(-total_bytes // target_map_bytes))  # ceil
+    if len(block_refs) > n_map * 2:
         groups = np.array_split(np.arange(len(block_refs)), n_map)
 
         @ray.remote

@@ -34,7 +34,7 @@ from ..stages.analysis import (
     smooth_kernel,
 )
 from ..stages.encode import SeriesBlockEncoder, assemble_series
-from ..stages.extract import attach_url_dict, build_url_dict, extract_dedup_exchange
+from ..stages.extract import build_url_dict, extract_dedup_exchange
 from ..stages.rollup import TIERS_US, cascade_partition_pandas, rollup_partition_pandas
 from ..state.manifest import PipelineManifest
 
@@ -43,6 +43,11 @@ from ..state.manifest import PipelineManifest
 class FlagshipConfig:
     out_root: str = "/tmp/signalsharp_ray/flagship"
     tiers: tuple = ("1m", "1h", "1d")
+    # partition count is fixed at WRITE time and caps downstream
+    # parallelism for every partition-aligned stage; size it to >= 4x the
+    # LARGEST cluster this output will be consumed on, not the writer's
+    # CPU count (None -> max(128, 4 x current CPUs))
+    n_buckets: int | None = None
     gapfill_method: str = "locf"
     # bound the synthesized buckets per gap so sparse series never explode
     # into dense fine-tier grids (long gaps stay gaps)
@@ -75,8 +80,6 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
     fingerprint: identifies the input (e.g. spec params or source path+mtime).
     Returns {stage_name: parquet_dir} plus timing metrics.
     """
-    import ray.data as rd
-
     cfg = config or FlagshipConfig()
     manifest = PipelineManifest(cfg.out_root)
     outputs: dict[str, str] = {}
@@ -92,15 +95,24 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
     # 1. extract (+ exact dedup on url_hash, warc_ts) — dictionary-encoded:
     # the points table carries int64 url_hash only; url/host strings live in
     # a small side dictionary written once and joined back onto final outputs
+    import ray as _ray
+
+    n_buckets = cfg.n_buckets or max(
+        128, int(_ray.cluster_resources().get("CPU", 8)) * 4
+    )
+
     def write_points(out_dir):
         # the ONE all-to-all of the whole pipeline (manual hash exchange —
         # no Ray sort): points land hash-partitioned by series key; every
         # later stage is partition-aligned and shuffle-free
-        pts = extract_dedup_exchange(pages_ds_factory())
+        pts = extract_dedup_exchange(pages_ds_factory(), n_buckets=n_buckets)
         pts.write_parquet(out_dir + "/data", partition_cols=["series_bucket"])
         # dictionary from the url column only (projection pushdown: html and
-        # text bytes are never read for this pass)
-        build_url_dict(pages_ds_factory()).write_parquet(out_dir + "/dict")
+        # text bytes are never read for this pass), hive-partitioned on the
+        # SAME series_bucket hash so downstream attaches are co-partitioned
+        build_url_dict(pages_ds_factory(), n_buckets=n_buckets).write_parquet(
+            out_dir + "/dict", partition_cols=["series_bucket"]
+        )
 
     points_stage, _ = timed("points", ["pages"], write_points)
     points_dir = points_stage + "/data"
@@ -163,16 +175,18 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
         tier = cfg.analysis_tier
 
         def write_changepoints(out_dir, tier=tier):
+            # url/host strings attach via the co-partitioned dictionary
+            # (same series_bucket hash; each task merges only its own
+            # partition's dict slice — no driver broadcast, dict may be
+            # arbitrarily large)
             cps = map_partition_dirs(
                 outputs[f"tier_{tier}"],
                 lambda df: changepoints_kernel(
                     df, cfg.changepoints, cfg.analysis_value_col, ("url_hash",)
                 ),
                 ["url_hash"],
+                attach_root=outputs["url_dict"],
             )
-            # final human-facing output: join url/host strings back on
-            url_dict = rd.read_parquet(outputs["url_dict"]).to_pandas()
-            cps = attach_url_dict(cps, url_dict)
             cps.write_parquet(out_dir)
 
         deferred.append((f"changepoints_{tier}", [f"tier_{tier}"], write_changepoints))

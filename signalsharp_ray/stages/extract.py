@@ -252,10 +252,15 @@ def attach_url_dict(ds, url_dict_df, key: str = "url_hash"):
     return ds.map_batches(attach, batch_format="pandas")
 
 
-def build_url_dict(pages_ds):
+def build_url_dict(pages_ds, n_buckets: int | None = None):
     """(url_hash, url, host) dictionary from the url column alone — the
     projection pushes down to the parquet read, so this never touches
-    html/text bytes (unlike re-running the full extract)."""
+    html/text bytes (unlike re-running the full extract).
+
+    With n_buckets set, the output carries `series_bucket` = url_hash %
+    n_buckets — the SAME bucketing as extract_dedup_exchange — so the dict
+    can be written hive-partitioned and joined co-partitioned downstream
+    (map_partition_dirs attach_root) with no shuffle and no broadcast."""
     from ..common.raytools import hash_bucket_aggregate
 
     def batch_dict(batch: pa.Table) -> pa.Table:
@@ -277,13 +282,17 @@ def build_url_dict(pages_ds):
     )
 
     def rename(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "url_hash": batch["url_hash"],
-                "url": batch["url_min"],
-                "host": batch["host_min"],
-            }
-        )
+        cols = {
+            "url_hash": batch["url_hash"],
+            "url": batch["url_min"],
+            "host": batch["host_min"],
+        }
+        if n_buckets is not None:
+            uh = batch["url_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+            cols["series_bucket"] = pa.array(
+                (uh % np.uint64(n_buckets)).astype(np.int64)
+            )
+        return pa.table(cols)
 
     return agg.map_batches(rename, batch_format="pyarrow")
 
