@@ -383,6 +383,47 @@ def q_holt_forecast(sf_dir: str, horizon: int = 3):
     return _per_series(sf_dir, fn)
 
 
+def q_holt_damped(sf_dir: str, horizon: int = 3):
+    """Damped-trend Holt (phi=0.9 fixed) — covers the damping path
+    (phi_sum = sum phi^i) with a recursive-CTE oracle."""
+    opts = HoltOptions(alpha=0.5, beta=0.5, damp_trend=True, phi=0.9)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = _sorted_group(df)
+        vals = df["value"].to_numpy(dtype=np.float64)
+        fc = holt_forecast(vals, horizon, opts)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].iloc[0],
+                "h": np.arange(1, horizon + 1, dtype=np.int64),
+                "forecast": _r6(fc),
+            }
+        )
+
+    return _per_series(sf_dir, fn)
+
+
+def q_holt_multiplicative(sf_dir: str, horizon: int = 3):
+    """Multiplicative-trend Holt on the strictly-positive 1h count series
+    (reference positivity contract) with a recursive-CTE oracle."""
+    opts = HoltOptions(alpha=0.5, beta=0.5, trend_type="multiplicative")
+    t1h = rollup_tier(_events(sf_dir), "1h", key_cols=["event_type"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bucket_ts")
+        vals = df["count"].to_numpy(dtype=np.float64)
+        fc = holt_forecast(vals, horizon, opts)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].iloc[0],
+                "h": np.arange(1, horizon + 1, dtype=np.int64),
+                "forecast": _r6(fc),
+            }
+        )
+
+    return t1h.groupby("event_type").map_groups(fn, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # gap-fill (1h tier by event_type)
 # ---------------------------------------------------------------------------
@@ -479,6 +520,57 @@ def q_pelt_step_detection(sf_dir: str, step: int = 40):
             {
                 "event_type": np.repeat(df["event_type"].iloc[0], len(bkps)),
                 "breakpoint_index": np.asarray(bkps, dtype=np.int64),
+            }
+        )
+
+    return t1h.groupby("event_type").map_groups(fn, batch_format="pandas")
+
+
+def q_pelt_multivariate_step(sf_dir: str, step: int = 40):
+    """SQL-verifiable MULTIVARIATE PELT (reference double[,] semantics):
+    dims = [step, 2*step] noiseless series over the 1h bucket index; the
+    multivariate L2 DP must recover exactly the shared level-change
+    indices the oracle derives in closed form."""
+    t1h = rollup_tier(_events(sf_dir), "1h", key_cols=["event_type"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bucket_ts")
+        n = len(df)
+        idx = np.arange(n, dtype=np.int64)
+        base = 100.0 * ((idx // step) % 2).astype(np.float64)
+        mat = np.vstack([base, 2.0 * base])
+        bkps = pelt_breakpoints(mat, penalty=5.0, cost="l2", min_size=1)
+        return pd.DataFrame(
+            {
+                "event_type": np.repeat(df["event_type"].iloc[0], len(bkps)),
+                "breakpoint_index": np.asarray(bkps, dtype=np.int64),
+            }
+        )
+
+    return t1h.groupby("event_type").map_groups(fn, batch_format="pandas")
+
+
+def q_pelt_auto_penalty_step(sf_dir: str, step: int = 40):
+    """SQL-verifiable penalty SELECTION: on the noiseless step series every
+    admissible penalty yields exactly the true segmentation (extra splits
+    reduce cost by 0, merges across a step explode it), so the BIC-selected
+    breakpoint COUNT equals the closed-form count of level changes."""
+    from ..kernels.pelt import PELT, PELTOptions
+    from ..kernels.penalty_selection import PELTPenaltySelector
+
+    t1h = rollup_tier(_events(sf_dir), "1h", key_cols=["event_type"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bucket_ts")
+        n = len(df)
+        idx = np.arange(n, dtype=np.int64)
+        vals = 100.0 * ((idx // step) % 2).astype(np.float64)
+        sel = PELTPenaltySelector(PELT(PELTOptions(cost_function="gaussian", min_size=1)))
+        res = sel.fit_and_select(vals, PenaltySelectionOptions(method="bic"))
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "n_changepoints": [np.int64(len(res.optimal_breakpoints))],
             }
         )
 
@@ -721,10 +813,14 @@ def build_queries() -> dict:
         "linear_forecast": q_linear_forecast,
         "ses_forecast": q_ses_forecast,
         "holt_forecast": q_holt_forecast,
+        "holt_damped": q_holt_damped,
+        "holt_multiplicative": q_holt_multiplicative,
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "cusum_changepoints": q_cusum_changepoints,
         "pelt_changepoints": q_pelt_changepoints,
         "pelt_step_detection": q_pelt_step_detection,
+        "pelt_multivariate_step": q_pelt_multivariate_step,
+        "pelt_auto_penalty_step": q_pelt_auto_penalty_step,
         "pelt_auto_penalty": q_pelt_auto_penalty,
         "token_count": q_token_count,
         "char_stats": q_char_stats,
@@ -742,6 +838,7 @@ def build_queries() -> dict:
         "pelt_cost_functions": q_pelt_cost_functions,
         "pelt_multivariate": q_pelt_multivariate,
         "optimize_ses_alpha": q_optimize_ses_alpha,
+        "optimize_grid_alpha": q_optimize_grid_alpha,
         "lineitem_rollup_1d": q_lineitem_rollup_1d,
         "sliding_window_3h": q_sliding_window_3h,
         "session_windows": q_session_windows,
@@ -936,6 +1033,115 @@ SELECT hs.event_type, CAST(h.h AS BIGINT) AS h,
        ROUND(hs.level + h.h * hs.trend, 6) AS forecast
 FROM hs JOIN n ON hs.event_type = n.event_type AND hs.idx = n.mx
 CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS h) h
+""",
+        "holt_damped": """
+WITH RECURSIVE r AS MATERIALIZED (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS idx
+  FROM events
+),
+hs AS (
+  -- damped additive Holt, alpha=beta=0.5, phi=0.9:
+  -- comp = L + 0.9 T; L' = 0.5 v + 0.5 comp; T' = 0.5 (L'-L) + 0.5 (0.9 T)
+  SELECT r0.event_type, -1 AS idx, r0.value AS level, r1.value - r0.value AS trend
+  FROM r r0 JOIN r r1 ON r0.event_type = r1.event_type AND r1.idx = 1
+  WHERE r0.idx = 0
+  UNION ALL
+  SELECT r.event_type, r.idx,
+         0.5*r.value + 0.5*(hs.level + 0.9*hs.trend),
+         0.5*((0.5*r.value + 0.5*(hs.level + 0.9*hs.trend)) - hs.level) + 0.5*0.9*hs.trend
+  FROM hs JOIN r ON r.event_type = hs.event_type AND r.idx = hs.idx + 1
+),
+n AS (SELECT event_type, MAX(idx) AS mx FROM r GROUP BY 1),
+f AS (
+  SELECT hs.event_type, hs.level, hs.trend
+  FROM hs JOIN n ON hs.event_type = n.event_type AND hs.idx = n.mx
+)
+SELECT event_type, CAST(h AS BIGINT) AS h,
+       ROUND(level + phi_sum * trend, 6) AS forecast
+FROM f CROSS JOIN (
+  SELECT 1 AS h, POWER(0.9, 1) AS phi_sum
+  UNION ALL SELECT 2, POWER(0.9, 1) + POWER(0.9, 2)
+  UNION ALL SELECT 3, (POWER(0.9, 1) + POWER(0.9, 2)) + POWER(0.9, 3)
+)
+""",
+        "holt_multiplicative": """
+WITH RECURSIVE r AS MATERIALIZED (
+  SELECT event_type, CAST(cnt AS DOUBLE) AS value,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) - 1 AS idx
+  FROM (
+    SELECT event_type, date_trunc('hour', ts) AS bucket_ts, COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+  )
+),
+hs AS (
+  -- multiplicative Holt, alpha=beta=0.5, phi=1: L0=x0, T0=x1/L0;
+  -- comp = L * T^1; L' = 0.5 v + 0.5 comp; T' = 0.5 (L'/L) + 0.5 T^1
+  SELECT r0.event_type, -1 AS idx, r0.value AS level, r1.value / r0.value AS trend
+  FROM r r0 JOIN r r1 ON r0.event_type = r1.event_type AND r1.idx = 1
+  WHERE r0.idx = 0
+  UNION ALL
+  SELECT r.event_type, r.idx,
+         0.5*r.value + 0.5*(hs.level * POWER(hs.trend, 1.0)),
+         0.5*((0.5*r.value + 0.5*(hs.level * POWER(hs.trend, 1.0))) / hs.level)
+           + 0.5*POWER(hs.trend, 1.0)
+  FROM hs JOIN r ON r.event_type = hs.event_type AND r.idx = hs.idx + 1
+),
+n AS (SELECT event_type, MAX(idx) AS mx FROM r GROUP BY 1)
+SELECT hs.event_type, CAST(h.h AS BIGINT) AS h,
+       ROUND(hs.level * POWER(hs.trend, CAST(h.h AS DOUBLE)), 6) AS forecast
+FROM hs JOIN n ON hs.event_type = n.event_type AND hs.idx = n.mx
+CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS h) h
+""",
+        "pelt_multivariate_step": """
+WITH b AS (
+  SELECT event_type, COUNT(DISTINCT date_trunc('hour', ts)) AS n
+  FROM events GROUP BY 1
+)
+SELECT b.event_type, CAST(g AS BIGINT) AS breakpoint_index
+FROM b, UNNEST(generate_series(40, CAST(b.n AS BIGINT) - 1, 40)) AS t(g)
+""",
+        "pelt_auto_penalty_step": """
+WITH b AS (
+  SELECT event_type, COUNT(DISTINCT date_trunc('hour', ts)) AS n
+  FROM events GROUP BY 1
+)
+SELECT event_type, CAST(FLOOR((n - 1) / 40) AS BIGINT) AS n_changepoints FROM b
+""",
+        "optimize_grid_alpha": """
+WITH RECURSIVE r AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS idx
+    FROM events
+  ) WHERE idx < 500
+),
+grid AS (
+  -- np.linspace(0.01, 0.99, 11): min + i * (max-min)/(steps-1), endpoint exact
+  SELECT i, CASE WHEN i = 10 THEN 0.99
+                 ELSE 0.01 + i * ((0.99 - 0.01) / 10.0) END AS alpha
+  FROM (SELECT UNNEST(generate_series(0, 10)) AS i)
+),
+s AS (
+  -- one-step-ahead SES SSE: err = v - level BEFORE the update, level
+  -- starts at x[0], loop includes x[0]
+  SELECT r.event_type, g.i, g.alpha, -1 AS idx, r.value AS level,
+         CAST(0.0 AS DOUBLE) AS sse
+  FROM r CROSS JOIN grid g WHERE r.idx = 0
+  UNION ALL
+  SELECT r.event_type, s.i, s.alpha, r.idx,
+         s.alpha*r.value + (1.0 - s.alpha)*s.level,
+         s.sse + (r.value - s.level)*(r.value - s.level)
+  FROM s JOIN r ON r.event_type = s.event_type AND r.idx = s.idx + 1
+),
+n AS (SELECT event_type, MAX(idx) AS mx FROM r GROUP BY 1),
+final AS (
+  SELECT s.event_type, s.i, s.alpha, s.sse,
+         row_number() OVER (PARTITION BY s.event_type ORDER BY s.sse, s.i) AS rk
+  FROM s JOIN n ON s.event_type = n.event_type AND s.idx = n.mx
+)
+SELECT event_type, ROUND(alpha, 6) AS alpha, ROUND(sse, 6) AS sse
+FROM final WHERE rk = 1
 """,
         "kalman": """
 WITH RECURSIVE r AS MATERIALIZED (
@@ -1315,6 +1521,48 @@ def q_optimize_ses_alpha(sf_dir: str):
                 "event_type": [df["event_type"].iloc[0]],
                 "alpha": [_r6(best.best_parameters["alpha"])],
                 "sse": [_r6(best.minimized_metric)],
+            }
+        )
+
+    return _per_series(sf_dir, fn)
+
+
+def q_optimize_grid_alpha(sf_dir: str):
+    """GridSearchOptimizer alone (11 linear steps over alpha in
+    [0.01, 0.99], one-step-ahead SES SSE on the first 500 points) — the
+    §2.6 grid machinery (axis generation, argmin, first-minimum-wins)
+    driven through the distributed path with a recursive-CTE SQL oracle.
+    (q_optimize_ses_alpha keeps the NM-refined variant, rows-only.)"""
+    from ..kernels.optimize import (
+        GridSearchOptimizer,
+        GridSearchOptions,
+        ParameterDefinition,
+    )
+
+    def sse_for(vals):
+        def objective(params):
+            alpha = params["alpha"]
+            level = vals[0]
+            sse = 0.0
+            for v in vals:
+                err = v - level
+                sse += err * err
+                level = alpha * v + (1 - alpha) * level
+            return sse
+
+        return objective
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = _sorted_group(df)
+        vals = df["value"].to_numpy(dtype=np.float64)[:500]
+        res = GridSearchOptimizer(GridSearchOptions(default_grid_steps=11)).optimize(
+            sse_for(vals), [ParameterDefinition("alpha", 0.01, 0.99)]
+        )
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "alpha": [_r6(res.best_parameters["alpha"])],
+                "sse": [_r6(res.minimized_metric)],
             }
         )
 

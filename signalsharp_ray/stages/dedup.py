@@ -67,18 +67,28 @@ def exact_dedup(docs_ds):
 _TOKEN = re.compile(r"\w+")
 
 
+_SHINGLE_B = np.uint64(0x9E3779B97F4A7C15)
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashes of word k-shingles (set semantics)."""
+    """Hashes of word k-shingles (set semantics), vectorized: tokens are
+    hashed once (C-level), then k-windows combine via a polynomial roll —
+    no per-shingle string allocation. Distinct-set semantics match the
+    string-shingle formulation modulo 64-bit collisions (the SQL oracle
+    compares only set-size-derived Jaccard values, never raw hashes)."""
     toks = _TOKEN.findall(text.lower())
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    if not grams:
+    if not toks:
         return np.array([], dtype=np.uint64)
-    return np.unique(
-        pd.util.hash_array(np.asarray(grams, dtype=object), categorize=False)
-    )
+    h = pd.util.hash_array(np.asarray(toks, dtype=object), categorize=False)
+    if len(toks) < k:
+        c = h[0]
+        for i in range(1, len(toks)):
+            c = c * _SHINGLE_B + h[i]
+        return np.array([c], dtype=np.uint64)
+    c = h[: len(h) - k + 1].copy()
+    for j in range(1, k):
+        c = c * _SHINGLE_B + h[j : len(h) - k + 1 + j]
+    return np.unique(c)
 
 
 class MinHasher:

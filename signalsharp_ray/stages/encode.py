@@ -151,19 +151,24 @@ def decode_blocks(blocks: pa.Table | pd.DataFrame) -> pd.DataFrame:
         for c in blocks.columns
         if c not in ("tier", "n_points", "first_ts", "first_value", "ts_dod", "values_gorilla")
     ]
-    frames = []
+    # batch-decode: per-block codec calls, but ONE set of output arrays
+    # (np.repeat for the key columns) instead of a DataFrame per block
+    ts_parts, val_parts, lens = [], [], []
     for row in blocks.itertuples(index=False):
         d = row._asdict()
         ts = decode_timestamps_dod(d["ts_dod"])
         vals = decode_values_gorilla(d["values_gorilla"])
-        frame = {k: d[k] for k in key_cols}
-        frame["tier"] = d["tier"]
-        frame["bucket_ts"] = pd.to_datetime(ts, unit="us")
-        frame["value"] = vals
-        frames.append(pd.DataFrame(frame))
-    if not frames:
+        ts_parts.append(ts)
+        val_parts.append(vals)
+        lens.append(len(ts))
+    if not ts_parts:
         return pd.DataFrame(columns=key_cols + ["tier", "bucket_ts", "value"])
-    return pd.concat(frames, ignore_index=True)
+    reps = np.asarray(lens)
+    out = {k: np.repeat(blocks[k].to_numpy(), reps) for k in key_cols}
+    out["tier"] = np.repeat(blocks["tier"].to_numpy(), reps)
+    out["bucket_ts"] = pd.to_datetime(np.concatenate(ts_parts), unit="us")
+    out["value"] = np.concatenate(val_parts)
+    return pd.DataFrame(out)
 
 
 def read_blocks(blocks_dir: str):
