@@ -82,8 +82,14 @@ def _axis_values(p: ParameterDefinition, steps: int, log_scale: bool) -> np.ndar
         return np.array([p.min_value])
     if log_scale:
         if p.min_value <= 0:
-            raise ValueError(f"Parameter {p.name}: log scale requires positive bounds")
-        return np.exp(np.linspace(math.log(p.min_value), math.log(p.max_value), steps))
+            # reference parity (GridSearchOptimizerTests.cs
+            # OptimizeAsync_LogScaleWithInvalidBounds_FallsBackToLinear):
+            # invalid log bounds fall back to linear, never raise
+            log_scale = False
+        else:
+            return np.exp(
+                np.linspace(math.log(p.min_value), math.log(p.max_value), steps)
+            )
     return np.linspace(p.min_value, p.max_value, steps)
 
 
@@ -98,7 +104,16 @@ class GridSearchOptimizer:
     ) -> OptimizationResult:
         opts = self.options
         if not parameters:
-            raise ValueError("At least one parameter definition is required.")
+            # reference parity (GridSearchOptimizerTests.cs
+            # OptimizeAsync_NoParameters_ReturnsFailure): a failure RESULT,
+            # not an exception
+            return OptimizationResult(
+                best_parameters={},
+                minimized_metric=math.nan,
+                success=False,
+                message="No parameters to optimize.",
+                function_evaluations=0,
+            )
         evals = 0
 
         def run_grid(defs: Sequence[ParameterDefinition], steps_map) -> tuple[dict, float, int]:
@@ -169,7 +184,9 @@ class GridSearchOptimizer:
             best_parameters=best_params,
             minimized_metric=best_metric,
             success=success,
-            message=None if success else "No valid grid point found.",
+            message=None
+            if success
+            else "Grid search optimization failed to find any valid parameters.",
             function_evaluations=evals,
         )
 

@@ -133,3 +133,152 @@ class TestNelderMead:
             ],
         )
         assert res.function_evaluations <= 40  # budget + final simplex evals
+
+
+class TestGridSearchReferenceParity:
+    """Behavioral fixtures ported from
+    /root/reference/SignalSharp.Tests/Optimization/GridSearchOptimizerTests.cs
+    (shared objectives from ObjectiveFunctions.cs): exact function-
+    evaluation counts, failure-result semantics, option interplay."""
+
+    def test_no_parameters_returns_failure_result(self):
+        # GridSearchOptimizerTests.cs OptimizeAsync_NoParameters_ReturnsFailure
+        res = GridSearchOptimizer().optimize(lambda p: 0.0, [])
+        assert res.success is False
+        assert res.message == "No parameters to optimize."
+        assert math.isnan(res.minimized_metric)
+        assert res.best_parameters == {}
+        assert res.function_evaluations == 0
+
+    def test_1d_quadratic_exact_eval_count(self):
+        # :69-89 — 11 steps over [0, 5], target 2.0 on a grid point
+        res = GridSearchOptimizer(GridSearchOptions(default_grid_steps=11)).optimize(
+            lambda p: (p["x"] - 2.0) ** 2, [ParameterDefinition("x", 0.0, 5.0)]
+        )
+        assert res.success
+        assert abs(res.minimized_metric) < 1e-9
+        assert abs(res.best_parameters["x"] - 2.0) < 1e-4
+        assert res.function_evaluations == 11
+
+    def test_2d_quadratic_exact_eval_count(self):
+        # :92-113 — 6x6 grid, targets (2, 3) on grid points
+        res = GridSearchOptimizer(GridSearchOptions(default_grid_steps=6)).optimize(
+            lambda p: (p["x"] - 2.0) ** 2 + (p["y"] - 3.0) ** 2,
+            [ParameterDefinition("x", 0.0, 5.0), ParameterDefinition("y", 0.0, 5.0)],
+        )
+        assert res.success
+        assert abs(res.minimized_metric) < 1e-9
+        assert abs(res.best_parameters["x"] - 2.0) < 1e-4
+        assert abs(res.best_parameters["y"] - 3.0) < 1e-4
+        assert res.function_evaluations == 36
+
+    def test_all_evaluations_fail_returns_failure(self):
+        # :137-154 — throwing objective: success False, +inf, 3 evals
+        def boom(p):
+            raise RuntimeError("Test exception from objective function.")
+
+        res = GridSearchOptimizer(GridSearchOptions(default_grid_steps=3)).optimize(
+            boom, [ParameterDefinition("x", 0.0, 1.0)]
+        )
+        assert res.success is False
+        assert math.isinf(res.minimized_metric)
+        assert res.best_parameters == {}
+        assert res.function_evaluations == 3
+        assert "failed to find any valid parameters" in res.message
+
+    def test_per_parameter_steps_override(self):
+        # :162-187 — x: 3 steps, y: 6 steps -> 18 evals; best (2.5, 3.0), 0.25
+        res = GridSearchOptimizer(
+            GridSearchOptions(
+                default_grid_steps=10, per_parameter_grid_steps={"x": 3, "y": 6}
+            )
+        ).optimize(
+            lambda p: (p["x"] - 2.0) ** 2 + (p["y"] - 3.0) ** 2,
+            [ParameterDefinition("x", 0.0, 5.0), ParameterDefinition("y", 0.0, 5.0)],
+        )
+        assert res.success
+        assert abs(res.minimized_metric - 0.25) < 1e-9
+        assert abs(res.best_parameters["x"] - 2.5) < 1e-4
+        assert abs(res.best_parameters["y"] - 3.0) < 1e-4
+        assert res.function_evaluations == 18
+
+    def test_max_evaluations_limits_exactly(self):
+        # :190-210 — 36-combo grid capped to exactly 10 evaluations
+        res = GridSearchOptimizer(
+            GridSearchOptions(default_grid_steps=6, max_function_evaluations=10)
+        ).optimize(
+            lambda p: (p["x"] - 2.0) ** 2 + (p["y"] - 3.0) ** 2,
+            [ParameterDefinition("x", 0.0, 5.0), ParameterDefinition("y", 0.0, 5.0)],
+        )
+        assert res.success
+        assert res.function_evaluations == 10
+        assert "x" in res.best_parameters and "y" in res.best_parameters
+
+    def test_early_stopping_under_full_grid(self):
+        # :213-239 — threshold 0.1, target on a grid point -> stops < 36
+        res = GridSearchOptimizer(
+            GridSearchOptions(default_grid_steps=6, early_stopping_threshold=0.1)
+        ).optimize(
+            lambda p: (p["x"] - 2.0) ** 2 + (p["y"] - 2.0) ** 2,
+            [ParameterDefinition("x", 0.0, 5.0), ParameterDefinition("y", 0.0, 5.0)],
+        )
+        assert res.success
+        assert abs(res.minimized_metric) < 1e-9
+        assert res.function_evaluations < 36
+
+    def test_log_scale_improves_small_target(self):
+        # :246-271 — log spacing beats linear for a 0.01 target in [0.001, 1]
+        obj = lambda p: (p["x"] - 0.01) ** 2
+        lin = GridSearchOptimizer(GridSearchOptions(default_grid_steps=5)).optimize(
+            obj, [ParameterDefinition("x", 0.001, 1.0)]
+        )
+        log = GridSearchOptimizer(
+            GridSearchOptions(
+                default_grid_steps=5, use_logarithmic_scale_for={"x"}
+            )
+        ).optimize(obj, [ParameterDefinition("x", 0.001, 1.0)])
+        assert log.minimized_metric < lin.minimized_metric
+        assert abs(log.best_parameters["x"] - 0.01) < abs(
+            lin.best_parameters["x"] - 0.01
+        )
+
+    def test_log_scale_invalid_bounds_falls_back_to_linear(self):
+        # :274-292 — min=0 invalid for log: silently linear, best x=0
+        res = GridSearchOptimizer(
+            GridSearchOptions(default_grid_steps=5, use_logarithmic_scale_for={"x"})
+        ).optimize(
+            lambda p: (p["x"] - 0.01) ** 2, [ParameterDefinition("x", 0.0, 1.0)]
+        )
+        assert abs(res.best_parameters["x"]) < 1e-4
+        assert abs(res.minimized_metric - 0.0001) < 1e-9
+
+    def test_adaptive_refinement_exact_eval_count(self):
+        # :297-324 — 6x6 coarse + 5x5 refinement = 61 evals, off-grid target hit
+        res = GridSearchOptimizer(
+            GridSearchOptions(
+                default_grid_steps=6,
+                enable_adaptive_refinement=True,
+                refinement_range_factor=0.2,
+                refinement_grid_steps=5,
+                max_function_evaluations=100,
+            )
+        ).optimize(
+            lambda p: (p["x"] - 2.25) ** 2 + (p["y"] - 3.25) ** 2,
+            [ParameterDefinition("x", 0.0, 5.0), ParameterDefinition("y", 0.0, 5.0)],
+        )
+        assert res.success
+        assert abs(res.minimized_metric) < 1e-9
+        assert abs(res.best_parameters["x"] - 2.25) < 1e-4
+        assert abs(res.best_parameters["y"] - 3.25) < 1e-4
+        assert res.function_evaluations == 36 + 25
+
+    def test_nan_objective_values_skipped(self):
+        # ObjectiveFunctions.Quadratic1D_WithNaN semantics: NaN never wins
+        def obj(p):
+            return float("nan") if p["x"] < 2.0 else (p["x"] - 3.0) ** 2
+
+        res = GridSearchOptimizer(GridSearchOptions(default_grid_steps=11)).optimize(
+            obj, [ParameterDefinition("x", 0.0, 5.0)]
+        )
+        assert res.success
+        assert abs(res.best_parameters["x"] - 3.0) < 1e-4
