@@ -54,6 +54,82 @@ class OptimizationResult:
 Objective = Callable[[Mapping[str, float]], float]
 
 
+class CancellationToken:
+    """Cooperative cancellation, mirroring the reference's async surface
+    (IParameterOptimizer.cs:50-55 `OptimizeAsync(..., CancellationToken)`):
+    optimizers poll the token between objective evaluations / iterations
+    and return a best-so-far failure result when cancelled."""
+
+    __slots__ = ("_cancelled",)
+
+    def __init__(self):
+        self._cancelled = False
+
+    def cancel(self) -> None:
+        self._cancelled = True
+
+    @property
+    def is_cancellation_requested(self) -> bool:
+        return self._cancelled
+
+
+def _boundary_warnings_grid(
+    best: Mapping[str, float], defs: Sequence[ParameterDefinition]
+) -> list[str]:
+    """GridSearchOptimizer.cs:650-676 — 1%-of-range proximity report."""
+    out = []
+    for p in defs:
+        if p.name not in best:
+            continue
+        v = best[p.name]
+        rng = p.max_value - p.min_value
+        if rng <= 0:
+            continue
+        if abs(v - p.min_value) < rng * 0.01:
+            out.append(
+                f"{p.name} (at lower bound, distance: {abs(v - p.min_value) / rng:.2%})"
+            )
+        elif abs(v - p.max_value) < rng * 0.01:
+            out.append(
+                f"{p.name} (at upper bound, distance: {abs(v - p.max_value) / rng:.2%})"
+            )
+    return out
+
+
+def _boundary_warnings_nm(
+    best: Mapping[str, float], defs: Sequence[ParameterDefinition]
+) -> list[str]:
+    """NelderMeadOptimizer.cs:958-995 — zero-range params report 'at bound
+    of zero-range definition'; others 1%-of-range with value detail."""
+    out = []
+    for p in defs:
+        if p.name not in best:
+            continue
+        v = best[p.name]
+        rng = p.max_value - p.min_value
+        if rng <= 1e-9:
+            if math.isclose(v, p.min_value, rel_tol=1e-9, abs_tol=1e-9) or math.isclose(
+                v, p.max_value, rel_tol=1e-9, abs_tol=1e-9
+            ):
+                out.append(f"{p.name} (at bound of zero-range definition)")
+            continue
+        thresh = rng * 0.01
+        if abs(v - p.min_value) < thresh:
+            out.append(
+                f"{p.name} (near lower bound, val:{v:.4f}, min:{p.min_value:.4f})"
+            )
+        elif abs(v - p.max_value) < thresh:
+            out.append(
+                f"{p.name} (near upper bound, val:{v:.4f}, max:{p.max_value:.4f})"
+            )
+    return out
+
+
+_BOUNDS_WARNING_PREFIX = (
+    "Warning: The following parameters are at or near their bounds: "
+)
+
+
 # -- grid search ----------------------------------------------------------
 
 
@@ -101,6 +177,7 @@ class GridSearchOptimizer:
         self,
         objective: Objective,
         parameters: Sequence[ParameterDefinition],
+        cancellation_token: CancellationToken | None = None,
     ) -> OptimizationResult:
         opts = self.options
         if not parameters:
@@ -115,6 +192,7 @@ class GridSearchOptimizer:
                 function_evaluations=0,
             )
         evals = 0
+        cancelled = False
 
         def run_grid(defs: Sequence[ParameterDefinition], steps_map) -> tuple[dict, float, int]:
             nonlocal evals
@@ -133,9 +211,16 @@ class GridSearchOptimizer:
                 budget = max(1, opts.max_function_evaluations - evals)
                 stride = max(1, len(combos) // budget)
                 combos = combos[::stride][:budget]
+            nonlocal cancelled
             best_params: dict[str, float] | None = None
             best_metric = math.inf
             for combo in combos:
+                if (
+                    cancellation_token is not None
+                    and cancellation_token.is_cancellation_requested
+                ):
+                    cancelled = True
+                    break
                 params = {p.name: float(v) for p, v in zip(defs, combo)}
                 try:
                     m = float(objective(params))
@@ -179,15 +264,35 @@ class GridSearchOptimizer:
             if r_params and r_metric < best_metric:
                 best_params, best_metric = r_params, r_metric
 
-        success = bool(best_params) and math.isfinite(best_metric)
+        success = bool(best_params) and math.isfinite(best_metric) and not cancelled
+        if cancelled:
+            message = "Optimization was cancelled."
+        elif success:
+            warns = _boundary_warnings_grid(best_params, parameters)
+            message = (_BOUNDS_WARNING_PREFIX + ", ".join(warns)) if warns else None
+        else:
+            message = "Grid search optimization failed to find any valid parameters."
         return OptimizationResult(
             best_parameters=best_params,
             minimized_metric=best_metric,
             success=success,
-            message=None
-            if success
-            else "Grid search optimization failed to find any valid parameters.",
+            message=message,
             function_evaluations=evals,
+        )
+
+    async def optimize_async(
+        self,
+        objective: Objective,
+        parameters: Sequence[ParameterDefinition],
+        cancellation_token: CancellationToken | None = None,
+    ) -> OptimizationResult:
+        """Async surface mirroring IParameterOptimizer.OptimizeAsync
+        (IParameterOptimizer.cs:50-55): runs the search off the event loop
+        and honours the cancellation token between evaluations."""
+        import asyncio
+
+        return await asyncio.to_thread(
+            self.optimize, objective, parameters, cancellation_token
         )
 
 
@@ -221,10 +326,20 @@ class NelderMeadOptimizer:
         self,
         objective: Objective,
         parameters: Sequence[ParameterDefinition],
+        cancellation_token: CancellationToken | None = None,
     ) -> OptimizationResult:
         opts = self.options
         if not parameters:
-            raise ValueError("At least one parameter definition is required.")
+            # reference parity (NelderMeadOptimizerTests.cs
+            # OptimizeAsync_NoParameters_ReturnsFailure)
+            return OptimizationResult(
+                best_parameters={},
+                minimized_metric=math.nan,
+                success=False,
+                message="No parameters to optimize.",
+                function_evaluations=0,
+            )
+        cancelled = False
         lo = np.array([p.min_value for p in parameters])
         hi = np.array([p.max_value for p in parameters])
         names = [p.name for p in parameters]
@@ -275,6 +390,13 @@ class NelderMeadOptimizer:
             prev_best = math.inf
             it = 0
             while it < opts.max_iterations:
+                if (
+                    cancellation_token is not None
+                    and cancellation_token.is_cancellation_requested
+                ):
+                    nonlocal cancelled
+                    cancelled = True
+                    break
                 if (
                     opts.max_function_evaluations is not None
                     and evals >= opts.max_function_evaluations
@@ -330,18 +452,42 @@ class NelderMeadOptimizer:
         restarts = opts.max_restarts if opts.enable_multi_start else 0
         best_x, best_f = None, math.inf
         for r in range(restarts + 1):
+            if cancelled:
+                break
             x, fx, _ = solve_from(clamp(initial_guess(r)))
             if fx < best_f:
                 best_x, best_f = x, fx
 
-        success = best_x is not None and math.isfinite(best_f)
+        best_params = (
+            {} if best_x is None else {n: float(v) for n, v in zip(names, best_x)}
+        )
+        success = best_x is not None and math.isfinite(best_f) and not cancelled
+        if cancelled:
+            message = "Optimization was cancelled."
+        elif success:
+            warns = _boundary_warnings_nm(best_params, parameters)
+            message = (_BOUNDS_WARNING_PREFIX + ", ".join(warns)) if warns else None
+        else:
+            message = "Nelder-Mead failed to find a valid solution."
         return OptimizationResult(
-            best_parameters={}
-            if best_x is None
-            else {n: float(v) for n, v in zip(names, best_x)},
+            best_parameters=best_params,
             minimized_metric=best_f,
             success=success,
-            message=None if success else "Nelder-Mead failed to find a valid solution.",
+            message=message,
             iterations=total_iters,
             function_evaluations=evals,
+        )
+
+    async def optimize_async(
+        self,
+        objective: Objective,
+        parameters: Sequence[ParameterDefinition],
+        cancellation_token: CancellationToken | None = None,
+    ) -> OptimizationResult:
+        """Async surface mirroring IParameterOptimizer.OptimizeAsync
+        (IParameterOptimizer.cs:50-55)."""
+        import asyncio
+
+        return await asyncio.to_thread(
+            self.optimize, objective, parameters, cancellation_token
         )

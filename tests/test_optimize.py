@@ -282,3 +282,146 @@ class TestGridSearchReferenceParity:
         )
         assert res.success
         assert abs(res.best_parameters["x"] - 3.0) < 1e-4
+
+
+class TestNelderMeadReferenceParity:
+    """Fixtures ported from NelderMeadOptimizerTests.cs."""
+
+    def test_no_parameters_returns_failure_result(self):
+        res = NelderMeadOptimizer().optimize(lambda p: 0.0, [])
+        assert res.success is False
+        assert res.message == "No parameters to optimize."
+        assert math.isnan(res.minimized_metric)
+        assert res.best_parameters == {}
+        assert res.function_evaluations == 0
+
+    def test_objective_throws_yields_inf(self):
+        # OptimizeAsync_ObjectiveFunctionThrows_HandlesGracefully
+        def boom(p):
+            raise RuntimeError("Test exception from objective function.")
+
+        res = NelderMeadOptimizer().optimize(
+            boom, [ParameterDefinition("x", 0.0, 1.0, initial_guess=0.5)]
+        )
+        assert math.isinf(res.minimized_metric)
+        assert res.function_evaluations > 0
+
+    def test_nan_region_avoided(self):
+        # OptimizeAsync_FunctionReturnsNaN_HandlesAndAvoidsNaN: target 2,
+        # NaN for x < 0 — optimizer must converge inside the valid region
+        def obj(p):
+            x = p["x"]
+            return float("nan") if x < 0 else (x - 2.0) ** 2
+
+        res = NelderMeadOptimizer(
+            NelderMeadOptions(
+                function_value_convergence_tolerance=1e-7,
+                parameter_convergence_tolerance=1e-4,
+            )
+        ).optimize(obj, [ParameterDefinition("x", -1.0, 3.0, initial_guess=0.5)])
+        assert res.success, res.message
+        # reference test tolerances (NelderMeadOptimizerTests.cs:12-13):
+        # MetricTolerance 1e-2, ParamTolerance 1e-1 — a symmetric flat
+        # simplex around the optimum legitimately converges at this scale
+        assert abs(res.minimized_metric) <= 1e-2
+        assert abs(res.best_parameters["x"] - 2.0) <= 1e-1
+        assert res.best_parameters["x"] >= 0.0
+
+    def test_zero_range_parameter_stays_fixed_and_warns(self):
+        # OptimizeAsync_ParameterWithZeroRange_HandlesCorrectly
+        res = NelderMeadOptimizer().optimize(
+            lambda p: (p["x"] - 3.0) ** 2 + (p["y"] - 2.0) ** 2,
+            [
+                ParameterDefinition("x", -5.0, 5.0, initial_guess=0.0),
+                ParameterDefinition("y", 2.0, 2.0, initial_guess=2.0),
+            ],
+        )
+        assert res.success, res.message
+        assert abs(res.minimized_metric) < 1e-6
+        assert abs(res.best_parameters["x"] - 3.0) < 1e-3
+        assert res.best_parameters["y"] == 2.0
+        assert "y (at bound of zero-range definition)" in res.message
+
+    def test_optimum_at_boundary_warns(self):
+        # OptimizeAsync_OptimumAtBoundary_FindsAndWarns: target beyond max
+        res = NelderMeadOptimizer().optimize(
+            lambda p: (p["x"] - 10.0) ** 2,
+            [ParameterDefinition("x", 0.0, 5.0, initial_guess=2.0)],
+        )
+        assert res.success
+        assert abs(res.best_parameters["x"] - 5.0) < 0.05
+        assert "near upper bound" in (res.message or "")
+
+
+class TestCancellationAndAsync:
+    """Async + cancellation surface (IParameterOptimizer.cs:50-55)."""
+
+    def test_grid_cancellation_midway(self):
+        from signalsharp_ray.kernels.optimize import CancellationToken
+
+        token = CancellationToken()
+        count = 0
+
+        def obj(p):
+            nonlocal count
+            count += 1
+            if count >= 5:
+                token.cancel()
+            return (p["x"] - 2.0) ** 2
+
+        res = GridSearchOptimizer(GridSearchOptions(default_grid_steps=50)).optimize(
+            obj, [ParameterDefinition("x", 0.0, 5.0)], cancellation_token=token
+        )
+        assert res.success is False
+        assert res.message == "Optimization was cancelled."
+        assert res.function_evaluations < 50
+
+    def test_nm_cancellation_midway(self):
+        from signalsharp_ray.kernels.optimize import CancellationToken
+
+        token = CancellationToken()
+        count = 0
+
+        def obj(p):
+            nonlocal count
+            count += 1
+            if count > 20:
+                token.cancel()
+            return (p["x"] - 2.0) ** 2 + (p["y"] - 2.0) ** 2
+
+        res = NelderMeadOptimizer(NelderMeadOptions(max_iterations=10000)).optimize(
+            obj,
+            [
+                ParameterDefinition("x", 0.0, 5.0, initial_guess=1.0),
+                ParameterDefinition("y", 0.0, 5.0, initial_guess=1.0),
+            ],
+            cancellation_token=token,
+        )
+        assert res.success is False
+        assert res.message == "Optimization was cancelled."
+
+    def test_optimize_async_runs(self):
+        import asyncio
+
+        res = asyncio.run(
+            GridSearchOptimizer(GridSearchOptions(default_grid_steps=11)).optimize_async(
+                lambda p: (p["x"] - 2.0) ** 2, [ParameterDefinition("x", 0.0, 5.0)]
+            )
+        )
+        assert res.success
+        assert abs(res.best_parameters["x"] - 2.0) < 1e-4
+
+    def test_nm_optimize_async_runs(self):
+        import asyncio
+
+        res = asyncio.run(
+            NelderMeadOptimizer().optimize_async(
+                quadratic,
+                [
+                    ParameterDefinition("x", -10.0, 10.0, initial_guess=0.0),
+                    ParameterDefinition("y", -10.0, 10.0, initial_guess=0.0),
+                ],
+            )
+        )
+        assert res.success
+        assert abs(res.best_parameters["x"] - 3.0) < 1e-3
