@@ -30,7 +30,18 @@ def solve_linear_system(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def try_solve_linear_system(a: np.ndarray, b: np.ndarray) -> np.ndarray | None:
     """None on singular/failed solve (the reference's Try variant returns
-    false and the caller maps it to an infinite segment cost)."""
+    false and the caller maps it to an infinite segment cost).
+
+    Zero-variable parity (MatrixOperationsTests.cs TrySolveLinearSystem_
+    EmptySystem / NoVariables / NoVariablesWithNonZeroB): a system with no
+    unknowns has the empty solution when b is (effectively) zero and no
+    solution otherwise."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if a.ndim == 2 and a.shape[1] == 0:
+        if b.size == 0 or np.allclose(b, 0.0, atol=1e-12):
+            return np.empty(0, dtype=np.float64)
+        return None
     try:
         sol = solve_linear_system(a, b)
     except (np.linalg.LinAlgError, ValueError):
@@ -38,6 +49,22 @@ def try_solve_linear_system(a: np.ndarray, b: np.ndarray) -> np.ndarray | None:
     if not np.all(np.isfinite(sol)):
         return None
     return sol
+
+
+def combinations(n: int, k: int) -> float:
+    """Binomial coefficient C(n, k) via the reference's multiplicative
+    formulation (MatrixOperations.cs:220-237): k out of range -> 0,
+    k in {0, n} -> 1, symmetry C(n,k)=C(n,n-k), float accumulation."""
+    if k < 0 or k > n:
+        return 0.0
+    if k == 0 or k == n:
+        return 1.0
+    if k > n // 2:
+        k = n - k
+    result = 1.0
+    for i in range(1, k + 1):
+        result = result * (n - i + 1) / i
+    return result
 
 
 def invert(a: np.ndarray) -> np.ndarray:

@@ -24,9 +24,11 @@ from ..common.constants import DEFAULT_EPSILON
 
 
 def mean(values: np.ndarray) -> float:
+    """Mean; empty input -> 0.0 (reference quirk,
+    StatisticalFunctionsTests.cs Mean_Double_EmptySpan_ShouldReturnZero)."""
     values = np.asarray(values, dtype=np.float64)
     if values.size == 0:
-        raise ValueError("Sequence contains no elements.")
+        return 0.0
     return float(values.mean())
 
 
