@@ -22,9 +22,9 @@ class L1Cost(CostFunction):
         return self
 
     def compute_cost(self, start: int | None = None, end: int | None = None) -> float:
+        s, e, _ = self._resolve(start, end)  # raises UninitializedDataError unfitted
         if self._data.size == 0:
             return 0.0
-        s, e, _ = self._resolve(start, end)
         seg = self._data[:, s:e]
         med = np.median(seg, axis=1, keepdims=True)
         return float(np.sum(np.abs(seg - med)))

@@ -215,3 +215,98 @@ def test_registry():
     assert isinstance(make_cost("ar", order=2), ARCost)
     with pytest.raises(ValueError):
         make_cost("nope")
+
+
+# Cross-cost edge behaviors shared by every reference cost-function test
+# fixture file (SignalSharp.Tests/CostFunctions/*Tests.cs): uninitialized
+# access, invalid indices, zero-length segments, single-point segments,
+# and the changepoint-detection property.
+
+_UNIVARIATE_COSTS = [
+    ("l2", lambda: L2Cost(), np.array([1.0, 1.0, 1.0, 5.0, 5.0, 5.0])),
+    ("l1", lambda: L1Cost(), np.array([1.0, 1.0, 1.0, 5.0, 5.0, 5.0])),
+    ("rbf", lambda: RBFCost(), np.array([1.0, 1.0, 1.0, 5.0, 5.0, 5.0])),
+    ("gaussian", lambda: GaussianLikelihoodCost(), np.array([1.0, 1.1, 0.9, 5.0, 5.2, 4.8])),
+    ("poisson", lambda: PoissonLikelihoodCost(), np.array([1.0, 2.0, 1.0, 9.0, 10.0, 11.0])),
+    ("bernoulli", lambda: BernoulliLikelihoodCost(), np.array([0.0, 0.0, 0.0, 1.0, 1.0, 1.0])),
+]
+
+
+@pytest.mark.parametrize("name,mk,sig", _UNIVARIATE_COSTS)
+class TestCrossCostEdges:
+    def test_compute_before_fit_raises(self, name, mk, sig):
+        # ComputeCost_BeforeFit_ThrowsUninitializedDataException
+        with pytest.raises(UninitializedDataError):
+            mk().compute_cost(0, 1)
+
+    def test_invalid_indices_raise(self, name, mk, sig):
+        # ComputeCost_InvalidIndices_ThrowsArgumentOutOfRangeException
+        c = mk().fit(sig)
+        with pytest.raises(IndexError):
+            c.compute_cost(-1, 3)
+        with pytest.raises(IndexError):
+            c.compute_cost(0, sig.size + 1)
+        with pytest.raises(IndexError):
+            c.compute_cost(4, 2)
+
+    def test_zero_length_segment_raises(self, name, mk, sig):
+        # ComputeCost_InvalidSegmentLength_ThrowsSegmentLengthException
+        c = mk().fit(sig)
+        with pytest.raises(SegmentLengthError):
+            c.compute_cost(2, 2)
+
+    def test_single_point_segment_finite(self, name, mk, sig):
+        c = mk().fit(sig)
+        v = c.compute_cost(0, 1)
+        assert math.isfinite(v) or v == math.inf  # never NaN
+        assert not math.isnan(v)
+
+    def test_changepoint_detection_property(self, name, mk, sig):
+        # ComputeCost_ChangePointDetection: splitting at the true change
+        # is cheaper than the unsplit segment
+        c = mk().fit(sig)
+        total = c.compute_cost(0, sig.size)
+        split = c.compute_cost(0, 3) + c.compute_cost(3, sig.size)
+        assert split <= total + 1e-9
+
+    def test_full_signal_default_bounds(self, name, mk, sig):
+        c = mk().fit(sig)
+        assert c.compute_cost() == pytest.approx(c.compute_cost(0, sig.size))
+
+
+class TestCostToleranceEdges:
+    def test_poisson_near_zero_negative_inside_tolerance(self):
+        # Fit_NearZeroNegativeValues_InsideTolerance_Success (clamped to 0)
+        c = PoissonLikelihoodCost().fit(np.array([0.0, -1e-10, 1.0, 2.0]))
+        assert c.compute_cost(0, 2) == 0.0  # both effectively zero
+
+    def test_poisson_all_zeros_cost_zero(self):
+        c = PoissonLikelihoodCost().fit(np.zeros(5))
+        assert c.compute_cost(0, 5) == 0.0
+
+    def test_bernoulli_near_zero_one_inside_tolerance(self):
+        # Fit_NearZeroOneValues_Success (clamped to exact {0,1})
+        c = BernoulliLikelihoodCost().fit(np.array([1e-10, 1.0 - 1e-10, 1.0, 0.0]))
+        assert math.isfinite(c.compute_cost(0, 4))
+
+    def test_bernoulli_single_point_zero(self):
+        # ComputeCost_SinglePointSegment_ReturnsZero
+        c = BernoulliLikelihoodCost().fit(np.array([0.0, 1.0, 1.0]))
+        assert c.compute_cost(0, 1) == 0.0
+        assert c.compute_cost(1, 2) == 0.0
+
+    def test_poisson_constant_nonzero_golden(self):
+        # ComputeCost_FullSegment_ConstantNonZero: S=3*2=6, n=3 ->
+        # 2*(6 - 6 ln 6 + 6 ln 3) = 12 - 12 ln 2
+        c = PoissonLikelihoodCost().fit(np.array([2.0, 2.0, 2.0]))
+        assert c.compute_cost(0, 3) == pytest.approx(12.0 - 12.0 * math.log(2.0), abs=1e-9)
+
+    def test_multidimensional_costs_sum_over_dims(self):
+        sig = np.array([[1.0, 1.0, 5.0, 5.0], [2.0, 2.0, 6.0, 6.0]])
+        for mk in (L2Cost, GaussianLikelihoodCost, PoissonLikelihoodCost):
+            c2 = mk().fit(sig)
+            a = mk().fit(sig[0])
+            b = mk().fit(sig[1])
+            assert c2.compute_cost(0, 4) == pytest.approx(
+                a.compute_cost(0, 4) + b.compute_cost(0, 4), abs=1e-9
+            )
