@@ -33,7 +33,6 @@ from ..stages.analysis import (
     forecast_kernel,
     smooth_kernel,
 )
-from ..stages.encode import SeriesBlockEncoder, assemble_series
 from ..stages.extract import build_url_dict, extract_dedup_exchange
 from ..stages.rollup import TIERS_US, cascade_partition_pandas, rollup_partition_pandas
 from ..state.manifest import PipelineManifest
@@ -144,28 +143,22 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
     if cfg.encode:
         for tier in cfg.tiers:
             def write_blocks(out_dir, tier=tier):
-                from ..stages.gapfill import gapfill_series
+                from ..stages.encode import encode_partition_pandas
                 from ..stages.rollup import TIERS_US
 
                 tier_us = TIERS_US[tier]
-                # encode fused into the per-partition task: the codec is
-                # stateless, and elastic tasks outperform an actor pool that
-                # cannot scale while upstream tasks hold the CPUs (measured);
-                # the actor-pool encoder remains available as encode_tier()
-                encoder = SeriesBlockEncoder(tier, ("url_hash",))
-
-                def fill_assemble_encode(df):
-                    filled = gapfill_series(
-                        df, tier_us, cfg.gapfill_method, cfg.max_gap_buckets,
-                        key_cols=("url_hash",),
-                    )
-                    assembled = assemble_series(filled, "value", ("url_hash",))
-                    return encoder(assembled).to_pandas()
-
-                blocks = map_partition_dirs(
-                    outputs[f"tier_{tier}"], fill_assemble_encode, ["url_hash"]
+                # fused WHOLE-PARTITION gapfill+encode: one sort + numpy
+                # group slicing per partition; no per-series pandas frames
+                # (the per-series path's fixed frame costs dominated this
+                # stage); elastic tasks, codec is stateless — the
+                # actor-pool encoder remains available as encode_tier()
+                blocks = map_partition_tables(
+                    outputs[f"tier_{tier}"],
+                    lambda df: encode_partition_pandas(
+                        df, tier, tier_us, cfg.gapfill_method, cfg.max_gap_buckets
+                    ),
                 )
-                blocks.write_parquet(out_dir)
+                blocks.write_parquet(out_dir, partition_cols=["series_bucket"])
 
             deferred.append((f"blocks_{tier}", [f"tier_{tier}"], write_blocks))
 

@@ -25,6 +25,41 @@ from .rollup import TIERS_US
 GAPFILL_METHODS = ("locf", "linear")
 
 
+def gapfill_arrays(
+    ts: np.ndarray,
+    mean_obs: np.ndarray,
+    tier_us: int,
+    method: str = "locf",
+    max_gap_buckets: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Numpy-only core: (sorted ts int64, observed means) ->
+    (grid, value, observed_mask, pos). Shared by the per-series DataFrame
+    path and the fused whole-partition encode kernel."""
+    if max_gap_buckets is not None:
+        # enumerate only fillable gap slots + observed slots (never the
+        # full dense range): bounded output regardless of series sparsity
+        gaps = np.diff(ts) // tier_us - 1  # missing buckets between points
+        fill_from = np.flatnonzero((gaps > 0) & (gaps <= max_gap_buckets))
+        pieces = [ts]
+        for i in fill_from:
+            pieces.append(np.arange(ts[i] + tier_us, ts[i + 1], tier_us, dtype=np.int64))
+        grid = np.sort(np.concatenate(pieces))
+    else:
+        grid = np.arange(ts[0], ts[-1] + tier_us, tier_us, dtype=np.int64)
+    pos = np.searchsorted(ts, grid)
+    observed = np.zeros(grid.size, dtype=bool)
+    in_range = pos < ts.size
+    observed[in_range] = ts[pos[in_range]] == grid[in_range]
+
+    if method == "locf":
+        # index of the last observed point at or before each grid slot
+        last_idx = np.maximum(np.searchsorted(ts, grid, side="right") - 1, 0)
+        value = mean_obs[last_idx]
+    else:  # linear
+        value = np.interp(grid, ts, mean_obs)
+    return grid, value, observed, pos
+
+
 def gapfill_series(
     df: pd.DataFrame,
     tier_us: int,
@@ -44,29 +79,10 @@ def gapfill_series(
         out = df.copy()
         out["gap_filled"] = np.array([], dtype=bool)
         return out
-    if max_gap_buckets is not None:
-        # enumerate only fillable gap slots + observed slots (never the
-        # full dense range): bounded output regardless of series sparsity
-        gaps = np.diff(ts) // tier_us - 1  # missing buckets between points
-        fill_from = np.flatnonzero((gaps > 0) & (gaps <= max_gap_buckets))
-        pieces = [ts]
-        for i in fill_from:
-            pieces.append(np.arange(ts[i] + tier_us, ts[i + 1], tier_us, dtype=np.int64))
-        grid = np.sort(np.concatenate(pieces))
-    else:
-        grid = np.arange(ts[0], ts[-1] + tier_us, tier_us, dtype=np.int64)
-    pos = np.searchsorted(ts, grid)
-    observed = np.zeros(grid.size, dtype=bool)
-    in_range = pos < ts.size
-    observed[in_range] = ts[pos[in_range]] == grid[in_range]
-
     mean_obs = df["mean"].to_numpy()
-    if method == "locf":
-        # index of the last observed point at or before each grid slot
-        last_idx = np.maximum(np.searchsorted(ts, grid, side="right") - 1, 0)
-        value = mean_obs[last_idx]
-    else:  # linear
-        value = np.interp(grid, ts, mean_obs)
+    grid, value, observed, pos = gapfill_arrays(
+        ts, mean_obs, tier_us, method, max_gap_buckets
+    )
 
     out = pd.DataFrame(
         {
