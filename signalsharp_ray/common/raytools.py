@@ -330,10 +330,20 @@ def map_partition_dirs(
     return paths.map_batches(process, batch_size=1, batch_format="pandas")
 
 
-def map_partition_tables(root: str, fn, bucket_col: str = "series_bucket"):
+def map_partition_tables(
+    root: str,
+    fn,
+    bucket_col: str = "series_bucket",
+    attach_root: str | None = None,
+    attach_key: str = "url_hash",
+):
     """Apply a whole-table transform per hive partition dir (no shuffle),
     re-attaching the partition column so the output can be written with the
-    same partitioning. fn: pandas DataFrame -> pandas DataFrame."""
+    same partitioning. fn: pandas DataFrame -> pandas DataFrame.
+
+    attach_root: a side dataset hive-partitioned on the SAME bucket hash
+    (e.g. the url dictionary) — each task left-merges its own partition's
+    slice onto its output (co-partitioned join, no shuffle/broadcast)."""
     import glob
     import os
 
@@ -353,6 +363,16 @@ def map_partition_tables(root: str, fn, bucket_col: str = "series_bucket"):
             if out is None or len(out) == 0:
                 continue
             out = out.copy()
+            if attach_root is not None:
+                side_dir = os.path.join(attach_root, os.path.basename(path))
+                if os.path.isdir(side_dir):
+                    side = pd.read_parquet(side_dir)
+                    side = side.drop(
+                        columns=[
+                            c for c in (bucket_col, "__bucket") if c in side.columns
+                        ]
+                    )
+                    out = out.merge(side, on=attach_key, how="left")
             out[bucket_col] = bucket
             outs.append(out)
         if not outs:

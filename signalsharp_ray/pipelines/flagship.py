@@ -24,15 +24,8 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from ..sources.synth import WebPagesSpec, generate_webpages_dataset
-from ..common.raytools import map_partition_dirs, map_partition_tables, pool_size
-from ..stages.analysis import (
-    ChangepointConfig,
-    ForecastConfig,
-    SmoothingConfig,
-    changepoints_kernel,
-    forecast_kernel,
-    smooth_kernel,
-)
+from ..common.raytools import map_partition_tables, pool_size
+from ..stages.analysis import ChangepointConfig, ForecastConfig, SmoothingConfig
 from ..stages.extract import build_url_dict, extract_dedup_exchange
 from ..stages.rollup import TIERS_US, cascade_partition_pandas, rollup_partition_pandas
 from ..state.manifest import PipelineManifest
@@ -168,19 +161,20 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
         tier = cfg.analysis_tier
 
         def write_changepoints(out_dir, tier=tier):
-            # url/host strings attach via the co-partitioned dictionary
-            # (same series_bucket hash; each task merges only its own
-            # partition's dict slice — no driver broadcast, dict may be
-            # arbitrarily large)
-            cps = map_partition_dirs(
+            from ..stages.analysis import changepoints_partition_pandas
+
+            # fused whole-partition kernel; url/host strings attach via the
+            # co-partitioned dictionary (same series_bucket hash; each task
+            # merges only its own partition's dict slice — no driver
+            # broadcast, dict may be arbitrarily large)
+            cps = map_partition_tables(
                 outputs[f"tier_{tier}"],
-                lambda df: changepoints_kernel(
-                    df, cfg.changepoints, cfg.analysis_value_col, ("url_hash",)
+                lambda df: changepoints_partition_pandas(
+                    df, cfg.changepoints, cfg.analysis_value_col, "url_hash"
                 ),
-                ["url_hash"],
                 attach_root=outputs["url_dict"],
             )
-            cps.write_parquet(out_dir)
+            cps.write_parquet(out_dir, partition_cols=["series_bucket"])
 
         deferred.append((f"changepoints_{tier}", [f"tier_{tier}"], write_changepoints))
 
@@ -189,12 +183,15 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
         tier = cfg.analysis_tier
 
         def write_smoothed(out_dir, tier=tier):
-            sm = map_partition_dirs(
+            from ..stages.analysis import smooth_partition_pandas
+
+            sm = map_partition_tables(
                 outputs[f"tier_{tier}"],
-                lambda df: smooth_kernel(df, cfg.smoothing, cfg.analysis_value_col),
-                ["url_hash"],
+                lambda df: smooth_partition_pandas(
+                    df, cfg.smoothing, cfg.analysis_value_col, "url_hash"
+                ),
             )
-            sm.write_parquet(out_dir)
+            sm.write_parquet(out_dir, partition_cols=["series_bucket"])
 
         deferred.append((f"smoothed_{tier}", [f"tier_{tier}"], write_smoothed))
 
@@ -203,14 +200,15 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
         from ..stages.rollup import TIERS_US as _T
 
         def write_forecast(out_dir, tier=tier):
-            fc = map_partition_dirs(
+            from ..stages.analysis import forecast_partition_pandas
+
+            fc = map_partition_tables(
                 outputs[f"tier_{tier}"],
-                lambda df: forecast_kernel(
-                    df, cfg.forecast, _T[tier], cfg.analysis_value_col, ("url_hash",)
+                lambda df: forecast_partition_pandas(
+                    df, cfg.forecast, _T[tier], cfg.analysis_value_col, "url_hash"
                 ),
-                ["url_hash"],
             )
-            fc.write_parquet(out_dir)
+            fc.write_parquet(out_dir, partition_cols=["series_bucket"])
 
         deferred.append((f"forecast_{tier}", [f"tier_{tier}"], write_forecast))
 

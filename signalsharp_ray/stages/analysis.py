@@ -65,6 +65,25 @@ class ChangepointConfig:
         return DEFAULT_MAX_SERIES_LEN
 
 
+def _detect_values(values: np.ndarray, config: ChangepointConfig):
+    """Shared method dispatch: values -> (breakpoints, penalty)."""
+    if config.method == "cusum":
+        x = zscore(values) if config.normalize else values
+        return cusum_changepoints(x, config.cusum), float("nan")
+    opts = PELTOptions(
+        cost_function=config.cost,
+        min_size=config.min_size,
+        jump=config.jump,
+        cost_kwargs=config.cost_kwargs,
+    )
+    if config.method == "pelt":
+        return PELT(opts).fit_and_detect(values, config.penalty), config.penalty
+    if config.method == "pelt_auto":
+        res = PELTPenaltySelector(PELT(opts)).fit_and_select(values, config.selection)
+        return res.optimal_breakpoints, res.selected_penalty
+    raise ValueError(f"Unknown changepoint method {config.method!r}")
+
+
 def changepoints_kernel(
     df: pd.DataFrame,
     config: ChangepointConfig,
@@ -79,31 +98,7 @@ def changepoints_kernel(
             f"Series {key_vals} has {n} points > cap {config.effective_cap()}; "
             "analyze a coarser tier."
         )
-    penalty = config.penalty
-    if config.method == "cusum":
-        x = zscore(values) if config.normalize else values
-        bkps = cusum_changepoints(x, config.cusum)
-        penalty = float("nan")
-    elif config.method == "pelt":
-        opts = PELTOptions(
-            cost_function=config.cost,
-            min_size=config.min_size,
-            jump=config.jump,
-            cost_kwargs=config.cost_kwargs,
-        )
-        bkps = PELT(opts).fit_and_detect(values, config.penalty)
-    elif config.method == "pelt_auto":
-        opts = PELTOptions(
-            cost_function=config.cost,
-            min_size=config.min_size,
-            jump=config.jump,
-            cost_kwargs=config.cost_kwargs,
-        )
-        res = PELTPenaltySelector(PELT(opts)).fit_and_select(values, config.selection)
-        bkps = res.optimal_breakpoints
-        penalty = res.selected_penalty
-    else:
-        raise ValueError(f"Unknown changepoint method {config.method!r}")
+    bkps, penalty = _detect_values(values, config)
 
     ts = df["bucket_ts"].to_numpy()
     k = len(bkps)
@@ -148,30 +143,34 @@ class SmoothingConfig:
     kalman: KalmanOptions = field(default_factory=KalmanOptions)
 
 
+def _smooth_values(values: np.ndarray, config: SmoothingConfig) -> np.ndarray:
+    op = config.op
+    if op == "sma":
+        return simple_moving_average(
+            values, config.window, config.padding, config.padded_value
+        )
+    if op == "ema":
+        return exponential_moving_average(values, config.alpha)
+    if op == "wma":
+        return weighted_moving_average(
+            values, np.asarray(config.weights), config.padding, config.padded_value
+        )
+    if op == "savgol":
+        return savitzky_golay(
+            values, config.window, config.polyorder, config.deriv, "none", 0.0
+        )
+    if op == "kalman":
+        return kalman_filter(values, config.kalman)
+    raise ValueError(f"Unknown smoothing op {op!r}")
+
+
 def smooth_kernel(
     df: pd.DataFrame, config: SmoothingConfig, value_col: str = "mean"
 ) -> pd.DataFrame:
     df, values = _sorted_series(df, value_col)
-    op = config.op
-    if op == "sma":
-        sm = simple_moving_average(values, config.window, config.padding, config.padded_value)
-    elif op == "ema":
-        sm = exponential_moving_average(values, config.alpha)
-    elif op == "wma":
-        sm = weighted_moving_average(
-            values, np.asarray(config.weights), config.padding, config.padded_value
-        )
-    elif op == "savgol":
-        sm = savitzky_golay(
-            values, config.window, config.polyorder, config.deriv, "none", 0.0
-        )
-    elif op == "kalman":
-        sm = kalman_filter(values, config.kalman)
-    else:
-        raise ValueError(f"Unknown smoothing op {op!r}")
     out = df.copy()
-    out["smoothed"] = sm  # same length by construction (padding != none)
-    out["op"] = op
+    out["smoothed"] = _smooth_values(values, config)  # same length (padding != none)
+    out["op"] = config.op
     return out
 
 
@@ -239,4 +238,133 @@ def forecast_series(tier_ds, tier_us: int, config: ForecastConfig | None = None,
         tier_ds,
         ["host", "url"],
         lambda df: forecast_kernel(df, cfg, tier_us, value_col, ("host", "url")),
+    )
+
+
+# -- fused whole-partition kernels ----------------------------------------
+# One sort + numpy key slicing per partition; per-series work is the pure
+# numpy kernel only — no per-series DataFrame construction (measured
+# ~10ms/series of fixed frame+sort overhead across 25k short series, which
+# dominated the analysis stages at sf0.1).
+
+
+def _partition_slices(df: pd.DataFrame, key_col: str):
+    df = df.sort_values([key_col, "bucket_ts"])
+    keys = df[key_col].to_numpy()
+    change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+    starts = np.concatenate([[0], change]) if keys.size else np.array([], dtype=np.int64)
+    ends = np.concatenate([change, [keys.size]]) if keys.size else np.array([], dtype=np.int64)
+    return df, keys, starts, ends
+
+
+def changepoints_partition_pandas(
+    df: pd.DataFrame,
+    config: ChangepointConfig,
+    value_col: str = "mean",
+    key_col: str = "url_hash",
+) -> pd.DataFrame:
+    df, keys, starts, ends = _partition_slices(df, key_col)
+    vals_all = df[value_col].to_numpy(dtype=np.float64)
+    ts_all = df["bucket_ts"].to_numpy()
+    cap = config.effective_cap()
+    out_key, out_bk, out_ts, out_pen = [], [], [], []
+    for s, e in zip(starts, ends):
+        n = e - s
+        if n > cap:
+            raise ValueError(
+                f"Series {key_col}={keys[s]} has {n} points > cap {cap}; "
+                "analyze a coarser tier."
+            )
+        bkps, penalty = _detect_values(vals_all[s:e], config)
+        k = len(bkps)
+        if not k:
+            continue
+        bk = np.asarray(bkps, dtype=np.int64)
+        out_key.append(np.repeat(keys[s], k))
+        out_bk.append(bk)
+        out_ts.append(ts_all[s + bk])
+        out_pen.append(np.full(k, penalty))
+    if not out_key:
+        return pd.DataFrame(
+            {
+                key_col: keys[:0],
+                "method": pd.Series(dtype="object"),
+                "penalty": pd.Series(dtype="float64"),
+                "breakpoint_index": pd.Series(dtype="int32"),
+                "breakpoint_ts": ts_all[:0],
+            }
+        )
+    return pd.DataFrame(
+        {
+            key_col: np.concatenate(out_key),
+            "method": config.method,
+            "penalty": np.concatenate(out_pen),
+            "breakpoint_index": np.concatenate(out_bk).astype(np.int32),
+            "breakpoint_ts": np.concatenate(out_ts),
+        }
+    )
+
+
+def smooth_partition_pandas(
+    df: pd.DataFrame, config: SmoothingConfig, value_col: str = "mean",
+    key_col: str = "url_hash",
+) -> pd.DataFrame:
+    df, keys, starts, ends = _partition_slices(df, key_col)
+    vals_all = df[value_col].to_numpy(dtype=np.float64)
+    sm = np.empty_like(vals_all)
+    for s, e in zip(starts, ends):
+        sm[s:e] = _smooth_values(vals_all[s:e], config)
+    out = df.copy()
+    out["smoothed"] = sm
+    out["op"] = config.op
+    return out
+
+
+def forecast_partition_pandas(
+    df: pd.DataFrame,
+    config: ForecastConfig,
+    tier_us: int,
+    value_col: str = "mean",
+    key_col: str = "url_hash",
+) -> pd.DataFrame:
+    df, keys, starts, ends = _partition_slices(df, key_col)
+    vals_all = df[value_col].to_numpy(dtype=np.float64)
+    ts_all = df["bucket_ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    h = config.horizon
+    hs = np.arange(1, h + 1)
+    out_key, out_fts, out_fc = [], [], []
+    for s, e in zip(starts, ends):
+        try:
+            if config.method == "linear":
+                fc = linear_forecast(vals_all[s:e], h, config.window_size)
+            elif config.method == "ses":
+                fc = ses_forecast(vals_all[s:e], h, config.alpha, config.initial_level)
+            elif config.method == "holt":
+                fc = holt_forecast(vals_all[s:e], h, config.holt)
+            else:
+                raise RuntimeError(f"Unknown forecast method {config.method!r}")
+        except ValueError:
+            continue  # series too short / invalid for the model
+        out_key.append(np.repeat(keys[s], h))
+        out_fts.append(ts_all[e - 1] + hs * tier_us)
+        out_fc.append(fc)
+    if not out_key:
+        return pd.DataFrame(
+            {
+                key_col: keys[:0],
+                "method": pd.Series(dtype="object"),
+                "h": pd.Series(dtype="int32"),
+                "forecast_ts": pd.Series(dtype="datetime64[us]"),
+                "forecast": pd.Series(dtype="float64"),
+            }
+        )
+    n_series = len(out_key)
+    return pd.DataFrame(
+        {
+            key_col: np.concatenate(out_key),
+            "method": config.method,
+            "h": np.tile(hs.astype(np.int32), n_series),
+            "forecast_ts": pd.to_datetime(np.concatenate(out_fts), unit="us"),
+            "forecast": np.concatenate(out_fc),
+        }
     )
