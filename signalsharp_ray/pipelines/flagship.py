@@ -96,15 +96,25 @@ def run_flagship(pages_ds_factory, fingerprint: str, config: FlagshipConfig | No
     def write_points(out_dir):
         # the ONE all-to-all of the whole pipeline (manual hash exchange —
         # no Ray sort): points land hash-partitioned by series key; every
-        # later stage is partition-aligned and shuffle-free
-        pts = extract_dedup_exchange(pages_ds_factory(), n_buckets=n_buckets)
-        pts.write_parquet(out_dir + "/data", partition_cols=["series_bucket"])
-        # dictionary from the url column only (projection pushdown: html and
-        # text bytes are never read for this pass), hive-partitioned on the
-        # SAME series_bucket hash so downstream attaches are co-partitioned
-        build_url_dict(pages_ds_factory(), n_buckets=n_buckets).write_parquet(
-            out_dir + "/dict", partition_cols=["series_bucket"]
-        )
+        # later stage is partition-aligned and shuffle-free. The url
+        # dictionary (url column only — projection pushdown, html/text
+        # bytes never read; hive-partitioned on the SAME series_bucket
+        # hash for co-partitioned downstream attaches) builds CONCURRENTLY
+        # in a second thread: its light url-column pass hides entirely
+        # under the exchange instead of serializing after it.
+        def run_points():
+            pts = extract_dedup_exchange(pages_ds_factory(), n_buckets=n_buckets)
+            pts.write_parquet(out_dir + "/data", partition_cols=["series_bucket"])
+
+        def run_dict():
+            build_url_dict(pages_ds_factory(), n_buckets=n_buckets).write_parquet(
+                out_dir + "/dict", partition_cols=["series_bucket"]
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futures = [pool.submit(run_points), pool.submit(run_dict)]
+            for f in futures:
+                f.result()
 
     points_stage, _ = timed("points", ["pages"], write_points)
     points_dir = points_stage + "/data"

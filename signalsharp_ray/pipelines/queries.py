@@ -526,6 +526,46 @@ def q_pelt_step_detection(sf_dir: str, step: int = 40):
     return t1h.groupby("event_type").map_groups(fn, batch_format="pandas")
 
 
+def q_pelt_cost_step(sf_dir: str, step: int = 40):
+    """SQL-verifiable PELT across SIX cost functions: on noiseless
+    two-level step series (transformed per cost family: 0/100 for
+    l2/l1/rbf/gaussian, 1/100 for poisson, 0/1 for bernoulli), every cost
+    must recover exactly the closed-form level-change indices — extra
+    splits reduce cost by 0 (+penalty), merges across a step explode it.
+    Drives the DP + pruning + each cost's prefix/Gram machinery through
+    the distributed path with independent ground truth."""
+    t1h = rollup_tier(_events(sf_dir), "1h", key_cols=["event_type"])
+    costs = ("l2", "l1", "rbf", "gaussian", "poisson", "bernoulli")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bucket_ts")
+        n = len(df)
+        idx = np.arange(n, dtype=np.int64)
+        level = ((idx // step) % 2).astype(np.float64)
+        rows_et, rows_cost, rows_bk = [], [], []
+        for cost in costs:
+            if cost == "bernoulli":
+                vals = level
+            elif cost == "poisson":
+                vals = 1.0 + 99.0 * level
+            else:
+                vals = 100.0 * level
+            series = vals[:500] if cost in ("l1", "rbf") else vals
+            bkps = pelt_breakpoints(series, penalty=5.0, cost=cost, min_size=1)
+            rows_et.extend([df["event_type"].iloc[0]] * len(bkps))
+            rows_cost.extend([cost] * len(bkps))
+            rows_bk.extend(int(b) for b in bkps)
+        return pd.DataFrame(
+            {
+                "event_type": rows_et,
+                "cost": rows_cost,
+                "breakpoint_index": np.asarray(rows_bk, dtype=np.int64),
+            }
+        )
+
+    return t1h.groupby("event_type").map_groups(fn, batch_format="pandas")
+
+
 def q_pelt_multivariate_step(sf_dir: str, step: int = 40):
     """SQL-verifiable MULTIVARIATE PELT (reference double[,] semantics):
     dims = [step, 2*step] noiseless series over the 1h bucket index; the
@@ -819,6 +859,7 @@ def build_queries() -> dict:
         "cusum_changepoints": q_cusum_changepoints,
         "pelt_changepoints": q_pelt_changepoints,
         "pelt_step_detection": q_pelt_step_detection,
+        "pelt_cost_step": q_pelt_cost_step,
         "pelt_multivariate_step": q_pelt_multivariate_step,
         "pelt_auto_penalty_step": q_pelt_auto_penalty_step,
         "pelt_auto_penalty": q_pelt_auto_penalty,
@@ -1100,6 +1141,24 @@ WITH b AS (
 )
 SELECT b.event_type, CAST(g AS BIGINT) AS breakpoint_index
 FROM b, UNNEST(generate_series(40, CAST(b.n AS BIGINT) - 1, 40)) AS t(g)
+""",
+        "pelt_cost_step": """
+-- per cost function: level changes at multiples of 40 below the series
+-- length (quadratic costs l1/rbf run on the first 500 points only)
+WITH b AS (
+  SELECT event_type, COUNT(DISTINCT date_trunc('hour', ts)) AS n
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT UNNEST(['l2','l1','rbf','gaussian','poisson','bernoulli']) AS cost
+),
+lim AS (
+  SELECT b.event_type, c.cost,
+         CASE WHEN c.cost IN ('l1', 'rbf') THEN LEAST(b.n, 500) ELSE b.n END AS n
+  FROM b CROSS JOIN c
+)
+SELECT lim.event_type, lim.cost, CAST(g AS BIGINT) AS breakpoint_index
+FROM lim, UNNEST(generate_series(40, CAST(lim.n AS BIGINT) - 1, 40)) AS t(g)
 """,
         "pelt_auto_penalty_step": """
 WITH b AS (

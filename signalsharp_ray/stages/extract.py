@@ -306,18 +306,29 @@ def extract_dedup_exchange(pages_ds, n_buckets: int | None = None):
     if n_buckets is None:
         n_buckets = default_buckets()
 
-    pts = pages_ds.select_columns(["url", "warc_ts", "text"]).map_batches(
-        extract_points_batch, batch_format="pyarrow"
-    )
-
-    def compact_bucket(batch: pa.Table) -> pa.Table:
-        batch = batch.select(["url_hash", "ts", "value", "text_hash"])
-        batch = _first_per_key_compact(batch)
-        uh = batch["url_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    def extract_compact_bucket(batch: pa.Table) -> pa.Table:
+        # LEAN extract for the exchange path: no host regex, no url/host
+        # string columns — only the int64-keyed compact row ever exists
+        # (url/host strings live in the separately-built dictionary)
+        value = pc.cast(
+            pc.binary_length(pc.cast(batch["text"], pa.binary())), pa.float64()
+        )
+        t = pa.table(
+            {
+                "url_hash": _hash_strings(batch["url"]),
+                "ts": batch["warc_ts"],
+                "value": value,
+                "text_hash": _hash_strings(batch["text"]),
+            }
+        )
+        t = _first_per_key_compact(t)
+        uh = t["url_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
         bucket = (uh % np.uint64(n_buckets)).astype(np.int64)
-        return batch.append_column("__bucket", pa.array(bucket))
+        return t.append_column("__bucket", pa.array(bucket))
 
-    bucketed = pts.map_batches(compact_bucket, batch_format="pyarrow")
+    bucketed = pages_ds.select_columns(["url", "warc_ts", "text"]).map_batches(
+        extract_compact_bucket, batch_format="pyarrow"
+    )
 
     def reduce_dedup(t: pa.Table) -> pa.Table:
         bucket_val = t["__bucket"][0].as_py()
