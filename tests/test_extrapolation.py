@@ -152,3 +152,87 @@ class TestHoltReferenceGoldens:
             HoltOptions(alpha=0.4, beta=0.6, trend_type="multiplicative"),
         )
         np.testing.assert_allclose(out, [20.1240675210, 23.5419248994], atol=1e-9)
+
+
+class TestHoltReferenceGoldens:
+    """Hand-computed reference fixtures from HoltMethodExtrapolatorTests.cs
+    exercising explicit initial level/trend + damping + multiplicative."""
+
+    def test_damped_with_explicit_initials_golden(self):
+        # :186-211 — alpha=.2 beta=.3 phi=.9, L0=10 T0=1 on [11.5,12,12.8,13.5]
+        fc = holt_forecast(
+            [11.5, 12.0, 12.8, 13.5],
+            1,
+            HoltOptions(
+                alpha=0.2, beta=0.3, damp_trend=True, phi=0.9,
+                initial_level=10.0, initial_trend=1.0,
+            ),
+        )
+        assert fc[0] == pytest.approx(14.0385570389, abs=1e-9)
+
+    def test_multiplicative_golden_explicit(self):
+        # :214-225 — alpha=.4 beta=.6 multiplicative on [10,12,15,18]
+        fc = holt_forecast(
+            [10.0, 12.0, 15.0, 18.0],
+            1,
+            HoltOptions(alpha=0.4, beta=0.6, trend_type="multiplicative"),
+        )
+        assert fc[0] == pytest.approx(20.1240675210, abs=1e-9)
+
+    def test_auto_optimization_damped_finds_finite_forecast(self):
+        # :228-240 — null alpha/beta/phi grid search on a noisy linear trend
+        fc = holt_forecast(
+            [1.0, 1.9, 3.1, 4.0, 5.2, 5.8, 7.1, 8.0],
+            1,
+            HoltOptions(damp_trend=True, optimization_grid_steps=5),
+        )
+        assert np.isfinite(fc[0])
+
+    def test_multiplicative_zero_in_signal_raises_before_optimization(self):
+        # :242+ — positivity validated before the (expensive) grid search
+        with pytest.raises(ValueError):
+            holt_forecast(
+                [10.0, 0.0, 15.0],
+                1,
+                HoltOptions(trend_type="multiplicative", damp_trend=True),
+            )
+
+    def test_invalid_alpha_beta_phi_option_validation(self):
+        for kwargs in (
+            {"alpha": -0.1}, {"alpha": 1.1}, {"beta": -0.1}, {"beta": 1.1},
+            {"damp_trend": True, "phi": 0.0}, {"damp_trend": True, "phi": 1.0},
+            {"optimization_grid_steps": 0},
+        ):
+            with pytest.raises(ValueError):
+                HoltOptions(**kwargs)
+
+    def test_phi_without_damping_not_validated(self):
+        # Constructor_PhiProvided_DampTrendFalse_* — phi ignored, no throw
+        HoltOptions(phi=5.0, damp_trend=False)
+        HoltOptions(phi=1.0, damp_trend=False)
+
+
+class TestLinearReferenceEdges:
+    def test_window_larger_than_signal_uses_signal_length(self):
+        # Fit_WindowSizeLargerThanSignal_UsesSignalLength
+        sig = [1.0, 3.0, 5.0, 7.0]
+        np.testing.assert_allclose(
+            linear_forecast(sig, 2, window_size=100),
+            linear_forecast(sig, 2),
+            atol=1e-12,
+        )
+
+    def test_two_point_signal(self):
+        # Fit_ValidSignal_TwoPoints_CalculatesCorrectly: slope 2, anchor 3
+        np.testing.assert_allclose(linear_forecast([1.0, 3.0], 2), [5.0, 7.0], atol=1e-9)
+
+    def test_negative_slope(self):
+        np.testing.assert_allclose(
+            linear_forecast([7.0, 5.0, 3.0, 1.0], 2), [-1.0, -3.0], atol=1e-9
+        )
+
+    def test_invalid_horizon_and_window(self):
+        with pytest.raises(ValueError):
+            linear_forecast([1.0, 2.0], 0)
+        with pytest.raises(ValueError):
+            linear_forecast([1.0, 2.0], 1, window_size=1)
