@@ -123,3 +123,93 @@ def test_heuristic_min_penalty():
     assert sel._estimate_max_penalty(50, 7.8) == pytest.approx(
         max(50 * math.log(50), 20 * 7.8)
     )
+
+
+class ConstantMetricCost(StubLikelihoodCost):
+    """metric constant per segment -> every segmentation scores equally
+    except for the parameter penalty (so fewer changepoints always wins on
+    ties within epsilon)."""
+
+    def compute_likelihood_metric(self, start, end):
+        self._resolve(start, end)
+        return 0.0
+
+    def segment_parameter_count(self, segment_length):
+        return 0
+
+
+class NaNMetricCost(StubLikelihoodCost):
+    def compute_likelihood_metric(self, start, end):
+        return float("nan")
+
+
+class ThrowingMetricCost(StubLikelihoodCost):
+    def compute_likelihood_metric(self, start, end):
+        raise RuntimeError("boom")
+
+
+class UnsupportedLikelihoodCost(StubLikelihoodCost):
+    supports_information_criteria = False
+
+
+def _selector_with(cost_obj, signal, min_size=1):
+    p = PELT(PELTOptions(cost_function="l2", min_size=min_size))
+    p.fit(np.asarray(signal, dtype=float))
+    p.cost = cost_obj.fit(np.asarray(signal, dtype=float))
+    return PELTPenaltySelector(p)
+
+
+SIGNAL = np.array([1.0, 1.0, 1.0, 5.0, 5.0, 5.0, 1.0, 1.0, 1.0])
+
+
+def test_tie_break_prefers_fewer_changepoints():
+    # FitAndSelect_TieBreak_PrefersFewerChangePoints: with a constant
+    # metric and zero params, all penalties score identically (k added to
+    # p); the selector must keep the segmentation with fewer changepoints
+    sel = _selector_with(ConstantMetricCost(), SIGNAL)
+    res = sel.fit_and_select(SIGNAL, PenaltySelectionOptions(method="aic"))
+    assert len(res.optimal_breakpoints) == 0
+
+
+def test_likelihood_nan_handled_all_fail_raises():
+    # FitAndSelect_LikelihoodCalcReturnsNaN_HandlesGracefully +
+    # FitAndSelect_AllPenaltiesFail_ThrowsPELTAlgorithmException
+    sel = _selector_with(NaNMetricCost(), SIGNAL)
+    with pytest.raises(PELTAlgorithmError):
+        sel.fit_and_select(SIGNAL, PenaltySelectionOptions(method="bic"))
+
+
+def test_likelihood_throws_handled_all_fail_raises():
+    # FitAndSelect_LikelihoodCalcThrowsException_HandlesGracefully
+    sel = _selector_with(ThrowingMetricCost(), SIGNAL)
+    with pytest.raises(PELTAlgorithmError):
+        sel.fit_and_select(SIGNAL, PenaltySelectionOptions(method="bic"))
+
+
+def test_unsupported_likelihood_cost_rejected():
+    # FitAndSelect_LikelihoodMethod_LikelihoodCostUnsupported_Throws
+    sel = _selector_with(UnsupportedLikelihoodCost(), SIGNAL)
+    with pytest.raises(ValueError):
+        sel.fit_and_select(SIGNAL, PenaltySelectionOptions(method="bic"))
+
+
+def test_uses_penalty_range_from_options():
+    # FitAndSelect_UsesPenaltyRangeFromOptions: every tested penalty lies
+    # inside the user-provided [min, max]
+    sel = _selector_with(StubLikelihoodCost(), SIGNAL)
+    res = sel.fit_and_select(
+        SIGNAL,
+        PenaltySelectionOptions(method="bic", min_penalty=2.0, max_penalty=9.0),
+    )
+    tested = [p for p, _, _ in res.diagnostics]
+    assert min(tested) >= 2.0 - 1e-12
+    assert max(tested) <= 9.0 + 1e-12
+
+
+def test_aicc_correction_undefined_scores_infinite():
+    # FitAndSelect_AICc_ReturnsInfinityWhenCorrectionUndefined: tiny n with
+    # p >= n-1 -> correction denominator <= 0 -> inf -> all penalties fail
+    small = np.array([1.0, 5.0, 1.0])
+    sel = _selector_with(StubLikelihoodCost(), small)  # 2 params/segment
+    with pytest.raises(PELTAlgorithmError):
+        sel.fit_and_select(small, PenaltySelectionOptions(method="aicc"))
