@@ -142,7 +142,9 @@ def main() -> None:
         t0 = time.time()
         res = run_pipeline(
             input_dir,
-            f"/tmp/signalsharp_ray/bench_out_{num_cpus}",
+            os.environ.get(
+                "GRAFT_BENCH_OUT", f"/tmp/signalsharp_ray/bench_out_{num_cpus}"
+            ),
             encode_concurrency=max(2, num_cpus // 4),
         )
         w = time.time() - t0
@@ -167,7 +169,12 @@ def main() -> None:
 
 
 def run_scaling(sf_dir: str) -> None:
-    """Same input + code at 8 and 32 CPUs in fresh processes."""
+    """Same input + code at two parallelism levels (default 8 and 32 CPUs,
+    override with GRAFT_SCALING_CPUS="N,4N") in fresh processes. The low
+    pair (e.g. 2,8) measures the CODE's scaling below the single node's
+    memory-bandwidth ceiling; the high pair (8,32) additionally exposes
+    node-resource saturation that a real N -> 4N NODE cluster would not
+    see (bandwidth/object store scale with node count)."""
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
@@ -181,20 +188,21 @@ def run_scaling(sf_dir: str) -> None:
         )
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    pair = os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+    lo, hi = int(pair[0]), int(pair[1])
     r_lo = one(lo)
     r_hi = one(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency (8 -> 32 cpus, same input)",
-                "sec_8": r_lo["value"],
-                "sec_32": r_hi["value"],
-                "rows_per_s_8": r_lo["rows_per_s"],
-                "rows_per_s_32": r_hi["rows_per_s"],
-                "gb_per_s_8": r_lo["gb_per_s"],
-                "gb_per_s_32": r_hi["gb_per_s"],
+                "metric": f"scaling efficiency ({lo} -> {hi} cpus, same input)",
+                f"sec_{lo}": r_lo["value"],
+                f"sec_{hi}": r_hi["value"],
+                f"rows_per_s_{lo}": r_lo["rows_per_s"],
+                f"rows_per_s_{hi}": r_hi["rows_per_s"],
+                f"gb_per_s_{lo}": r_lo["gb_per_s"],
+                f"gb_per_s_{hi}": r_hi["gb_per_s"],
                 "scaling_efficiency": round(eff, 3),
                 "sf": r_lo["sf"],
             }

@@ -429,11 +429,17 @@ def hash_exchange(ds, n_buckets: int, reduce_fn, bucket_col: str = "__bucket"):
     # would mean ~1.5TB per task at 100TB input. When the input block count
     # is already in range, stream the blocks as-is (no pre-coalesce pass,
     # no doubled object-store footprint).
+    import ray as _ray
+
     mat = ds.materialize()
     block_refs = mat.to_arrow_refs()
     total_bytes = mat.size_bytes() or 0
     target_map_bytes = 256 << 20
-    n_map = max(8, -(-total_bytes // target_map_bytes))  # ceil
+    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    # floor at 2x CPUs so the split phase saturates the cluster even when
+    # the input is small in bytes; byte-based growth keeps per-task memory
+    # bounded at scale
+    n_map = max(2 * ncpu, -(-total_bytes // target_map_bytes))  # ceil
     if len(block_refs) > n_map * 2:
         groups = np.array_split(np.arange(len(block_refs)), n_map)
 

@@ -767,6 +767,40 @@ def _query_vector(sf_dir: str) -> np.ndarray:
     return np.asarray(row, dtype=np.float64)
 
 
+def q_dedup_clusters(sf_dir: str, threshold: float = 0.5):
+    """Near-duplicate CLUSTERS: connected components over the exact-Jaccard
+    pair graph, one (doc_id, cluster_rep=min doc in component) row per doc
+    that has at least one near-dup. The pair list is tiny relative to the
+    corpus (that's the whole point of near-dup blocking), so the union-find
+    runs on the collected PAIRS — never on corpus-sized state. This is the
+    'keep one per cluster' primitive a training-data pipeline filters with."""
+    from ..stages.dedup import exact_jaccard_pairs
+
+    pairs = exact_jaccard_pairs(_documents(sf_dir), threshold=threshold).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so the root IS the cluster representative
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    docs = sorted(parent)
+    return pd.DataFrame(
+        {
+            "doc_id": np.asarray(docs, dtype=np.int64),
+            "cluster_rep": np.asarray([find(d) for d in docs], dtype=np.int64),
+        }
+    )
+
+
 def q_knn_cosine(sf_dir: str, k: int = 10):
     from ..stages.similarity import knn_brute_force
 
@@ -872,6 +906,7 @@ def build_queries() -> dict:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "knn_cosine": q_knn_cosine,
         "embedding_near_dups": q_embedding_near_dups,
         "ivf_knn": q_ivf_knn,
@@ -1362,6 +1397,50 @@ SELECT doc_id,
     ELSE 'und'
   END AS pred_lang
 FROM h
+""",
+        "dedup_clusters": """
+-- connected components over the exact word-3-shingle Jaccard pair graph:
+-- reachability closure via recursive CTE, rep = MIN doc id per component
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[\\p{L}\\p{N}_]+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) = 0 THEN []
+              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(len(toks) - 2),
+                                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+         END AS sh
+  FROM t
+),
+d AS (SELECT doc_id, list_distinct(sh) AS sh FROM s WHERE len(sh) > 0),
+sizes AS (SELECT doc_id, len(sh) AS n FROM d),
+ex AS (SELECT doc_id, UNNEST(sh) AS g FROM d),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE ROUND(i.i / (sa.n + sb.n - i.i)::DOUBLE, 6) >= 0.5
+),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION ALL SELECT doc_b, doc_a FROM p
+),
+cc AS (
+  SELECT src AS doc_id, src AS reach FROM e
+  UNION
+  SELECT e.src, cc.reach FROM cc JOIN e ON e.dst = cc.doc_id
+)
+SELECT doc_id, CAST(MIN(reach) AS BIGINT) AS cluster_rep
+FROM cc GROUP BY 1
 """,
         "embedding_near_dups": """
 -- exact all-pairs cosine (DOUBLE-cast so both sides compute in float64;
