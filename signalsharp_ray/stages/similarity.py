@@ -100,9 +100,10 @@ def ivf_build_assignments(embeddings_ds, n_clusters: int = 16, sample_size: int 
     and add a 'cell' column to every row inside map_batches."""
     import ray
 
-    sample_rows = embeddings_ds.random_sample(
-        min(1.0, sample_size / max(1, embeddings_ds.count())), seed=seed
-    ).take_all()
+    # bounded take: reads only the first blocks (no count() pass over the
+    # dataset); k-means centroid quality on a prefix sample is adequate for
+    # coarse IVF cells, and the seed keeps refinement deterministic
+    sample_rows = embeddings_ds.limit(sample_size).take_all()
     sample = np.stack([np.asarray(r[col], dtype=np.float64) for r in sample_rows])
     cent = kmeans_fit(sample, n_clusters, seed=seed)
     cref = ray.put(cent)

@@ -238,3 +238,185 @@ def test_read_blocks_roundtrip(tmp_path):
         .reset_index(drop=True)
     )
     np.testing.assert_array_equal(got["value"].to_numpy(), exp["mean"].to_numpy())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEngineExactness:
+    """Property tests for the core distributed primitives against local
+    pandas oracles on randomized data: the bucketed C++ aggregation, the
+    manual hash exchange, the bucketed join, and the fused whole-partition
+    encode/analysis kernels must be EXACT re-expressions of their
+    single-process counterparts regardless of block layout."""
+
+    def _random_kv(self, seed, n=5_000, n_keys=400):
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame(
+            {
+                "k": rng.integers(0, n_keys, n).astype(np.int64),
+                "v": rng.normal(0, 10, n),
+            }
+        )
+
+    def test_hash_bucket_aggregate_matches_pandas(self):
+        import ray.data as rd
+
+        from signalsharp_ray.common.raytools import hash_bucket_aggregate
+
+        df = self._random_kv(1)
+        ds = rd.from_pandas(df).repartition(13)  # adversarial block layout
+        got = (
+            hash_bucket_aggregate(
+                ds, ["k"], [("v", "sum"), ("v", "min"), ("v", "max")],
+                count_alias="n", n_buckets=7,
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = (
+            df.groupby("k")
+            .agg(v_sum=("v", "sum"), v_min=("v", "min"), v_max=("v", "max"), n=("v", "size"))
+            .reset_index()
+        )
+        assert len(got) == len(want)
+        np.testing.assert_array_equal(got["k"], want["k"])
+        np.testing.assert_allclose(got["v_sum"], want["v_sum"], rtol=1e-12)
+        np.testing.assert_array_equal(got["v_min"], want["v_min"])
+        np.testing.assert_array_equal(got["v_max"], want["v_max"])
+        np.testing.assert_array_equal(got["n"], want["n"])
+
+    def test_hash_exchange_partitions_completely_and_exactly(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from signalsharp_ray.common.raytools import hash_exchange
+
+        df = self._random_kv(2)
+        df["__bucket"] = (df["k"].to_numpy() % 5).astype(np.int64)
+        ds = rd.from_pandas(df).repartition(9)
+
+        def reduce_fn(t: pa.Table) -> pa.Table:
+            return t  # identity: verify routing only
+
+        out = hash_exchange(ds, 5, reduce_fn).to_pandas()
+        assert len(out) == len(df)
+        # every row landed in the bucket its key hashes to
+        assert (out["__bucket"] == out["k"] % 5).all()
+        # content identical as a multiset
+        a = out.sort_values(["k", "v"]).reset_index(drop=True)
+        b = df.sort_values(["k", "v"]).reset_index(drop=True)
+        np.testing.assert_allclose(a["v"], b["v"])
+
+    def test_bucketed_join_matches_pandas_merge(self):
+        import ray.data as rd
+
+        from signalsharp_ray.common.raytools import bucketed_join
+
+        left = self._random_kv(3, n=2_000, n_keys=150)
+        right = pd.DataFrame(
+            {"k": np.arange(100, dtype=np.int64), "w": np.arange(100) * 2.0}
+        )
+        got = (
+            bucketed_join(
+                rd.from_pandas(left).repartition(7),
+                rd.from_pandas(right).repartition(3),
+                on=["k"],
+                n_buckets=5,
+            )
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right, on="k", how="inner")
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want)
+        np.testing.assert_allclose(got["v"], want["v"])
+        np.testing.assert_allclose(got["w"], want["w"])
+
+    def test_encode_partition_matches_per_series_path(self):
+        from signalsharp_ray.stages.encode import (
+            decode_blocks,
+            encode_partition_pandas,
+        )
+        from signalsharp_ray.stages.gapfill import gapfill_series
+
+        rng = np.random.default_rng(4)
+        rows = []
+        for uh in range(20):
+            n = rng.integers(3, 40)
+            ts = np.sort(rng.choice(np.arange(0, 500), size=n, replace=False))
+            for t in ts:
+                rows.append((uh, pd.Timestamp("2024-01-01") + pd.Timedelta(hours=int(t)),
+                             float(rng.normal()), 1, 0.0, 0.0, 0.0))
+        df = pd.DataFrame(rows, columns=["url_hash", "bucket_ts", "mean", "count", "sum", "min", "max"])
+
+        tier_us = 3_600_000_000
+        fused = encode_partition_pandas(df, "1h", tier_us, "locf", 60)
+        dec = decode_blocks(fused).sort_values(["url_hash", "bucket_ts"]).reset_index(drop=True)
+
+        # per-series reference path: gapfill_series then raw values
+        parts = []
+        for uh, g in df.groupby("url_hash"):
+            filled = gapfill_series(g, tier_us, "locf", 60, key_cols=("url_hash",))
+            parts.append(filled[["url_hash", "bucket_ts", "value"]])
+        want = (
+            pd.concat(parts).sort_values(["url_hash", "bucket_ts"]).reset_index(drop=True)
+        )
+        assert len(dec) == len(want)
+        np.testing.assert_array_equal(
+            dec["bucket_ts"].to_numpy(), want["bucket_ts"].to_numpy()
+        )
+        np.testing.assert_array_equal(dec["value"].to_numpy(), want["value"].to_numpy())
+
+    def test_analysis_partition_kernels_match_per_series(self):
+        from signalsharp_ray.stages.analysis import (
+            ChangepointConfig,
+            SmoothingConfig,
+            changepoints_kernel,
+            changepoints_partition_pandas,
+            smooth_kernel,
+            smooth_partition_pandas,
+        )
+
+        rng = np.random.default_rng(5)
+        frames = []
+        for uh in range(15):
+            n = int(rng.integers(12, 60))
+            vals = np.concatenate([rng.normal(0, 1, n // 2), rng.normal(8, 1, n - n // 2)])
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "url_hash": np.int64(uh),
+                        "bucket_ts": pd.date_range("2024-01-01", periods=n, freq="h"),
+                        "mean": vals,
+                    }
+                )
+            )
+        df = pd.concat(frames, ignore_index=True).sample(frac=1.0, random_state=0)
+
+        ccfg = ChangepointConfig(method="pelt", cost="l2", penalty=5.0, min_size=2)
+        got = changepoints_partition_pandas(df, ccfg, "mean", "url_hash")
+        want = pd.concat(
+            [
+                changepoints_kernel(g, ccfg, "mean", ("url_hash",))
+                for _, g in df.groupby("url_hash")
+            ],
+            ignore_index=True,
+        )
+        g2 = got.sort_values(["url_hash", "breakpoint_index"]).reset_index(drop=True)
+        w2 = want.sort_values(["url_hash", "breakpoint_index"]).reset_index(drop=True)
+        np.testing.assert_array_equal(g2["url_hash"], w2["url_hash"])
+        np.testing.assert_array_equal(g2["breakpoint_index"], w2["breakpoint_index"])
+
+        scfg = SmoothingConfig(op="ema", alpha=0.3)
+        gs = smooth_partition_pandas(df, scfg, "mean", "url_hash")
+        ws = pd.concat(
+            [smooth_kernel(g, scfg, "mean") for _, g in df.groupby("url_hash")],
+            ignore_index=True,
+        )
+        gs2 = gs.sort_values(["url_hash", "bucket_ts"]).reset_index(drop=True)
+        ws2 = ws.sort_values(["url_hash", "bucket_ts"]).reset_index(drop=True)
+        np.testing.assert_array_equal(gs2["smoothed"], ws2["smoothed"])
