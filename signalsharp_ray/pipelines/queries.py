@@ -919,6 +919,7 @@ def build_queries() -> dict:
         "sliding_window_3h": q_sliding_window_3h,
         "session_windows": q_session_windows,
         "asof_join_orders": q_asof_join_orders,
+        "range_join_orders": q_range_join_orders,
     }
 
 
@@ -1536,6 +1537,14 @@ SELECT user_id, session_id,
        COUNT(*) AS n_events
 FROM s GROUP BY 1, 2
 """,
+        "range_join_orders": """
+SELECT e.event_id, e.user_id,
+       (SELECT COUNT(*) FROM orders o
+        WHERE o.o_custkey = e.user_id
+          AND o.o_orderdate > e.ts - INTERVAL 30 DAY
+          AND o.o_orderdate <= e.ts) AS n_recent_orders
+FROM events e
+""",
         "asof_join_orders": """
 WITH o AS (
   SELECT o_custkey, o_orderdate,
@@ -1771,6 +1780,41 @@ def q_session_windows(sf_dir: str):
                 "session_start": batch["session_start"],
                 "session_end": batch["session_end"],
                 "n_events": batch["n_events"].astype(np.int64),
+            }
+        )
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
+def q_range_join_orders(sf_dir: str):
+    """Range join: for every event, the number of orders the same customer
+    placed in the trailing 30 days (right_ts in (ts - 30d, ts])."""
+    import ray.data as rd
+
+    from ..stages.windows import range_join_count
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.rename(columns={"o_custkey": "user_id", "o_orderdate": "ts"})
+
+    out = range_join_count(
+        ev,
+        orders.map_batches(prep, batch_format="pandas"),
+        "user_id",
+        window_us=30 * 86_400_000_000,
+        count_col="n_recent_orders",
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].astype(np.int64),
+                "user_id": batch["user_id"].astype(np.int64),
+                "n_recent_orders": batch["n_recent_orders"].astype(np.int64),
             }
         )
 

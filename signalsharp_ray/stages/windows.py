@@ -77,6 +77,69 @@ def session_windows(
     return bucketed_map_groups(events_ds, [key_col], fn)
 
 
+def range_join_count(
+    left_ds,
+    right_ds,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    window_us: int = 30 * 86_400_000_000,
+    count_col: str = "n_in_range",
+):
+    """Range join (count form): for every left row, the number of right
+    rows of the same key with right_ts in (left_ts - window, left_ts].
+
+    Same single bucketed exchange as asof_join (tag -> union -> hash by
+    key); the per-key kernel is two vectorized searchsorted passes over
+    the sorted right timestamps — O((nl + nr) log nr) per key, never a
+    pairwise product. Partitioning assumption: all rows of a key reach one
+    kernel call (the bucketed groupby guarantees it)."""
+    import pyarrow as pa
+
+    lschema, rschema = left_ds.schema(), right_ds.schema()
+    types: dict = {}
+    for s in (lschema, rschema):
+        for n, t in zip(s.names, s.types):
+            types.setdefault(n, t)
+    all_names = list(types)
+
+    def tag(side):
+        def fn(t: pa.Table) -> pa.Table:
+            for name in all_names:
+                if name not in t.column_names:
+                    t = t.append_column(name, pa.nulls(t.num_rows, types[name]))
+            t = t.select(all_names)
+            return t.append_column("__side", pa.array([side] * t.num_rows))
+
+        return fn
+
+    both = left_ds.map_batches(tag("l"), batch_format="pyarrow").union(
+        right_ds.map_batches(tag("r"), batch_format="pyarrow")
+    )
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["__side"] == "l"]
+        right = df[df["__side"] == "r"]
+        if len(left) == 0:
+            return pd.DataFrame(
+                columns=[c for c in left.columns if c != "__side"] + [count_col]
+            )
+        lts = left[left_ts].astype("datetime64[us]").astype("int64").to_numpy()
+        out = left.drop(columns=["__side"]).dropna(axis=1, how="all").copy()
+        if len(right) == 0:
+            out[count_col] = np.zeros(len(left), dtype=np.int64)
+            return out
+        rts = np.sort(
+            right[right_ts].astype("datetime64[us]").astype("int64").to_numpy()
+        )
+        hi = np.searchsorted(rts, lts, side="right")
+        lo = np.searchsorted(rts, lts - window_us, side="right")
+        out[count_col] = (hi - lo).astype(np.int64)
+        return out
+
+    return bucketed_map_groups(both, [key_col], fn)
+
+
 def asof_join(
     left_ds,
     right_ds,

@@ -117,3 +117,45 @@ def test_asof_join_right_only_keys_ignored():
     out = asof_join(_ds(left), _ds(right), "user_id", right_cols=["payload"]).to_pandas()
     assert len(out) == 1
     assert out["payload"].iloc[0] == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_count_matches_bruteforce():
+    import ray.data as rd
+
+    from signalsharp_ray.stages.windows import range_join_count
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(300, dtype=np.int64),
+            "user_id": rng.integers(0, 20, 300).astype(np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 90 * 24, 300), unit="h"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 25, 200).astype(np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 90 * 24, 200), unit="h"),
+        }
+    )
+    window_us = 7 * 86_400_000_000
+    out = (
+        range_join_count(
+            rd.from_pandas(left).repartition(5),
+            rd.from_pandas(right).repartition(3),
+            "user_id",
+            window_us=window_us,
+            count_col="n",
+        )
+        .to_pandas()
+        .set_index("event_id")["n"]
+    )
+    lts = left["ts"].astype("datetime64[us]").astype("int64")
+    rts = right["ts"].astype("datetime64[us]").astype("int64")
+    for i, row in left.iterrows():
+        t = lts[i]
+        mask = (right["user_id"] == row["user_id"]) & (rts > t - window_us) & (rts <= t)
+        assert out[row["event_id"]] == mask.sum(), row["event_id"]
