@@ -296,16 +296,88 @@ def exact_jaccard_pairs(docs_ds, threshold: float = 0.5, shingle_k: int = 3):
     return _score_pairs(_pair_intersections(index), _doc_shingle_sizes(index), threshold)
 
 
-def verify_jaccard(docs_ds, pairs_ds, threshold: float = 0.8, shingle_k: int = 3):
-    """Exact word-shingle Jaccard for candidate pairs — fully distributed.
+def _verify_jaccard_broadcast(docs_ds, pairs_df, threshold, shingle_k):
+    """Small-candidate fast path: driver state bounded by the CANDIDATE
+    set (never the corpus). Candidate docs are filtered vectorized, their
+    shingle sets collected and broadcast once, and pairs verified in one
+    map stage."""
+    import ray
 
-    (The round-1 version collected every document's shingle set into a
-    driver-side dict — impossible at corpus scale. This version never
-    materializes doc state: the inverted index is semi-joined down to
-    candidate docs, intersections are computed with bucketed exchanges,
-    and the result is inner-joined back to the candidate pair set.)
+    cand_ids = np.unique(
+        np.concatenate(
+            [pairs_df["doc_a"].to_numpy(np.int64), pairs_df["doc_b"].to_numpy(np.int64)]
+        )
+    )
+    wanted = set(int(x) for x in cand_ids)
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["doc_id"].isin(wanted)][["doc_id", "text"]]
+
+    shingles = {}
+    for b in (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(pick, batch_format="pandas")
+        .iter_batches(batch_size=4096, batch_format="pandas")
+    ):
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            shingles[int(doc_id)] = _shingle_hashes(text or "", shingle_k)
+    ref = ray.put(shingles)
+    sh = ray.get(ref)
+
+    out_a, out_b, out_j = [], [], []
+    for a, b in zip(pairs_df["doc_a"].astype(int), pairs_df["doc_b"].astype(int)):
+        sa, sb = sh.get(a), sh.get(b)
+        if sa is None or sb is None or sa.size == 0 or sb.size == 0:
+            continue
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        j = inter / union if union else 0.0
+        if np.round(j, 6) >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(j)
+    import ray.data as rd
+
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_a": np.asarray(out_a, dtype=np.int64),
+                "doc_b": np.asarray(out_b, dtype=np.int64),
+                "jaccard": np.asarray(out_j, dtype=np.float64),
+            }
+        )
+    )
+
+
+def verify_jaccard(
+    docs_ds,
+    pairs_ds,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    broadcast_pair_limit: int = 200_000,
+):
+    """Exact word-shingle Jaccard for candidate pairs, with BOUNDED driver
+    state in both regimes.
+
+    (The round-1 version collected EVERY document's shingle set into a
+    driver-side dict — impossible at corpus scale.) Candidate volume picks
+    the plan: small candidate sets verify via a candidate-bounded
+    broadcast (one corpus scan, one map stage); large ones go fully
+    distributed — the inverted index is semi-joined down to candidate
+    docs, intersections are computed with bucketed exchanges, and the
+    result is inner-joined back to the candidate pair set, with nothing
+    corpus-sized on the driver either way.
     """
     from ..common.raytools import bucketed_join, hash_bucket_aggregate
+
+    # pairs are consumed more than once and gate the plan choice; they are
+    # small by construction — pin them so the LSH pipeline runs once
+    pairs_mat = pairs_ds.materialize()
+    if pairs_mat.count() <= broadcast_pair_limit:
+        return _verify_jaccard_broadcast(
+            docs_ds, pairs_mat.to_pandas(), threshold, shingle_k
+        )
+    pairs_ds = pairs_mat
 
     # 1. distinct candidate doc ids (tiny relative to the corpus)
     def both_sides(batch: pd.DataFrame) -> pd.DataFrame:
@@ -320,9 +392,6 @@ def verify_jaccard(docs_ds, pairs_ds, threshold: float = 0.8, shingle_k: int = 3
             }
         )
 
-    # pairs_ds is consumed twice (candidate ids + the final restriction);
-    # candidates are tiny — pin them so the upstream LSH pipeline runs once
-    pairs_ds = pairs_ds.materialize()
     cand_ids = hash_bucket_aggregate(
         pairs_ds.map_batches(both_sides, batch_format="pandas"), ["doc_id"], []
     )
