@@ -214,3 +214,30 @@ class TestMultimodal:
         n_videos = (media["kind"] == "video").sum()
         assert len(out) == n_videos * 4  # 8 frames, every 2nd
         assert set(out["frame_index"].unique()) == {0, 2, 4, 6}
+
+
+def test_verify_jaccard_broadcast_and_distributed_plans_agree():
+    """Both verification plans (candidate-bounded broadcast vs the fully
+    distributed inverted-index join) must produce identical pairs."""
+    from signalsharp_ray.stages.dedup import minhash_lsh_candidates, verify_jaccard
+
+    df = _docs(n=80, dup_groups=8)
+    ds = _docs_ds(df)
+    cands = minhash_lsh_candidates(ds, num_perm=64, bands=32).materialize()
+    fast = (
+        verify_jaccard(ds, cands, threshold=0.5)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    dist = (
+        verify_jaccard(ds, cands, threshold=0.5, broadcast_pair_limit=0)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert len(fast) == len(dist) > 0
+    pd.testing.assert_frame_equal(
+        fast[["doc_a", "doc_b"]], dist[["doc_a", "doc_b"]], check_dtype=False
+    )
+    np.testing.assert_allclose(fast["jaccard"], dist["jaccard"], rtol=1e-12)
