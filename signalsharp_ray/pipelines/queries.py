@@ -535,7 +535,13 @@ def q_pelt_cost_step(sf_dir: str, step: int = 40):
     Drives the DP + pruning + each cost's prefix/Gram machinery through
     the distributed path with independent ground truth."""
     t1h = rollup_tier(_events(sf_dir), "1h", key_cols=["event_type"])
-    costs = ("l2", "l1", "rbf", "gaussian", "poisson", "bernoulli")
+    # ar and jump>1 are deliberately absent: AR detects DYNAMICS changes
+    # (a mean step is not its ground truth) and the Jump approximation is
+    # approximate by reference semantics — both are covered by golden
+    # fixtures instead (tests/test_pelt.py, tests/test_costs.py)
+    costs = (
+        "l2", "l1", "rbf", "gaussian", "poisson", "bernoulli", "binomial",
+    )
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("bucket_ts")
@@ -544,16 +550,25 @@ def q_pelt_cost_step(sf_dir: str, step: int = 40):
         level = ((idx // step) % 2).astype(np.float64)
         rows_et, rows_cost, rows_bk = [], [], []
         for cost in costs:
+            kwargs: dict = {}
+            jump = 1
+            name = cost
             if cost == "bernoulli":
-                vals = level
+                series = level
             elif cost == "poisson":
-                vals = 1.0 + 99.0 * level
+                series = 1.0 + 99.0 * level
+            elif cost == "binomial":
+                # 2-row (k; n) input: success proportion steps 1/10 <-> 9/10
+                series = np.vstack([1.0 + 8.0 * level, np.full(n, 10.0)])
             else:
-                vals = 100.0 * level
-            series = vals[:500] if cost in ("l1", "rbf") else vals
-            bkps = pelt_breakpoints(series, penalty=5.0, cost=cost, min_size=1)
+                series = 100.0 * level
+            if name in ("l1", "rbf") and series.ndim == 1:
+                series = series[:500]
+            bkps = pelt_breakpoints(
+                series, penalty=5.0, cost=cost, min_size=1, jump=jump, **kwargs
+            )
             rows_et.extend([df["event_type"].iloc[0]] * len(bkps))
-            rows_cost.extend([cost] * len(bkps))
+            rows_cost.extend([name] * len(bkps))
             rows_bk.extend(int(b) for b in bkps)
         return pd.DataFrame(
             {
@@ -1186,7 +1201,8 @@ WITH b AS (
   FROM events GROUP BY 1
 ),
 c AS (
-  SELECT UNNEST(['l2','l1','rbf','gaussian','poisson','bernoulli']) AS cost
+  SELECT UNNEST(['l2','l1','rbf','gaussian','poisson','bernoulli',
+                 'binomial']) AS cost
 ),
 lim AS (
   SELECT b.event_type, c.cost,
