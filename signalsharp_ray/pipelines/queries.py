@@ -62,6 +62,15 @@ def _r6(x):
     return np.round(np.asarray(x, dtype=np.float64), 6)
 
 
+def _r6h(x):
+    """Round-half-UP to 6 decimals (matches SQL ROUND's half-away-from-zero
+    for non-negative values). Required for RATIONAL-valued outputs like
+    Jaccard ratios, which land on exact decimal midpoints (e.g. 1/128 =
+    0.0078125) where numpy's banker's rounding and SQL disagree."""
+    v = np.asarray(x, dtype=np.float64)
+    return np.floor(v * 1e6 + 0.5) / 1e6
+
+
 def _sorted_group(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(["ts", "event_id"])
 
@@ -728,6 +737,47 @@ def q_fingerprints(sf_dir: str):
     return fingerprints(_documents(sf_dir))
 
 
+def q_vocabulary(sf_dir: str, k: int = 100):
+    """Corpus top-K token frequencies (in-batch partial counts -> bucketed
+    exact sum -> per-bucket top-K -> tiny global merge)."""
+    from ..stages.text import vocabulary_topk
+
+    out = vocabulary_topk(_documents(sf_dir, ["doc_id", "text"]), k=k)
+    return pd.DataFrame({"word": out["word"], "n": out["n"].astype(np.int64)})
+
+
+def q_decontamination(sf_dir: str, n_probes: int = 5, threshold: float = 0.5):
+    """Benchmark decontamination: max word-3-shingle Jaccard of every doc
+    against a probe set (here: the first n_probes documents, standing in
+    for benchmark passages). Probes broadcast once — bounded state."""
+    import pyarrow.parquet as pq
+
+    from ..stages.text import contamination_scores
+
+    probes_df = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .head(n_probes)
+    )
+    ds = contamination_scores(
+        _documents(sf_dir, ["doc_id", "text"]),
+        probes_df["text"].fillna("").tolist(),
+        threshold=threshold,
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "max_probe_jaccard": _r6h(batch["max_probe_jaccard"]),
+                "contaminated": batch["contaminated"].astype(bool),
+            }
+        )
+
+    return ds.map_batches(fmt, batch_format="pandas")
+
+
 def q_minhash_near_dups(sf_dir: str):
     from ..stages.dedup import minhash_dedup_pairs
 
@@ -761,7 +811,7 @@ def q_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
             {
                 "doc_a": batch["doc_a"].astype(np.int64),
                 "doc_b": batch["doc_b"].astype(np.int64),
-                "jaccard": _r6(batch["jaccard"]),
+                "jaccard": _r6h(batch["jaccard"]),
             }
         )
 
@@ -922,6 +972,8 @@ def build_queries() -> dict:
         "simhash_near_dups": q_simhash_near_dups,
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "vocabulary": q_vocabulary,
+        "decontamination": q_decontamination,
         "knn_cosine": q_knn_cosine,
         "embedding_near_dups": q_embedding_near_dups,
         "ivf_knn": q_ivf_knn,
@@ -1414,6 +1466,44 @@ SELECT doc_id,
     ELSE 'und'
   END AS pred_lang
 FROM h
+""",
+        "vocabulary": """
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT UNNEST(regexp_extract_all(lower(COALESCE(text, '')), '[\\p{L}\\p{N}_]+')) AS word
+  FROM documents
+) GROUP BY word ORDER BY n DESC, word ASC LIMIT 100
+""",
+        "decontamination": """
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[\\p{L}\\p{N}_]+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) = 0 THEN []
+              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(len(toks) - 2),
+                                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+         END) AS sh
+  FROM t
+),
+probes AS (
+  SELECT sh FROM s WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
+    AND len(sh) > 0
+),
+j AS (
+  SELECT s.doc_id,
+         CASE WHEN len(s.sh) = 0 THEN 0.0
+              ELSE len(list_intersect(s.sh, p.sh))
+                   / (len(s.sh) + len(p.sh) - len(list_intersect(s.sh, p.sh)))::DOUBLE
+         END AS jac
+  FROM s CROSS JOIN probes p
+)
+SELECT doc_id,
+       ROUND(MAX(jac), 6) AS max_probe_jaccard,
+       ROUND(MAX(jac), 6) >= 0.5 AS contaminated
+FROM j GROUP BY doc_id
 """,
         "dedup_clusters": """
 -- connected components over the exact word-3-shingle Jaccard pair graph:

@@ -255,7 +255,9 @@ def _score_pairs(pairs_inter_ds, sizes_ds, threshold: float):
         inter = df["inter"].to_numpy(dtype=np.float64)
         union = df["n_a"].to_numpy(np.float64) + df["n_b"].to_numpy(np.float64) - inter
         j = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
-        keep = np.round(j, 6) >= threshold
+        # half-up to match SQL ROUND at exact decimal midpoints (Jaccard
+        # ratios are rationals — 1/128-style midpoints really occur)
+        keep = np.floor(j * 1e6 + 0.5) / 1e6 >= threshold
         return pd.DataFrame(
             {
                 "doc_a": df["doc_a"].to_numpy(np.int64)[keep],
@@ -332,7 +334,7 @@ def _verify_jaccard_broadcast(docs_ds, pairs_df, threshold, shingle_k):
         inter = np.intersect1d(sa, sb, assume_unique=True).size
         union = sa.size + sb.size - inter
         j = inter / union if union else 0.0
-        if np.round(j, 6) >= threshold:
+        if np.floor(j * 1e6 + 0.5) / 1e6 >= threshold:
             out_a.append(a)
             out_b.append(b)
             out_j.append(j)

@@ -185,3 +185,95 @@ def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 def fingerprints(docs_ds):
     return docs_ds.map_batches(fingerprint_batch, batch_format="pandas")
+
+
+# -- corpus vocabulary ------------------------------------------------------
+
+
+def vocabulary_topk(docs_ds, k: int = 100):
+    """Global top-K token frequencies.
+
+    In-batch partial counts (pandas value_counts, C-level) -> bucketed
+    exact sum (each word lives in exactly one hash bucket) -> per-bucket
+    top-K -> tiny driver merge of K x n_buckets rows. Exact: a word's
+    global count is complete within its bucket, so the union of per-bucket
+    top-Ks is a superset of the global top-K. Ties break (count DESC,
+    word ASC) to match the SQL oracle deterministically."""
+    import pandas as pd
+
+    from ..common.raytools import hash_bucket_aggregate
+
+    word_re = re.compile(r"\w+")
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.findall(word_re)
+        exploded = words.explode().dropna()
+        vc = exploded.value_counts()
+        return pd.DataFrame({"word": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
+
+    partials = docs_ds.select_columns(["text"]).map_batches(
+        partial_counts, batch_format="pandas"
+    )
+    agg = hash_bucket_aggregate(partials, ["word"], [("n", "sum")])
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n_sum", "word"], ascending=[False, True]).head(k)
+
+    from ..common.raytools import bucketed_map_groups
+
+    tops = bucketed_map_groups(agg, ["word"], None, whole_bucket_fn=bucket_topk)
+    out = tops.to_pandas()  # K x n_buckets rows — tiny
+    out = out.sort_values(["n_sum", "word"], ascending=[False, True]).head(k)
+    return out.rename(columns={"n_sum": "n"}).reset_index(drop=True)
+
+
+# -- benchmark decontamination ---------------------------------------------
+
+
+def contamination_scores(docs_ds, probe_texts: list[str], shingle_k: int = 3,
+                         threshold: float = 0.5):
+    """Max word-shingle Jaccard of every document against a small PROBE set
+    (e.g. evaluation-benchmark passages) — the standard training-data
+    decontamination primitive. Probe shingle sets are broadcast once
+    (bounded by the probe count, never the corpus); each batch computes
+    its docs' overlap vectorized against all probes."""
+    import ray
+
+    from .dedup import _shingle_hashes
+
+    probes = [
+        s for s in (_shingle_hashes(t or "", shingle_k) for t in probe_texts)
+        if s.size
+    ]
+    ref = ray.put(probes)
+
+    class Scorer:
+        def __init__(self):
+            self.probes = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out = np.zeros(len(batch), dtype=np.float64)
+            for i, text in enumerate(batch["text"]):
+                sh = _shingle_hashes(text or "", shingle_k)
+                if sh.size == 0:
+                    continue
+                best = 0.0
+                for p in self.probes:
+                    inter = np.intersect1d(sh, p, assume_unique=True).size
+                    union = sh.size + p.size - inter
+                    if union and inter / union > best:
+                        best = inter / union
+                out[i] = best
+            return pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].astype(np.int64),
+                    "max_probe_jaccard": out,
+                    "contaminated": np.floor(out * 1e6 + 0.5) / 1e6 >= threshold,
+                }
+            )
+
+    from ..common.raytools import pool_size
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        Scorer, batch_format="pandas", concurrency=pool_size(4), num_cpus=1
+    )

@@ -241,3 +241,39 @@ def test_verify_jaccard_broadcast_and_distributed_plans_agree():
         fast[["doc_a", "doc_b"]], dist[["doc_a", "doc_b"]], check_dtype=False
     )
     np.testing.assert_allclose(fast["jaccard"], dist["jaccard"], rtol=1e-12)
+
+
+def test_vocabulary_topk_matches_pandas():
+    from signalsharp_ray.stages.text import vocabulary_topk
+
+    df = _docs(n=50)
+    out = vocabulary_topk(_docs_ds(df), k=10)
+    import re as _re
+
+    words = (
+        df["text"].str.lower().str.findall(_re.compile(r"\w+")).explode().value_counts()
+    )
+    want = (
+        words.rename_axis("word")
+        .reset_index(name="n")
+        .sort_values(["n", "word"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    assert list(out["word"]) == list(want["word"])
+    assert list(out["n"]) == list(want["n"])
+
+
+def test_contamination_scores_flags_probe_overlap():
+    from signalsharp_ray.stages.text import contamination_scores
+
+    df = _docs(n=40)
+    probes = [df["text"][0]]  # doc 0 and its near-dup (doc 10) must flag
+    out = (
+        contamination_scores(_docs_ds(df), probes, threshold=0.5)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "contaminated"]  # identical to the probe
+    assert out.loc[10, "max_probe_jaccard"] > 0.5  # near-dup of the probe
+    assert out["max_probe_jaccard"].between(0, 1).all()
