@@ -916,12 +916,15 @@ def q_ivf_knn(sf_dir: str, k: int = 10):
 
 
 def q_media_features(sf_dir: str):
+    """Native media decode (REAL byte-level PNM/WAV parsing, no codec
+    library) -> per-item feature vectors; deterministic synthetic
+    payloads, rows-only (no parquet-table equivalent)."""
     import ray.data as rd
 
     from ..stages.multimodal import extract_features, synth_media_table
 
-    media = rd.from_pandas(synth_media_table(64))
-    out = extract_features(media, mode="fake").to_pandas()
+    media = rd.from_pandas(synth_media_table(64, real_payloads=True))
+    out = extract_features(media, mode="native").to_pandas()
     out["feature_mean"] = _r6([np.asarray(f).mean() for f in out["feature"]])
     return out[["media_id", "kind", "feature_mean"]]
 

@@ -2,14 +2,19 @@
 
 Media travels as opaque `binary` columns with typed metadata columns
 alongside. The Ray-side plumbing — schemas, actor-pool signatures, small
-batch sizes for wide binary rows, output layout — is real and tested; the
-actual media DECODE is stubbed because no image/audio library ships in this
-container:
+batch sizes for wide binary rows, output layout — is real and tested.
+Decode modes:
 
-- decode="strict"  -> NotImplementedError (clearly marked stub)
+- decode="native"  -> REAL decoding of library-free formats: binary PNM
+  images (P5 gray / P6 rgb — pure byte parsing), WAV audio (stdlib
+  `wave`), and video as a stream of concatenated P6 frames. No external
+  codec needed; synth_media_table(real_payloads=True) generates valid
+  payloads for it.
+- decode="strict"  -> NotImplementedError (the stub for compressed
+  formats — JPEG/MP3/H.264 need codec libraries this container lacks;
+  a real deployment loads them once per actor in __init__).
 - decode="fake"    -> deterministic fake decode (seeded from the payload
-  bytes) so downstream plumbing (feature extract, resize metadata, frame
-  sampling) can be exercised end-to-end.
+  bytes) for plumbing tests with arbitrary bytes.
 
 Schemas:
   media rows:    (media_id:int64, kind:string, payload:binary,
@@ -33,23 +38,102 @@ def _payload_rng(payload: bytes) -> np.random.Generator:
     return np.random.default_rng(seed & 0x7FFFFFFF)
 
 
+# -- native, library-free codecs -------------------------------------------
+
+
+def _parse_pnm(payload: bytes) -> tuple[np.ndarray, int]:
+    """Binary PNM parser (P5 grayscale / P6 rgb, maxval <= 255): returns
+    (array (h, w) or (h, w, 3), bytes consumed). Pure byte parsing — the
+    on-disk format is a whitespace-delimited header + raw samples."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM payload")
+    channels = 1 if payload[:2] == b"P5" else 3
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    n = w * h * channels
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    shape = (h, w) if channels == 1 else (h, w, 3)
+    return arr.reshape(shape), pos + n
+
+
+def encode_pnm(arr: np.ndarray) -> bytes:
+    """Inverse of _parse_pnm for uint8 arrays (used by resize/synthesis)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    magic = b"P5" if arr.ndim == 2 else b"P6"
+    h, w = arr.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def _parse_wav(payload: bytes) -> np.ndarray:
+    """WAV (PCM int16/int8) -> float32 in [-1, 1], via the stdlib."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        n = f.getnframes()
+        raw = f.readframes(n)
+        width = f.getsampwidth()
+    if width == 2:
+        return (np.frombuffer(raw, dtype="<i2").astype(np.float32)) / 32768.0
+    if width == 1:
+        return (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    raise ValueError(f"unsupported WAV sample width {width}")
+
+
+def _parse_pnm_stream(payload: bytes) -> np.ndarray:
+    """Video-as-concatenated-P6-frames -> (frames, h, w, 3)."""
+    frames = []
+    pos = 0
+    while pos < len(payload):
+        frame, used = _parse_pnm(payload[pos:])
+        frames.append(frame)
+        pos += used
+    return np.stack(frames)
+
+
 class MediaDecoder:
-    """Actor-pool decode stage. A real deployment would load the codec
-    library here (once per actor); this container has none, so the stub
-    either raises (strict) or emits a deterministic fake pixel/PCM array."""
+    """Actor-pool decode stage. native mode decodes library-free formats
+    for real (PNM images, WAV audio, concatenated-PNM video); strict is
+    the honest stub for codec-library formats; fake generates
+    deterministic arrays from arbitrary bytes for plumbing tests."""
 
     def __init__(self, mode: str = "fake"):
-        if mode not in ("strict", "fake"):
-            raise ValueError("mode must be 'strict' or 'fake'")
+        if mode not in ("strict", "fake", "native"):
+            raise ValueError("mode must be 'strict', 'fake' or 'native'")
         self.mode = mode
 
     def decode(self, payload: bytes, kind: str) -> np.ndarray:
         if self.mode == "strict":
             raise NotImplementedError(
-                "Media decoding is stubbed: no image/audio codec library is "
-                "available in this environment. Use mode='fake' for plumbing "
-                "tests, or plug a real decoder here (loaded in __init__)."
+                "Compressed-media decoding is stubbed: no codec library "
+                "(JPEG/MP3/H.264) ships in this environment. Use "
+                "mode='native' for PNM/WAV payloads, or plug a codec in "
+                "__init__."
             )
+        if self.mode == "native":
+            payload = bytes(payload)
+            if kind == "image":
+                return _parse_pnm(payload)[0]
+            if kind == "audio":
+                return _parse_wav(payload)
+            if kind == "video":
+                return _parse_pnm_stream(payload)
+            raise ValueError(f"Unknown media kind {kind!r}")
         rng = _payload_rng(payload)
         if kind == "image":
             return rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
@@ -138,15 +222,90 @@ def sample_frames(media_ds, every_n: int = 2, mode: str = "fake",
     )
 
 
-def synth_media_table(n: int = 64, seed: int = 0) -> pd.DataFrame:
-    """Deterministic fake media rows for plumbing tests."""
+class ImageResizer:
+    """Actor-pool nearest-neighbor image resize over native PNM payloads —
+    a REAL pixel transform (index-gather downsample/upsample), emitting
+    valid PNM bytes back out."""
+
+    def __init__(self, new_width: int, new_height: int):
+        self.new_w = int(new_width)
+        self.new_h = int(new_height)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, payloads = [], []
+        for media_id, payload, kind in zip(
+            batch["media_id"], batch["payload"], batch["kind"]
+        ):
+            if kind != "image":
+                continue
+            img, _ = _parse_pnm(bytes(payload))
+            h, w = img.shape[:2]
+            yi = (np.arange(self.new_h) * h // self.new_h).astype(np.int64)
+            xi = (np.arange(self.new_w) * w // self.new_w).astype(np.int64)
+            resized = img[yi][:, xi]
+            ids.append(media_id)
+            payloads.append(encode_pnm(resized))
+        return pd.DataFrame(
+            {
+                "media_id": pd.array(ids, dtype="int64"),
+                "new_width": pd.array([self.new_w] * len(ids), dtype="int32"),
+                "new_height": pd.array([self.new_h] * len(ids), dtype="int32"),
+                "payload": pd.array(payloads, dtype=object),
+            }
+        )
+
+
+def resize_images(media_ds, new_width: int, new_height: int,
+                  concurrency: int = 2, batch_size: int = 16):
+    return media_ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"new_width": new_width, "new_height": new_height},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=pool_size(concurrency),
+        num_cpus=1,
+    )
+
+
+def _synth_wav(rng: np.random.Generator, n_samples: int = 1600, rate: int = 16000) -> bytes:
+    import io
+    import wave
+
+    t = np.arange(n_samples) / rate
+    freq = float(rng.uniform(100, 2000))
+    pcm = (np.sin(2 * np.pi * freq * t) * 12000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def synth_media_table(n: int = 64, seed: int = 0, real_payloads: bool = False) -> pd.DataFrame:
+    """Deterministic media rows. real_payloads=True emits VALID binary
+    payloads for the native decoder: P5/P6 PNM images, 16-bit PCM WAV,
+    and video as 8 concatenated P6 frames."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
+    payloads = []
+    for kind in kinds:
+        if not real_payloads:
+            payloads.append(rng.bytes(256))
+        elif kind == "image":
+            img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+            payloads.append(encode_pnm(img))
+        elif kind == "audio":
+            payloads.append(_synth_wav(rng))
+        else:
+            frames = rng.integers(0, 256, size=(8, 16, 16, 3), dtype=np.uint8)
+            payloads.append(b"".join(encode_pnm(f) for f in frames))
     return pd.DataFrame(
         {
             "media_id": np.arange(n, dtype=np.int64),
             "kind": kinds,
-            "payload": [rng.bytes(256) for _ in range(n)],
+            "payload": payloads,
             "width": np.where(kinds == "audio", 0, 16).astype(np.int32),
             "height": np.where(kinds == "audio", 0, 16).astype(np.int32),
             "duration_ms": np.where(kinds == "image", 0, 1000).astype(np.int32),
