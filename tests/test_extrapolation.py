@@ -236,3 +236,46 @@ class TestLinearReferenceEdges:
             linear_forecast([1.0, 2.0], 0)
         with pytest.raises(ValueError):
             linear_forecast([1.0, 2.0], 1, window_size=1)
+
+
+class TestSESReferenceEdges:
+    """Alpha boundary semantics from
+    SimpleExponentialSmoothingExtrapolatorTests.cs."""
+
+    def test_alpha_zero_no_init_keeps_first_value(self):
+        np.testing.assert_allclose(
+            ses_forecast([7.0, 100.0, -3.0], 2, alpha=0.0), [7.0, 7.0], atol=0
+        )
+
+    def test_alpha_zero_with_init_keeps_initial_level(self):
+        np.testing.assert_allclose(
+            ses_forecast([7.0, 100.0], 1, alpha=0.0, initial_level=42.0), [42.0], atol=0
+        )
+
+    def test_alpha_one_becomes_last_value(self):
+        np.testing.assert_allclose(
+            ses_forecast([7.0, 100.0, -3.0], 3, alpha=1.0), [-3.0] * 3, atol=0
+        )
+        np.testing.assert_allclose(
+            ses_forecast([7.0, 100.0, -3.0], 1, alpha=1.0, initial_level=5.0),
+            [-3.0],
+            atol=0,
+        )
+
+    def test_single_point_levels(self):
+        # no init: level = x0 smoothed into itself = x0
+        np.testing.assert_allclose(ses_forecast([9.0], 1, alpha=0.4), [9.0], atol=0)
+        # with init: level = a*x0 + (1-a)*init
+        np.testing.assert_allclose(
+            ses_forecast([10.0], 1, alpha=0.4, initial_level=5.0),
+            [0.4 * 10.0 + 0.6 * 5.0],
+            atol=1e-12,
+        )
+
+    def test_invalid_horizon_and_alpha(self):
+        with pytest.raises(ValueError):
+            ses_forecast([1.0, 2.0], 0, alpha=0.3)
+        with pytest.raises(ValueError):
+            ses_forecast([1.0, 2.0], 1, alpha=1.5)
+        with pytest.raises(ValueError):
+            ses_forecast([], 1, alpha=0.3)
