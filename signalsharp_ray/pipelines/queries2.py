@@ -1,0 +1,664 @@
+"""Round-2 operator batch: OHLC candlesticks, derived-rate tiers, linear
+gap-fill, anomaly flagging, exact histograms/quantiles/distinct counts,
+deterministic sampling, and a TPC-H-Q1-style pricing summary.
+
+Every operator here is DuckDB-oracle-verified (ORACLES2). Design rules are
+the same as queries.py: partial+final aggregation before any shuffle,
+pyarrow/pandas vectorized kernels, and float-op parity with the SQL oracle
+(shared ROUND(x, 6) points, identical operation order) so the driver's
+value-hash comparison matches bitwise.
+
+No reference counterpart for most of these (the reference is a single-array
+library); they are the distributed operations a production rollup engine
+needs on top of SURVEY.md §2 — each docstring states the scale contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..common.raytools import bucketed_map_groups, hash_bucket_aggregate
+from ..stages.gapfill import gapfill_tier
+from ..stages.rollup import rollup_tier
+
+HOUR_US = 3_600_000_000
+DAY_US = 86_400_000_000
+
+EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+def _events(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns or EVENT_COLS)
+
+
+def _documents(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _r6(x):
+    return np.round(np.asarray(x, dtype=np.float64), 6)
+
+
+def _r6h(x):
+    """Round-half-UP to 6 decimals (SQL ROUND for non-negative values) —
+    see queries._r6h for why rational midpoints need this."""
+    v = np.asarray(x, dtype=np.float64)
+    return np.floor(v * 1e6 + 0.5) / 1e6
+
+
+# ---------------------------------------------------------------------------
+# OHLC candlesticks (open/high/low/close per tier bucket)
+# ---------------------------------------------------------------------------
+
+
+def q_ohlc_1h(sf_dir: str):
+    """Hourly OHLC bars per event_type series.
+
+    Scale design: open/close are arg-min/arg-max by the (ts, event_id)
+    ordering key — an associative reduction — so each batch first collapses
+    to one partial row per (event_type, bucket) carrying the extreme rows'
+    keys, and the single shuffle moves partials only. The final kernel
+    re-resolves the extremes across partials; ties are broken by event_id,
+    which makes the result independent of block layout (the lesson of the
+    round-1 asof_join bug: per-batch tie-breaks are only safe when the
+    tie-break key is part of the reduction)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_us = batch["ts"].astype("datetime64[us]").astype("int64")
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "bucket_ts": (ts_us // HOUR_US) * HOUR_US,
+                "ts": ts_us,
+                "event_id": batch["event_id"].astype(np.int64),
+                "value": batch["value"].astype(np.float64),
+            }
+        )
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        g = df.groupby(["event_type", "bucket_ts"], sort=False)
+        out = g.agg(
+            open_ts=("ts", "first"),
+            open_id=("event_id", "first"),
+            open=("value", "first"),
+            close_ts=("ts", "last"),
+            close_id=("event_id", "last"),
+            close=("value", "last"),
+            low=("value", "min"),
+            high=("value", "max"),
+            cnt=("value", "size"),
+        )
+        return out.reset_index()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        first = df.sort_values(["open_ts", "open_id"], kind="mergesort").iloc[0]
+        last = df.sort_values(["close_ts", "close_id"], kind="mergesort").iloc[-1]
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "bucket_ts": pd.to_datetime([df["bucket_ts"].iloc[0]], unit="us"),
+                "open": _r6(first["open"]),
+                "high": _r6(df["high"].max()),
+                "low": _r6(df["low"].min()),
+                "close": _r6(last["close"]),
+                "cnt": np.int64(df["cnt"].sum()),
+            }
+        )
+
+    parts = _events(sf_dir).map_batches(partial, batch_format="pandas")
+    return bucketed_map_groups(parts, ["event_type", "bucket_ts"], final)
+
+
+# ---------------------------------------------------------------------------
+# derived-rate tier: per-series first difference of the hourly means
+# ---------------------------------------------------------------------------
+
+
+def q_delta_1h(sf_dir: str):
+    """Hourly mean delta (discrete rate) per event_type: the partial+final
+    rollup produces the 1h tier, then a per-series shuffle-free diff inside
+    the bucketed kernel. Means are rounded to 6 before differencing so both
+    engine and oracle subtract the identical float64 values."""
+    t1h = rollup_tier(_events(sf_dir), "1h", key_cols=["event_type"])
+
+    def round_mean(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["mean"] = _r6(_r6(batch["sum"]) / batch["count"].to_numpy())
+        return batch
+
+    t1h = t1h.map_batches(round_mean, batch_format="pandas")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bucket_ts")
+        m = df["mean"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].iloc[1:],
+                "bucket_ts": df["bucket_ts"].iloc[1:],
+                "delta": _r6(m[1:] - m[:-1]),
+            }
+        )
+
+    return bucketed_map_groups(t1h, ["event_type"], fn)
+
+
+# ---------------------------------------------------------------------------
+# linear-interpolation gap fill (north-rule: LOCF *and* linear)
+# ---------------------------------------------------------------------------
+
+
+def q_gapfill_linear_1h(sf_dir: str):
+    """Same dense-grid contract as gapfill_locf_1h but with linear
+    interpolation between neighboring observed hourly means
+    (stages/gapfill.py np.interp path). np.interp's float ops —
+    slope = (v1-v0)/(t1-t0); value = slope*(t-t0) + v0 over float64
+    microsecond timestamps — are replicated verbatim in the SQL oracle, so
+    interpolated values match bitwise. The final display rounding uses
+    round-half-UP (values are non-negative means): interpolation midpoints
+    between two 6-dp means land exactly on the 7th decimal's 5, where
+    numpy's banker's rounding and SQL ROUND disagree."""
+    t1h = rollup_tier(_events(sf_dir), "1h", key_cols=["event_type"])
+
+    def round_mean(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["mean"] = _r6(_r6(batch["sum"]) / batch["count"].to_numpy())
+        return batch
+
+    t1h = t1h.map_batches(round_mean, batch_format="pandas")
+    filled = gapfill_tier(t1h, "1h", "linear", key_cols=("event_type",))
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "bucket_ts": batch["bucket_ts"],
+                "value": _r6h(batch["value"]),
+                "gap_filled": batch["gap_filled"].astype(bool),
+            }
+        )
+
+    return filled.map_batches(fmt, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# anomaly flagging: |zscore| threshold per series
+# ---------------------------------------------------------------------------
+
+
+def q_anomaly_zscore(sf_dir: str, threshold: float = 2.5):
+    """Points whose per-series |z| exceeds the threshold. The filter is
+    applied to the 6-rounded z on both sides so boundary membership is
+    identical. Per-series mean/std require one pass over the series — the
+    same bucketed exchange as the zscore query."""
+    from ..kernels import stats
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        z = _r6(stats.zscore(df["value"].to_numpy(dtype=np.float64)))
+        mask = np.abs(z) > threshold
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy()[mask],
+                "event_type": df["event_type"].to_numpy()[mask],
+                "zvalue": z[mask],
+            }
+        )
+
+    return bucketed_map_groups(_events(sf_dir), ["event_type"], fn)
+
+
+# ---------------------------------------------------------------------------
+# exact histogram (two-pass: tiny bounds aggregate, then partial+final counts)
+# ---------------------------------------------------------------------------
+
+
+def q_value_histogram(sf_dir: str, n_bins: int = 10):
+    """Equal-width histogram of `value` per event_type.
+
+    Pass 1 computes per-type (min, max) — a bucketed C++ aggregate whose
+    result is one row per event_type, small enough to broadcast into the
+    binning closure (the broadcast is the aggregate, never the data).
+    Pass 2 bins every row vectorized, pre-counts per batch, and merges the
+    partial counts with one tiny shuffle. Bin arithmetic is
+    floor((v - lo) / ((hi - lo) / n_bins)) clamped to n_bins-1, evaluated
+    with the identical float64 ops in SQL."""
+    bounds = hash_bucket_aggregate(
+        _events(sf_dir, ["event_type", "value"]),
+        ["event_type"],
+        [("value", "min"), ("value", "max")],
+    ).to_pandas()
+    lo = dict(zip(bounds["event_type"], bounds["value_min"]))
+    hi = dict(zip(bounds["event_type"], bounds["value_max"]))
+
+    def binify(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["value"].to_numpy(dtype=np.float64)
+        lo_v = batch["event_type"].map(lo).to_numpy(dtype=np.float64)
+        hi_v = batch["event_type"].map(hi).to_numpy(dtype=np.float64)
+        width = (hi_v - lo_v) / n_bins
+        with np.errstate(divide="ignore", invalid="ignore"):
+            idx = np.floor((v - lo_v) / width)
+        idx = np.where(np.isfinite(idx), idx, 0.0)
+        idx = np.minimum(idx, n_bins - 1).astype(np.int64)
+        out = pd.DataFrame({"event_type": batch["event_type"], "bin": idx})
+        return out.groupby(["event_type", "bin"], sort=False).size().rename("n").reset_index()
+
+    parts = _events(sf_dir, ["event_type", "value"]).map_batches(
+        binify, batch_format="pandas"
+    )
+    agg = hash_bucket_aggregate(parts, ["event_type", "bin"], [("n", "sum")])
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "bin": batch["bin"].astype(np.int64),
+                "n": batch["n_sum"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# exact quantiles per series (np.quantile linear == DuckDB quantile_cont)
+# ---------------------------------------------------------------------------
+
+QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def q_quantiles(sf_dir: str):
+    """Exact linear-interpolation quantiles per event_type. numpy's default
+    'linear' method computes the same value as DuckDB's quantile_cont
+    (verified bitwise). Exact quantiles need the whole series in one
+    kernel — the same per-series materialization contract (and per-series
+    length cap) as the analysis stage; for sketch-sized memory at unbounded
+    series lengths a t-digest would replace this kernel."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        qs = np.array(QUANTILES)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].iloc[0],
+                "q": qs,
+                "quantile_value": _r6(np.quantile(v, qs)),
+            }
+        )
+
+    return bucketed_map_groups(
+        _events(sf_dir, ["event_type", "value"]), ["event_type"], fn
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact distinct counts (daily active users per event_type)
+# ---------------------------------------------------------------------------
+
+
+def q_distinct_daily_users(sf_dir: str):
+    """COUNT(DISTINCT user_id) per (event_type, day). Partial per-batch
+    dedup (the combiner) shrinks the exchange to unique triples; the final
+    kernel dedups across batches and counts. Exact at any scale because
+    the triple (type, day, user) is hash-co-located."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_us = batch["ts"].astype("datetime64[us]").astype("int64")
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "bucket_ts": (ts_us // DAY_US) * DAY_US,
+                "user_id": batch["user_id"].astype(np.int64),
+            }
+        )
+        return df.drop_duplicates()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["user_id"].nunique()
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "bucket_ts": pd.to_datetime([df["bucket_ts"].iloc[0]], unit="us"),
+                "n_users": np.int64(n),
+            }
+        )
+
+    parts = _events(sf_dir, ["event_type", "ts", "user_id"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    return bucketed_map_groups(parts, ["event_type", "bucket_ts"], final)
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling (hash-Bernoulli and per-stratum top-k)
+# ---------------------------------------------------------------------------
+
+
+def _md5_u64(strings) -> np.ndarray:
+    """Little-endian uint64 of the first 8 md5 bytes — DuckDB's
+    md5_number_upper. Content hash, not a security primitive."""
+    import hashlib
+
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+            for s in strings
+        ),
+        dtype=np.uint64,
+        count=len(strings),
+    )
+
+
+def q_hash_sample(sf_dir: str, modulus: int = 10):
+    """Deterministic ~1/modulus Bernoulli sample of documents keyed on
+    md5(doc_id). Embarrassingly parallel (no shuffle), reproducible across
+    runs/cluster sizes — the sampling primitive every training-data
+    pipeline needs for held-out splits. The hash is on the KEY, not the
+    row position, so resharding the input cannot change membership."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_u64([str(i) for i in batch["doc_id"]])
+        mask = (h % np.uint64(modulus)) == 0
+        out = batch.loc[mask, ["doc_id", "lang", "n_chars"]].copy()
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        out["n_chars"] = out["n_chars"].astype(np.int64)
+        return out
+
+    return _documents(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def q_stratified_sample(sf_dir: str, per_stratum: int = 5):
+    """Per-language top-k sample ordered by (md5(text), doc_id) — a
+    deterministic stratified sample. Top-k by a total order is an
+    associative reduction: each batch keeps its k smallest per stratum
+    (partial), the single shuffle moves k rows per (batch, stratum), and
+    the final kernel re-selects k across partials."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"],
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "fp_u": _md5_u64(batch["text"].fillna("").tolist()),
+            }
+        )
+        df = df.sort_values(["fp_u", "doc_id"], kind="mergesort")
+        return df.groupby("lang", sort=False).head(per_stratum)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["fp_u", "doc_id"], kind="mergesort").head(per_stratum)
+        return pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "doc_id": df["doc_id"],
+                "fingerprint": df["fp_u"].to_numpy().view(np.int64),
+            }
+        )
+
+    parts = _documents(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    return bucketed_map_groups(parts, ["lang"], final)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-Q1-style pricing summary (engine generality on lineitem)
+# ---------------------------------------------------------------------------
+
+_Q1_CUTOFF = "1999-12-31"
+
+
+def q_pricing_summary(sf_dir: str):
+    """The classic pricing-summary rollup (filter -> wide aggregate) over
+    lineitem. All money sums run in scaled int64 (cents / basis-point
+    products), which makes the distributed partial+final sums EXACT and
+    order-independent — float SUM over 10^12 rows is not reproducible
+    across block layouts, integer SUM is. Decimals are reconstructed once
+    at the end. The shipdate predicate is pushed into the parquet read."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+        filter=pc.field("l_shipdate") <= pd.Timestamp(_Q1_CUTOFF),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["l_shipdate"] <= pd.Timestamp(_Q1_CUTOFF)]
+        q100 = np.rint(batch["l_quantity"].to_numpy() * 100).astype(np.int64)
+        p100 = np.rint(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        d100 = np.rint((1.0 - batch["l_discount"].to_numpy()) * 100).astype(np.int64)
+        t100 = np.rint((1.0 + batch["l_tax"].to_numpy()) * 100).astype(np.int64)
+        disc100 = np.rint(batch["l_discount"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "q100": q100,
+                "p100": p100,
+                "dp": p100 * d100,
+                "ch": p100 * d100 * t100,
+                "disc100": disc100,
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            q100=("q100", "sum"),
+            p100=("p100", "sum"),
+            dp=("dp", "sum"),
+            ch=("ch", "sum"),
+            disc100=("disc100", "sum"),
+            n=("q100", "size"),
+        )
+        return g.reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    agg = hash_bucket_aggregate(
+        parts,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("q100", "sum"),
+            ("p100", "sum"),
+            ("dp", "sum"),
+            ("ch", "sum"),
+            ("disc100", "sum"),
+            ("n", "sum"),
+        ],
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n_sum"].astype(np.int64)
+        sum_qty = _r6(batch["q100_sum"].to_numpy(dtype=np.float64) / 100.0)
+        sum_base = _r6(batch["p100_sum"].to_numpy(dtype=np.float64) / 100.0)
+        sum_disc_price = _r6(batch["dp_sum"].to_numpy(dtype=np.float64) / 10000.0)
+        sum_charge = _r6(batch["ch_sum"].to_numpy(dtype=np.float64) / 1000000.0)
+        sum_disc = batch["disc100_sum"].to_numpy(dtype=np.float64) / 100.0
+        return pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": sum_qty,
+                "sum_base_price": sum_base,
+                "sum_disc_price": sum_disc_price,
+                "sum_charge": sum_charge,
+                "avg_qty": _r6(sum_qty / n.to_numpy()),
+                "avg_price": _r6(sum_base / n.to_numpy()),
+                "avg_disc": _r6(sum_disc / n.to_numpy()),
+                "count_order": n,
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES2 = {
+    "ohlc_1h": q_ohlc_1h,
+    "delta_1h": q_delta_1h,
+    "gapfill_linear_1h": q_gapfill_linear_1h,
+    "anomaly_zscore": q_anomaly_zscore,
+    "value_histogram": q_value_histogram,
+    "quantiles": q_quantiles,
+    "distinct_daily_users": q_distinct_daily_users,
+    "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
+    "pricing_summary": q_pricing_summary,
+}
+
+_MD5_SIGNED = """CAST(CASE WHEN md5_number_upper(COALESCE(text, '')) >= 9223372036854775808
+                 THEN md5_number_upper(COALESCE(text, ''))::HUGEINT
+                      - 18446744073709551616::HUGEINT
+                 ELSE md5_number_upper(COALESCE(text, ''))::HUGEINT END
+            AS BIGINT)"""
+
+ORACLES2 = {
+    "ohlc_1h": """
+WITH r AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, bucket_ts,
+       ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+       ROUND(MAX(value), 6) AS high,
+       ROUND(MIN(value), 6) AS low,
+       ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+       COUNT(*) AS cnt
+FROM r GROUP BY 1, 2
+""",
+    "delta_1h": """
+WITH r AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         ROUND(ROUND(SUM(value), 6) / COUNT(*), 6) AS mean_v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket_ts,
+       ROUND(mean_v - lag(mean_v) OVER w, 6) AS delta
+FROM r
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+QUALIFY lag(mean_v) OVER w IS NOT NULL
+""",
+    # np.interp parity: slope = (v1-v0)/(t1-t0); value = slope*(t-t0) + v0
+    # over float64 epoch-microseconds (exactly representable below 2^53).
+    "gapfill_linear_1h": """
+WITH r AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         ROUND(ROUND(SUM(value), 6) / COUNT(*), 6) AS mean_v
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT event_type, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi FROM r GROUP BY 1
+),
+g AS (
+  SELECT b.event_type, UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM b
+)
+SELECT g.event_type, g.bucket_ts,
+       ROUND(CASE
+         WHEN g.bucket_ts = p.bucket_ts THEN p.mean_v
+         WHEN n.bucket_ts IS NULL THEN p.mean_v
+         ELSE (n.mean_v - p.mean_v)
+              / (CAST(epoch_us(n.bucket_ts) AS DOUBLE) - CAST(epoch_us(p.bucket_ts) AS DOUBLE))
+              * (CAST(epoch_us(g.bucket_ts) AS DOUBLE) - CAST(epoch_us(p.bucket_ts) AS DOUBLE))
+              + p.mean_v
+       END, 6) AS value,
+       (g.bucket_ts <> p.bucket_ts) AS gap_filled
+FROM g
+ASOF JOIN r p ON g.event_type = p.event_type AND g.bucket_ts >= p.bucket_ts
+ASOF LEFT JOIN r n ON g.event_type = n.event_type AND g.bucket_ts < n.bucket_ts
+""",
+    "anomaly_zscore": """
+SELECT event_id, event_type, zvalue FROM (
+  SELECT event_id, event_type,
+         ROUND((value - AVG(value) OVER w) / stddev_pop(value) OVER w, 6) AS zvalue
+  FROM events
+  WINDOW w AS (PARTITION BY event_type)
+) WHERE ABS(zvalue) > 2.5
+""",
+    "value_histogram": """
+WITH b AS (
+  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(LEAST(FLOOR((e.value - b.lo) / ((b.hi - b.lo) / 10)), 9) AS BIGINT) AS bin,
+       COUNT(*) AS n
+FROM events e JOIN b ON e.event_type = b.event_type
+GROUP BY 1, 2
+""",
+    "quantiles": """
+SELECT event_type, 0.25 AS q, ROUND(quantile_cont(value, 0.25), 6) AS quantile_value
+FROM events GROUP BY 1
+UNION ALL
+SELECT event_type, 0.5, ROUND(quantile_cont(value, 0.5), 6) FROM events GROUP BY 1
+UNION ALL
+SELECT event_type, 0.75, ROUND(quantile_cont(value, 0.75), 6) FROM events GROUP BY 1
+UNION ALL
+SELECT event_type, 0.95, ROUND(quantile_cont(value, 0.95), 6) FROM events GROUP BY 1
+""",
+    "distinct_daily_users": """
+SELECT event_type, date_trunc('day', ts) AS bucket_ts,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+""",
+    "hash_sample": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 10 = 0
+""",
+    "stratified_sample": f"""
+SELECT lang, doc_id, {_MD5_SIGNED} AS fingerprint FROM (
+  SELECT lang, doc_id, text,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5_number_upper(COALESCE(text, '')), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5
+""",
+    "pricing_summary": f"""
+WITH f AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS q100,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p100,
+         CAST(ROUND((1.0 - l_discount) * 100) AS BIGINT) AS d100,
+         CAST(ROUND((1.0 + l_tax) * 100) AS BIGINT) AS t100,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc100
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+),
+a AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(q100) AS DOUBLE) AS sq, CAST(SUM(p100) AS DOUBLE) AS sp,
+         CAST(SUM(p100 * d100) AS DOUBLE) AS sdp,
+         CAST(SUM(p100 * d100 * t100) AS DOUBLE) AS sch,
+         CAST(SUM(disc100) AS DOUBLE) AS sdisc,
+         COUNT(*) AS n
+  FROM f GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus,
+       ROUND(sq / 100.0, 6) AS sum_qty,
+       ROUND(sp / 100.0, 6) AS sum_base_price,
+       ROUND(sdp / 10000.0, 6) AS sum_disc_price,
+       ROUND(sch / 1000000.0, 6) AS sum_charge,
+       ROUND(ROUND(sq / 100.0, 6) / n, 6) AS avg_qty,
+       ROUND(ROUND(sp / 100.0, 6) / n, 6) AS avg_price,
+       ROUND((sdisc / 100.0) / n, 6) AS avg_disc,
+       n AS count_order
+FROM a
+""",
+}

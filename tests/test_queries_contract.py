@@ -46,7 +46,18 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @pytest.mark.usefixtures("ray_session")
-@pytest.mark.parametrize("name", ["rollup_1h_cascade", "sma", "exact_dedup"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "rollup_1h_cascade",
+        "sma",
+        "exact_dedup",
+        "ohlc_1h",
+        "gapfill_linear_1h",
+        "pricing_summary",
+        "stratified_sample",
+    ],
+)
 def test_query_matches_duckdb_oracle(con, name):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
