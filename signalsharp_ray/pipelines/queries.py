@@ -910,6 +910,26 @@ def q_ivf_knn(sf_dir: str, k: int = 10):
     )
 
 
+def q_lsh_knn(sf_dir: str, k: int = 10):
+    """Random-hyperplane LSH candidate generation + exact rerank. Rows-only
+    (approximate-by-design recall); its exact counterpart knn_cosine IS
+    oracle-checked, and tests assert recall against it."""
+    from ..stages.similarity import lsh_knn
+
+    q = _query_vector(sf_dir)
+    out = lsh_knn(
+        _embeddings(sf_dir).filter(expr="vec_id != 0"),
+        q[None, :],
+        k=k,
+        n_tables=8,
+        n_bits=10,
+        n_probe_bits=1,
+    )
+    return pd.DataFrame(
+        {"vec_id": out["vec_id"].astype(np.int64), "cosine": _r6(out["cosine"])}
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (synthetic media; rows-only)
 # ---------------------------------------------------------------------------
@@ -983,6 +1003,7 @@ def build_queries() -> dict:
         "knn_cosine": q_knn_cosine,
         "embedding_near_dups": q_embedding_near_dups,
         "ivf_knn": q_ivf_knn,
+        "lsh_knn": q_lsh_knn,
         "media_features": q_media_features,
         "pelt_cost_functions": q_pelt_cost_functions,
         "pelt_multivariate": q_pelt_multivariate,

@@ -7,6 +7,8 @@
 - ivf_knn: the scale path — coarse k-means (fit on a sample, broadcast
   centroids), assign each vector to its nearest centroid inside map_batches,
   then search only the n_probe closest cells per query.
+- lsh_knn: random-hyperplane LSH bucketing (multi-table, multiprobe) with
+  exact rerank — the bucket-count-scales-with-bits alternative to IVF.
 - embedding_near_dup_pairs: all pairs with cosine >= threshold via
   centroid-bucketed blocking (exact within a cell; probes neighbor cells).
 """
@@ -140,6 +142,69 @@ def ivf_knn(embeddings_ds, query_vectors: np.ndarray, k: int = 5, n_clusters: in
 
     pruned = assigned.map_batches(prune, batch_format="pandas")
     return knn_brute_force(pruned, query_vectors, k=k, id_col=id_col, col=col)
+
+
+def lsh_knn(embeddings_ds, query_vectors: np.ndarray, k: int = 5,
+            n_tables: int = 8, n_bits: int = 12, n_probe_bits: int = 1,
+            seed: int = 0, id_col: str = "vec_id", col: str = "embedding"):
+    """Approximate top-k via random-hyperplane LSH bucketing (the
+    LSH-bucketed alternative to ivf_knn's centroid cells).
+
+    n_tables signature tables of n_bits sign-bits each (planes seeded,
+    broadcast once). A row is a candidate when its signature matches the
+    query's in ANY table; multiprobe widens each table's bucket set with
+    all signatures within n_probe_bits bit flips. Candidates are reranked
+    EXACTLY by knn_brute_force, so precision is 1.0 and only recall is
+    approximate.
+
+    Scale: the signature stage is one (batch x n_tables*n_bits) matmul per
+    batch (actor pool, planes fetched once per actor); bucket cardinality
+    is 2^n_bits PER TABLE and grows with n_bits, not the corpus — the
+    multi-table scheme the round-1 simhash review asked for. Expected
+    candidate fraction per table ~ (corpus / 2^n_bits); tune n_bits up as
+    the corpus grows to bound rerank cost."""
+    import ray
+
+    q = _normalize(np.atleast_2d(np.asarray(query_vectors, dtype=np.float64)))
+    dim = q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables * n_bits, dim))
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def signatures(m: np.ndarray) -> np.ndarray:
+        bits = (m @ planes.T) > 0  # (n, T*B)
+        return bits.reshape(len(m), n_tables, n_bits) @ weights  # (n, T)
+
+    q_sigs = signatures(q)  # (nq, T)
+    # multiprobe: every signature within n_probe_bits flips of a query sig
+    wanted: list[set[int]] = []
+    for t in range(n_tables):
+        s = set(int(v) for v in q_sigs[:, t])
+        frontier = set(s)
+        for _ in range(n_probe_bits):
+            frontier = {sig ^ (1 << b) for sig in frontier for b in range(n_bits)}
+            s |= frontier
+        wanted.append(s)
+    wanted_arrays = [np.fromiter(s, dtype=np.int64) for s in wanted]
+    pref = ray.put((planes, wanted_arrays))
+
+    class CandidateFilter:
+        def __init__(self):
+            self.planes, self.wanted = ray.get(pref)  # once per actor
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _normalize(_stack_embeddings(batch, col))
+            bits = (m @ self.planes.T) > 0
+            sigs = bits.reshape(len(m), n_tables, n_bits) @ weights
+            mask = np.zeros(len(m), dtype=bool)
+            for t in range(n_tables):
+                mask |= np.isin(sigs[:, t], self.wanted[t])
+            return batch[mask]
+
+    candidates = embeddings_ds.map_batches(
+        CandidateFilter, batch_format="pandas", concurrency=pool_size(2), num_cpus=1
+    )
+    return knn_brute_force(candidates, query_vectors, k=k, id_col=id_col, col=col)
 
 
 def embedding_near_dup_pairs(embeddings_ds, threshold: float = 0.95,

@@ -159,6 +159,26 @@ class TestSimilarity:
         inter = set(exact["vec_id"]) & set(approx["vec_id"])
         assert len(inter) >= 3  # decent recall with 4/8 probes
 
+    def test_lsh_knn_recall_and_determinism(self):
+        from signalsharp_ray.stages.similarity import knn_brute_force, lsh_knn
+
+        ds, m = self._emb_ds(n=300)
+        q = m[7]
+        exact = knn_brute_force(ds, q[None, :], k=5)
+        approx = lsh_knn(ds, q[None, :], k=5, n_tables=8, n_bits=8, n_probe_bits=1)
+        inter = set(exact["vec_id"]) & set(approx["vec_id"])
+        assert len(inter) >= 3  # multi-table + multiprobe recall
+        # precision is exact: every returned cosine equals the true cosine
+        # (rows are float32-stored; the query stays raw float64, as passed)
+        mm = m.astype(np.float32).astype(np.float64)
+        norm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+        sims = norm @ (m[7] / np.linalg.norm(m[7]))
+        for _, row in approx.iterrows():
+            assert row["cosine"] == pytest.approx(sims[int(row["vec_id"])], abs=1e-12)
+        # seeded planes: a second run returns the identical id set
+        again = lsh_knn(ds, q[None, :], k=5, n_tables=8, n_bits=8, n_probe_bits=1)
+        assert list(again["vec_id"]) == list(approx["vec_id"])
+
     def test_embedding_near_dup(self):
         import ray.data as rd
 
