@@ -407,6 +407,100 @@ def q_stratified_sample(sf_dir: str, per_stratum: int = 5):
 
 
 # ---------------------------------------------------------------------------
+# SQL-verifiable MinHash signatures (md5 permutations over char shingles)
+# ---------------------------------------------------------------------------
+
+_MH_PERMS = 4
+_MH_K = 5
+_MH_PREFIX = 512
+
+
+def q_minhash_signatures(sf_dir: str):
+    """MinHash signatures the DuckDB oracle can recompute: distinct char
+    5-gram shingles of a bounded 512-char probe prefix, one md5-salted
+    permutation per signature slot, sig = min hash over the shingle set.
+
+    This gives the minhash FAMILY an independently verified member: the
+    production near-dup path (stages/dedup.py MinHasher) uses numpy
+    universal hashing (a*x+b) for throughput and stays rows-only; this
+    operator proves the min-over-permuted-hashes construction itself
+    against SQL. The per-doc shingle loop is bounded by the prefix (md5
+    runs at C speed); embarrassingly parallel, no shuffle."""
+    import hashlib
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, perms, sigs = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+            s = text[:_MH_PREFIX]
+            if len(s) < _MH_K:
+                continue
+            shingles = {s[i : i + _MH_K] for i in range(len(s) - _MH_K + 1)}
+            for pm in range(_MH_PERMS):
+                salt = f"p{pm}:".encode()
+                m = min(
+                    int.from_bytes(
+                        hashlib.md5(salt + g.encode("utf-8")).digest()[:8], "little"
+                    )
+                    for g in shingles
+                )
+                ids.append(doc_id)
+                perms.append(pm)
+                sigs.append(m - (1 << 64) if m >= (1 << 63) else m)
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "perm": np.asarray(perms, dtype=np.int64),
+                "sig": np.asarray(sigs, dtype=np.int64),
+            }
+        )
+
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# canonical-representative dedup (keep the longest variant per prefix key)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_keep_longest(sf_dir: str, prefix: int = 64):
+    """Common-Crawl-style canonical selection: documents sharing the same
+    64-char prefix are variants of one page; keep the LONGEST text (ties
+    broken by min doc_id). 'Best row per group by a total order' is an
+    associative reduction, so each batch reduces to one candidate per key
+    (the combiner) and the shuffle moves candidates only — the policy
+    cousin of exact_dedup's min-doc_id rule."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "prefix": batch["text"].fillna("").str.slice(0, prefix),
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "n_chars": batch["n_chars"].astype(np.int64),
+            }
+        )
+        df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True], kind="mergesort")
+        g = df.groupby("prefix", sort=False)
+        best = g.head(1).set_index("prefix")
+        cnt = g.size().rename("n_variants")
+        return best.join(cnt).reset_index()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "doc_id": [np.int64(df["doc_id"].iloc[0])],
+                "n_chars": [np.int64(df["n_chars"].iloc[0])],
+                "n_variants": [np.int64(df["n_variants"].sum())],
+            }
+        )
+
+    parts = _documents(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    return bucketed_map_groups(parts, ["prefix"], final)
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-Q1-style pricing summary (engine generality on lineitem)
 # ---------------------------------------------------------------------------
 
@@ -519,6 +613,8 @@ QUERIES2 = {
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
     "pricing_summary": q_pricing_summary,
+    "minhash_signatures": q_minhash_signatures,
+    "dedup_keep_longest": q_dedup_keep_longest,
 }
 
 _MD5_SIGNED = """CAST(CASE WHEN md5_number_upper(COALESCE(text, '')) >= 9223372036854775808
@@ -630,6 +726,41 @@ SELECT lang, doc_id, {_MD5_SIGNED} AS fingerprint FROM (
                             ORDER BY md5_number_upper(COALESCE(text, '')), doc_id) AS rn
   FROM documents
 ) WHERE rn <= 5
+""",
+    "minhash_signatures": """
+WITH t AS (
+  SELECT doc_id, substr(COALESCE(text, ''), 1, 512) AS s FROM documents
+  WHERE length(substr(COALESCE(text, ''), 1, 512)) >= 5
+),
+idx AS (
+  SELECT doc_id, s, UNNEST(generate_series(1, length(s) - 4)) AS i FROM t
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(s, CAST(i AS INT), 5) AS g5 FROM idx
+),
+p AS (SELECT UNNEST([0, 1, 2, 3]) AS perm),
+m AS (
+  SELECT sh.doc_id, p.perm,
+         MIN(md5_number_upper('p' || p.perm || ':' || sh.g5)) AS sig_u
+  FROM sh, p GROUP BY 1, 2
+)
+SELECT doc_id, perm,
+       CAST(CASE WHEN sig_u >= 9223372036854775808
+                 THEN sig_u::HUGEINT - 18446744073709551616::HUGEINT
+                 ELSE sig_u::HUGEINT END AS BIGINT) AS sig
+FROM m
+""",
+    "dedup_keep_longest": """
+WITH k AS (
+  SELECT doc_id, n_chars, substr(COALESCE(text, ''), 1, 64) AS p FROM documents
+),
+r AS (
+  SELECT doc_id, n_chars,
+         COUNT(*) OVER (PARTITION BY p) AS n_variants,
+         row_number() OVER (PARTITION BY p ORDER BY n_chars DESC, doc_id) AS rn
+  FROM k
+)
+SELECT doc_id, n_chars, n_variants FROM r WHERE rn = 1
 """,
     "pricing_summary": f"""
 WITH f AS (
