@@ -599,6 +599,117 @@ def q_pricing_summary(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# broadcast dimension join (orders x customer x nation -> revenue per nation)
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Revenue per nation: the broadcast-join pattern — the small dimension
+    side (customer -> nationkey -> nation name) is put in the object store
+    ONCE via ray.put and mapped inside every fact batch; the fact table
+    (orders) never shuffles. Money sums run in scaled int64 cents so the
+    distributed partials are exact. Right when the dimension fits in
+    worker memory; a dimension that doesn't (e.g. the url dictionary at
+    10^12 pages) uses the co-partitioned bucketed_join instead."""
+    import ray
+    import ray.data as rd
+
+    cust = (
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+        .to_pandas()
+    )
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    cust_to_nation = dict(
+        zip(
+            cust["c_custkey"].astype(np.int64),
+            cust["c_nationkey"]
+            .map(dict(zip(nation["n_nationkey"], nation["n_name"])))
+            .astype(str),
+        )
+    )
+    dim_ref = ray.put(cust_to_nation)
+
+    class JoinAgg:
+        def __init__(self):
+            self.dim = ray.get(dim_ref)  # fetched once per actor
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            df = pd.DataFrame(
+                {
+                    "n_name": batch["o_custkey"].map(self.dim),
+                    "cents": np.rint(batch["o_totalprice"].to_numpy() * 100).astype(
+                        np.int64
+                    ),
+                }
+            )
+            g = df.groupby("n_name", sort=False).agg(
+                cents=("cents", "sum"), n_orders=("cents", "size")
+            )
+            return g.reset_index()
+
+    from ..common.raytools import pool_size
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(JoinAgg, batch_format="pandas", concurrency=pool_size(4), num_cpus=1)
+    agg = hash_bucket_aggregate(
+        parts, ["n_name"], [("cents", "sum"), ("n_orders", "sum")]
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": batch["n_name"],
+                "revenue": _r6(batch["cents_sum"].to_numpy(dtype=np.float64) / 100.0),
+                "n_orders": batch["n_orders_sum"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# top-k per group (largest orders per customer — associative partial top-k)
+# ---------------------------------------------------------------------------
+
+
+def q_top_orders_per_customer(sf_dir: str, k: int = 3):
+    """Top-k orders per customer by (totalprice DESC, orderkey ASC). The
+    per-batch partial keeps k rows per customer, so the shuffle moves at
+    most k rows per (batch, customer) — the same associative top-k shape
+    as stratified_sample, on a numeric ordering over a second table."""
+    import ray.data as rd
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = batch[["o_custkey", "o_orderkey", "o_totalprice"]].copy()
+        df = df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        )
+        return df.groupby("o_custkey", sort=False).head(k)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].astype(np.int64),
+                "o_orderkey": df["o_orderkey"].astype(np.int64),
+                "o_totalprice": _r6(df["o_totalprice"]),
+                "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            }
+        )
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    ).map_batches(partial, batch_format="pandas")
+    return bucketed_map_groups(parts, ["o_custkey"], final)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -615,6 +726,8 @@ QUERIES2 = {
     "pricing_summary": q_pricing_summary,
     "minhash_signatures": q_minhash_signatures,
     "dedup_keep_longest": q_dedup_keep_longest,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_orders_per_customer": q_top_orders_per_customer,
 }
 
 _MD5_SIGNED = """CAST(CASE WHEN md5_number_upper(COALESCE(text, '')) >= 9223372036854775808
@@ -726,6 +839,24 @@ SELECT lang, doc_id, {_MD5_SIGNED} AS fingerprint FROM (
                             ORDER BY md5_number_upper(COALESCE(text, '')), doc_id) AS rn
   FROM documents
 ) WHERE rn <= 5
+""",
+    "revenue_by_nation": """
+SELECT n.n_name,
+       ROUND(CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 6)
+         AS revenue,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""",
+    "top_orders_per_customer": """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 6) AS o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 3
 """,
     "minhash_signatures": """
 WITH t AS (
