@@ -45,6 +45,30 @@ def test_segment_max_min():
     np.testing.assert_array_equal(segment_min([1, 2, 3, 4, 5, 6], 2), [1, 3, 5])
 
 
-def test_invalid_factor():
+def test_segment_median_single_element():
+    # ResamplingTests.cs:103-124 — single point, factor larger than signal
+    np.testing.assert_allclose(segment_median([1], 2), [1])
+    np.testing.assert_allclose(segment_median([1], 2, use_quickselect=False), [1])
+
+
+def test_segment_median_short_both_paths():
+    # ResamplingTests.cs:125-146 — factor > len, both median paths agree
+    np.testing.assert_allclose(segment_median([1, 2, 3], 5, use_quickselect=False), [2])
+
+
+def test_segment_median_ragged_quickselect_disabled():
+    # ResamplingTests.cs:92-102
+    np.testing.assert_allclose(
+        segment_median([1, 3, 2, 5, 4, 6, 7], 3, use_quickselect=False), [2, 5, 7]
+    )
+
+
+@pytest.mark.parametrize(
+    "fn", [downsample, segment_mean, segment_median, segment_min, segment_max]
+)
+@pytest.mark.parametrize("factor", [0, -1])
+def test_invalid_factor(fn, factor):
+    # ResamplingTests.cs throws ArgumentOutOfRangeException for factor <= 0
+    # on every operator; our kernels raise ValueError uniformly
     with pytest.raises(ValueError):
-        downsample([1, 2], 0)
+        fn([1, 2, 3], factor)

@@ -125,6 +125,41 @@ def test_savgol_validation():
     assert savitzky_golay([], 5, 2).size == 0
 
 
+def test_sma_nonpositive_window_raises():
+    # MovingAverageTests.cs:32-40
+    with pytest.raises(ValueError):
+        simple_moving_average([1.0, 2.0, 3.0], 0)
+    with pytest.raises(ValueError):
+        simple_moving_average([1.0, 2.0, 3.0], -1)
+
+
+def test_ema_alpha_out_of_range_raises():
+    # MovingAverageTests.cs:74-84 — alpha 0 and 1.1 both throw
+    with pytest.raises(ValueError):
+        exponential_moving_average([1.0, 2, 3, 4, 5], 0.0)
+    with pytest.raises(ValueError):
+        exponential_moving_average([1.0, 2, 3, 4, 5], 1.1)
+
+
+def test_wma_weights_longer_than_signal_raises():
+    # MovingAverageTests.cs:125-133
+    with pytest.raises(ValueError):
+        weighted_moving_average([1.0, 2.0], [0.2, 0.3, 0.5])
+
+
+def test_wma_empty_weights_raises():
+    # MovingAverageTests.cs:116-123
+    with pytest.raises(ValueError):
+        weighted_moving_average([1.0, 2.0, 3.0], [])
+
+
+def test_savgol_negative_linear_identity():
+    # SavitzkyGolayFilterTests.cs:95-107 — w=3, p=1 on a negative ramp is
+    # the identity (linear signals are fixed points of the filter)
+    x = np.array([-1.0, -2, -3, -4, -5, -6, -7, -8])
+    np.testing.assert_allclose(savitzky_golay(x, 3, 1), x, atol=1e-10)
+
+
 def test_ema_chunked_path_parity_long_series():
     """The chunked long-series EMA path (n > 2048) must match the
     sequential recurrence to float64 precision relative to the series
