@@ -599,6 +599,63 @@ def q_pricing_summary(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# retention sweep: age-based survival per continuous-aggregate tier
+# ---------------------------------------------------------------------------
+
+_RETENTION_DAYS = {"1m": 7, "1h": 30, "1d": None}  # None = keep forever
+
+
+def q_retention_tiers(sf_dir: str):
+    """The retention policy of the rollup+downsample+RETENTION engine: fine
+    tiers age out, coarse tiers persist (1m kept 7 days, 1h kept 30 days,
+    1d forever), measured from the day-floor of the newest event. Returns
+    the union of surviving buckets tagged by tier.
+
+    Scale contract: tiers are hive-partitioned Parquet, so retention is a
+    partition-level DELETE — whole directories older than the cutoff drop
+    without reading a row (bucket_ts is monotone within a tier dir only at
+    the day level, so sub-day boundaries filter row groups via parquet
+    min/max stats). Here the filter runs inside map_batches over the tier
+    datasets; cutoff arithmetic is integer microseconds (exact parity with
+    the SQL oracle). The 'now' anchor comes from the tiny 1d tier — one
+    driver-side scalar, never a data pass."""
+    from ..stages.rollup import cascade_tier
+
+    t1m = rollup_tier(_events(sf_dir), "1m", key_cols=["event_type"])
+    t1h = cascade_tier(t1m, "1h", key_cols=["event_type"])
+    t1d = cascade_tier(t1h, "1d", key_cols=["event_type"])
+
+    # newest day: max over the (tiny) 1d tier == day-floor of max event ts
+    d1_pdf = t1d.to_pandas()
+    now_day_us = int(d1_pdf["bucket_ts"].astype("datetime64[us]").astype("int64").max())
+
+    def survivors(ds, tier: str):
+        days = _RETENTION_DAYS[tier]
+        cutoff = None if days is None else now_day_us - days * DAY_US
+
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            ts_us = batch["bucket_ts"].astype("datetime64[us]").astype("int64")
+            keep = np.ones(len(batch), dtype=bool) if cutoff is None else (
+                ts_us.to_numpy() >= cutoff
+            )
+            b = batch[keep]
+            return pd.DataFrame(
+                {
+                    "tier": tier,
+                    "event_type": b["event_type"],
+                    "bucket_ts": b["bucket_ts"],
+                    "cnt": b["count"].astype(np.int64),
+                    "sum_value": _r6(b["sum"]),
+                }
+            )
+
+        return ds.map_batches(fn, batch_format="pandas")
+
+    out = survivors(t1m, "1m").union(survivors(t1h, "1h")).union(survivors(t1d, "1d"))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # broadcast dimension join (orders x customer x nation -> revenue per nation)
 # ---------------------------------------------------------------------------
 
@@ -728,6 +785,7 @@ QUERIES2 = {
     "dedup_keep_longest": q_dedup_keep_longest,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_customer": q_top_orders_per_customer,
+    "retention_tiers": q_retention_tiers,
 }
 
 _MD5_SIGNED = """CAST(CASE WHEN md5_number_upper(COALESCE(text, '')) >= 9223372036854775808
@@ -839,6 +897,31 @@ SELECT lang, doc_id, {_MD5_SIGNED} AS fingerprint FROM (
                             ORDER BY md5_number_upper(COALESCE(text, '')), doc_id) AS rn
   FROM documents
 ) WHERE rn <= 5
+""",
+    "retention_tiers": """
+WITH anchor AS (
+  SELECT date_trunc('day', MAX(ts)) AS d0 FROM events
+),
+m AS (
+  SELECT event_type, date_trunc('minute', ts) AS bucket_ts,
+         COUNT(*) AS cnt, ROUND(SUM(value), 6) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+h AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         COUNT(*) AS cnt, ROUND(SUM(value), 6) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_ts,
+         COUNT(*) AS cnt, ROUND(SUM(value), 6) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT '1m' AS tier, m.* FROM m, anchor WHERE m.bucket_ts >= anchor.d0 - INTERVAL 7 DAY
+UNION ALL
+SELECT '1h' AS tier, h.* FROM h, anchor WHERE h.bucket_ts >= anchor.d0 - INTERVAL 30 DAY
+UNION ALL
+SELECT '1d' AS tier, d.* FROM d
 """,
     "revenue_by_nation": """
 SELECT n.n_name,
