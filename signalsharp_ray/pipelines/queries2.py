@@ -56,6 +56,53 @@ def _r6h(x):
 # ---------------------------------------------------------------------------
 
 
+def ohlc_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch OHLC combiner: one partial row per (event_type, bucket)
+    carrying the extreme rows' (ts, event_id) keys so the final merge can
+    re-resolve open/close across batches."""
+    ts_us = batch["ts"].astype("datetime64[us]").astype("int64")
+    df = pd.DataFrame(
+        {
+            "event_type": batch["event_type"],
+            "bucket_ts": (ts_us // HOUR_US) * HOUR_US,
+            "ts": ts_us,
+            "event_id": batch["event_id"].astype(np.int64),
+            "value": batch["value"].astype(np.float64),
+        }
+    )
+    df = df.sort_values(["ts", "event_id"], kind="mergesort")
+    g = df.groupby(["event_type", "bucket_ts"], sort=False)
+    out = g.agg(
+        open_ts=("ts", "first"),
+        open_id=("event_id", "first"),
+        open=("value", "first"),
+        close_ts=("ts", "last"),
+        close_id=("event_id", "last"),
+        close=("value", "last"),
+        low=("value", "min"),
+        high=("value", "max"),
+        cnt=("value", "size"),
+    )
+    return out.reset_index()
+
+
+def ohlc_final(df: pd.DataFrame) -> pd.DataFrame:
+    """Merge the partial rows of ONE (event_type, bucket) group."""
+    first = df.sort_values(["open_ts", "open_id"], kind="mergesort").iloc[0]
+    last = df.sort_values(["close_ts", "close_id"], kind="mergesort").iloc[-1]
+    return pd.DataFrame(
+        {
+            "event_type": [df["event_type"].iloc[0]],
+            "bucket_ts": pd.to_datetime([df["bucket_ts"].iloc[0]], unit="us"),
+            "open": _r6(first["open"]),
+            "high": _r6(df["high"].max()),
+            "low": _r6(df["low"].min()),
+            "close": _r6(last["close"]),
+            "cnt": np.int64(df["cnt"].sum()),
+        }
+    )
+
+
 def q_ohlc_1h(sf_dir: str):
     """Hourly OHLC bars per event_type series.
 
@@ -66,51 +113,10 @@ def q_ohlc_1h(sf_dir: str):
     re-resolves the extremes across partials; ties are broken by event_id,
     which makes the result independent of block layout (the lesson of the
     round-1 asof_join bug: per-batch tie-breaks are only safe when the
-    tie-break key is part of the reduction)."""
-
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        ts_us = batch["ts"].astype("datetime64[us]").astype("int64")
-        df = pd.DataFrame(
-            {
-                "event_type": batch["event_type"],
-                "bucket_ts": (ts_us // HOUR_US) * HOUR_US,
-                "ts": ts_us,
-                "event_id": batch["event_id"].astype(np.int64),
-                "value": batch["value"].astype(np.float64),
-            }
-        )
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        g = df.groupby(["event_type", "bucket_ts"], sort=False)
-        out = g.agg(
-            open_ts=("ts", "first"),
-            open_id=("event_id", "first"),
-            open=("value", "first"),
-            close_ts=("ts", "last"),
-            close_id=("event_id", "last"),
-            close=("value", "last"),
-            low=("value", "min"),
-            high=("value", "max"),
-            cnt=("value", "size"),
-        )
-        return out.reset_index()
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        first = df.sort_values(["open_ts", "open_id"], kind="mergesort").iloc[0]
-        last = df.sort_values(["close_ts", "close_id"], kind="mergesort").iloc[-1]
-        return pd.DataFrame(
-            {
-                "event_type": [df["event_type"].iloc[0]],
-                "bucket_ts": pd.to_datetime([df["bucket_ts"].iloc[0]], unit="us"),
-                "open": _r6(first["open"]),
-                "high": _r6(df["high"].max()),
-                "low": _r6(df["low"].min()),
-                "close": _r6(last["close"]),
-                "cnt": np.int64(df["cnt"].sum()),
-            }
-        )
-
-    parts = _events(sf_dir).map_batches(partial, batch_format="pandas")
-    return bucketed_map_groups(parts, ["event_type", "bucket_ts"], final)
+    tie-break key is part of the reduction). Split-invariance is
+    unit-tested in tests/test_queries2.py."""
+    parts = _events(sf_dir).map_batches(ohlc_partial, batch_format="pandas")
+    return bucketed_map_groups(parts, ["event_type", "bucket_ts"], ohlc_final)
 
 
 # ---------------------------------------------------------------------------
@@ -462,42 +468,47 @@ def q_minhash_signatures(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def keep_longest_partial(batch: pd.DataFrame, prefix: int = 64) -> pd.DataFrame:
+    """Per-batch best-row combiner: one candidate per prefix key, plus the
+    batch-local variant count (counts merge by sum)."""
+    df = pd.DataFrame(
+        {
+            "prefix": batch["text"].fillna("").str.slice(0, prefix),
+            "doc_id": batch["doc_id"].astype(np.int64),
+            "n_chars": batch["n_chars"].astype(np.int64),
+        }
+    )
+    df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True], kind="mergesort")
+    g = df.groupby("prefix", sort=False)
+    best = g.head(1).set_index("prefix")
+    cnt = g.size().rename("n_variants")
+    return best.join(cnt).reset_index()
+
+
+def keep_longest_final(df: pd.DataFrame) -> pd.DataFrame:
+    """Resolve one prefix group's candidates to the global best row."""
+    df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True], kind="mergesort")
+    return pd.DataFrame(
+        {
+            "doc_id": [np.int64(df["doc_id"].iloc[0])],
+            "n_chars": [np.int64(df["n_chars"].iloc[0])],
+            "n_variants": [np.int64(df["n_variants"].sum())],
+        }
+    )
+
+
 def q_dedup_keep_longest(sf_dir: str, prefix: int = 64):
     """Common-Crawl-style canonical selection: documents sharing the same
     64-char prefix are variants of one page; keep the LONGEST text (ties
     broken by min doc_id). 'Best row per group by a total order' is an
     associative reduction, so each batch reduces to one candidate per key
     (the combiner) and the shuffle moves candidates only — the policy
-    cousin of exact_dedup's min-doc_id rule."""
-
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        df = pd.DataFrame(
-            {
-                "prefix": batch["text"].fillna("").str.slice(0, prefix),
-                "doc_id": batch["doc_id"].astype(np.int64),
-                "n_chars": batch["n_chars"].astype(np.int64),
-            }
-        )
-        df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True], kind="mergesort")
-        g = df.groupby("prefix", sort=False)
-        best = g.head(1).set_index("prefix")
-        cnt = g.size().rename("n_variants")
-        return best.join(cnt).reset_index()
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True], kind="mergesort")
-        return pd.DataFrame(
-            {
-                "doc_id": [np.int64(df["doc_id"].iloc[0])],
-                "n_chars": [np.int64(df["n_chars"].iloc[0])],
-                "n_variants": [np.int64(df["n_variants"].sum())],
-            }
-        )
-
+    cousin of exact_dedup's min-doc_id rule. Split-invariance is
+    unit-tested in tests/test_queries2.py."""
     parts = _documents(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
-        partial, batch_format="pandas"
+        lambda b: keep_longest_partial(b, prefix), batch_format="pandas"
     )
-    return bucketed_map_groups(parts, ["prefix"], final)
+    return bucketed_map_groups(parts, ["prefix"], keep_longest_final)
 
 
 # ---------------------------------------------------------------------------
@@ -732,38 +743,43 @@ def q_revenue_by_nation(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def topk_orders_partial(batch: pd.DataFrame, k: int = 3) -> pd.DataFrame:
+    """Per-batch top-k combiner: at most k rows per customer survive."""
+    df = batch[["o_custkey", "o_orderkey", "o_totalprice"]].copy()
+    df = df.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    )
+    return df.groupby("o_custkey", sort=False).head(k)
+
+
+def topk_orders_final(df: pd.DataFrame, k: int = 3) -> pd.DataFrame:
+    """Re-select the global top-k from one customer's partial rows."""
+    df = df.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return pd.DataFrame(
+        {
+            "o_custkey": df["o_custkey"].astype(np.int64),
+            "o_orderkey": df["o_orderkey"].astype(np.int64),
+            "o_totalprice": _r6(df["o_totalprice"]),
+            "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+        }
+    )
+
+
 def q_top_orders_per_customer(sf_dir: str, k: int = 3):
     """Top-k orders per customer by (totalprice DESC, orderkey ASC). The
     per-batch partial keeps k rows per customer, so the shuffle moves at
     most k rows per (batch, customer) — the same associative top-k shape
-    as stratified_sample, on a numeric ordering over a second table."""
+    as stratified_sample, on a numeric ordering over a second table.
+    Split-invariance is unit-tested in tests/test_queries2.py."""
     import ray.data as rd
-
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        df = batch[["o_custkey", "o_orderkey", "o_totalprice"]].copy()
-        df = df.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
-        )
-        return df.groupby("o_custkey", sort=False).head(k)
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        return pd.DataFrame(
-            {
-                "o_custkey": df["o_custkey"].astype(np.int64),
-                "o_orderkey": df["o_orderkey"].astype(np.int64),
-                "o_totalprice": _r6(df["o_totalprice"]),
-                "rank": np.arange(1, len(df) + 1, dtype=np.int64),
-            }
-        )
 
     parts = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderkey", "o_totalprice"],
-    ).map_batches(partial, batch_format="pandas")
-    return bucketed_map_groups(parts, ["o_custkey"], final)
+    ).map_batches(lambda b: topk_orders_partial(b, k), batch_format="pandas")
+    return bucketed_map_groups(parts, ["o_custkey"], lambda d: topk_orders_final(d, k))
 
 
 # ---------------------------------------------------------------------------
