@@ -71,8 +71,41 @@ def _r6h(x):
     return np.floor(v * 1e6 + 0.5) / 1e6
 
 
+def _r6away(x):
+    """Round-half-AWAY-FROM-ZERO to 6 decimals == DuckDB ROUND(double, 6)
+    for both signs (numpy's banker's rounding differs on midpoints, which
+    occur whenever outputs are arithmetic on exact decimal inputs)."""
+    v = np.asarray(x, dtype=np.float64)
+    return np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+
+
 def _sorted_group(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(["ts", "event_id"])
+
+
+def _events_v100(sf_dir: str, key_cols=("event_type",)):
+    """events with value as EXACT int64 centivalue (the synthetic value
+    column is 2-decimal data; verified max |value*100 - round| < 4e-12).
+
+    Why: float SUM over distributed blocks is association-dependent — at
+    sf0.1 a per-bucket float sum can land on the far side of a ROUND(x, 6)
+    edge from DuckDB's sequential sum (observed: 44.569062 vs 44.569063).
+    Integer sums are exact and order-independent at ANY scale, the same
+    scheme as pricing_summary's money sums; decimals are reconstructed once
+    at the end (k/100.0 is the identical double to the stored value)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = list(key_cols)
+
+    def to100(batch: pa.Table) -> pa.Table:
+        out = {k: batch[k] for k in cols}
+        out["ts"] = batch["ts"]
+        out["value"] = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        return pa.table(out)
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+    return ds.map_batches(to100, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -81,20 +114,22 @@ def _sorted_group(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _finish_rollup(ds):
+    """Format a rollup over CENTIVALUE (int64, from _events_v100) rows:
+    sums are exact integers, decimals reconstructed once — bitwise-equal
+    to the oracle at any scale and block layout."""
+
     def fmt(batch: pd.DataFrame) -> pd.DataFrame:
         cnt = batch["count"].astype(np.int64)
-        sum_r = _r6(batch["sum"])
+        sum_d = batch["sum"].to_numpy(dtype=np.float64) / 100.0
         return pd.DataFrame(
             {
                 "event_type": batch["event_type"],
                 "bucket_ts": batch["bucket_ts"],
                 "cnt": cnt,
-                "sum_value": sum_r,
-                "min_value": _r6(batch["min"]),
-                "max_value": _r6(batch["max"]),
-                # derived from the ROUNDED sum so both sides compute the
-                # identical value (raw means can straddle a rounding edge)
-                "mean_value": _r6(sum_r / cnt.to_numpy()),
+                "sum_value": _r6away(sum_d),
+                "min_value": _r6away(batch["min"].to_numpy(np.float64) / 100.0),
+                "max_value": _r6away(batch["max"].to_numpy(np.float64) / 100.0),
+                "mean_value": _r6away(sum_d / cnt.to_numpy()),
             }
         )
 
@@ -102,37 +137,40 @@ def _finish_rollup(ds):
 
 
 def q_rollup_1m(sf_dir: str):
-    return _finish_rollup(rollup_tier(_events(sf_dir), "1m", key_cols=["event_type"]))
+    return _finish_rollup(rollup_tier(_events_v100(sf_dir), "1m", key_cols=["event_type"]))
 
 
 def q_rollup_1h_cascade(sf_dir: str):
-    t1m = rollup_tier(_events(sf_dir), "1m", key_cols=["event_type"])
+    t1m = rollup_tier(_events_v100(sf_dir), "1m", key_cols=["event_type"])
     return _finish_rollup(cascade_tier(t1m, "1h", key_cols=["event_type"]))
 
 
 def q_rollup_1d_cascade(sf_dir: str):
-    t1m = rollup_tier(_events(sf_dir), "1m", key_cols=["event_type"])
+    t1m = rollup_tier(_events_v100(sf_dir), "1m", key_cols=["event_type"])
     t1h = cascade_tier(t1m, "1h", key_cols=["event_type"])
     return _finish_rollup(cascade_tier(t1h, "1d", key_cols=["event_type"]))
 
 
 _ROLLUP_SQL = """
+WITH v AS (
+  SELECT event_type, ts, CAST(ROUND(value * 100) AS BIGINT) AS v100 FROM events
+)
 SELECT event_type,
        date_trunc('{unit}', ts) AS bucket_ts,
        COUNT(*) AS cnt,
-       ROUND(SUM(value), 6) AS sum_value,
-       ROUND(MIN(value), 6) AS min_value,
-       ROUND(MAX(value), 6) AS max_value,
-       ROUND(ROUND(SUM(value), 6) / COUNT(*), 6) AS mean_value
-FROM events GROUP BY 1, 2
+       ROUND(CAST(SUM(v100) AS DOUBLE) / 100, 6) AS sum_value,
+       ROUND(CAST(MIN(v100) AS DOUBLE) / 100, 6) AS min_value,
+       ROUND(CAST(MAX(v100) AS DOUBLE) / 100, 6) AS max_value,
+       ROUND(CAST(SUM(v100) AS DOUBLE) / 100 / COUNT(*), 6) AS mean_value
+FROM v GROUP BY 1, 2
 """
 
 
 def q_rollup_1h_by_user(sf_dir: str):
     """Higher-cardinality key (user_id) — exercises the shuffle with many
-    more groups than event_type."""
+    more groups than event_type. Centivalue sums (exact at any layout)."""
     ds = rollup_tier(
-        _events(sf_dir, ["event_id", "ts", "user_id", "value"]),
+        _events_v100(sf_dir, key_cols=("user_id",)),
         "1h",
         key_cols=["user_id"],
     )
@@ -143,7 +181,7 @@ def q_rollup_1h_by_user(sf_dir: str):
                 "user_id": batch["user_id"].astype(np.int64),
                 "bucket_ts": batch["bucket_ts"],
                 "cnt": batch["count"].astype(np.int64),
-                "sum_value": _r6(batch["sum"]),
+                "sum_value": _r6away(batch["sum"].to_numpy(np.float64) / 100.0),
             }
         )
 
@@ -439,13 +477,15 @@ def q_holt_multiplicative(sf_dir: str, horizon: int = 3):
 
 
 def q_gapfill_locf_1h(sf_dir: str):
-    t1h = rollup_tier(_events(sf_dir), "1h", key_cols=["event_type"])
+    t1h = rollup_tier(_events_v100(sf_dir), "1h", key_cols=["event_type"])
 
     def round_mean(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        # derive from the rounded sum (identical on the SQL side) so LOCF
-        # propagates bit-identical values
-        batch["mean"] = _r6(_r6(batch["sum"]) / batch["count"].to_numpy())
+        # centivalue sums are exact, so the mean is the identical double on
+        # both sides at any scale; LOCF propagates it bit-identically
+        batch["mean"] = _r6away(
+            (batch["sum"].to_numpy(np.float64) / 100.0) / batch["count"].to_numpy()
+        )
         return batch
 
     t1h = t1h.map_batches(round_mean, batch_format="pandas")
@@ -1030,7 +1070,8 @@ def build_oracle_sql() -> dict:
 SELECT user_id,
        date_trunc('hour', ts) AS bucket_ts,
        COUNT(*) AS cnt,
-       ROUND(SUM(value), 6) AS sum_value
+       ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100, 6)
+         AS sum_value
 FROM events GROUP BY 1, 2
 """,
         "downsample": """
@@ -1104,7 +1145,8 @@ CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS h) h
         "gapfill_locf_1h": """
 WITH r AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
-         ROUND(ROUND(SUM(value), 6) / COUNT(*), 6) AS mean_v
+         ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+               / COUNT(*), 6) AS mean_v
   FROM events GROUP BY 1, 2
 ),
 b AS (

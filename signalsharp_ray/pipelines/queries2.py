@@ -44,11 +44,13 @@ def _r6(x):
     return np.round(np.asarray(x, dtype=np.float64), 6)
 
 
-def _r6h(x):
-    """Round-half-UP to 6 decimals (SQL ROUND for non-negative values) —
-    see queries._r6h for why rational midpoints need this."""
+def _r6away(x):
+    """Round-half-AWAY-FROM-ZERO to 6 decimals — verified to match DuckDB's
+    ROUND(double, 6) on midpoints of both signs, where numpy's banker's
+    rounding differs (rational midpoints occur whenever outputs are
+    arithmetic on 6-dp-rounded inputs: deltas, interpolations, ratios)."""
     v = np.asarray(x, dtype=np.float64)
-    return np.floor(v * 1e6 + 0.5) / 1e6
+    return np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
 
 
 # ---------------------------------------------------------------------------
@@ -129,11 +131,16 @@ def q_delta_1h(sf_dir: str):
     rollup produces the 1h tier, then a per-series shuffle-free diff inside
     the bucketed kernel. Means are rounded to 6 before differencing so both
     engine and oracle subtract the identical float64 values."""
-    t1h = rollup_tier(_events(sf_dir), "1h", key_cols=["event_type"])
+    from .queries import _events_v100
+
+    t1h = rollup_tier(_events_v100(sf_dir), "1h", key_cols=["event_type"])
 
     def round_mean(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["mean"] = _r6(_r6(batch["sum"]) / batch["count"].to_numpy())
+        # centivalue sums -> the mean double is identical on both sides
+        batch["mean"] = _r6away(
+            (batch["sum"].to_numpy(np.float64) / 100.0) / batch["count"].to_numpy()
+        )
         return batch
 
     t1h = t1h.map_batches(round_mean, batch_format="pandas")
@@ -145,7 +152,9 @@ def q_delta_1h(sf_dir: str):
             {
                 "event_type": df["event_type"].iloc[1:],
                 "bucket_ts": df["bucket_ts"].iloc[1:],
-                "delta": _r6(m[1:] - m[:-1]),
+                # deltas of 6-dp means land on signed decimal midpoints:
+                # round half-away to match SQL ROUND for both signs
+                "delta": _r6away(m[1:] - m[:-1]),
             }
         )
 
@@ -160,18 +169,23 @@ def q_delta_1h(sf_dir: str):
 def q_gapfill_linear_1h(sf_dir: str):
     """Same dense-grid contract as gapfill_locf_1h but with linear
     interpolation between neighboring observed hourly means
-    (stages/gapfill.py np.interp path). np.interp's float ops —
+    (stages/gapfill.py linear path). The kernel's float ops —
     slope = (v1-v0)/(t1-t0); value = slope*(t-t0) + v0 over float64
-    microsecond timestamps — are replicated verbatim in the SQL oracle, so
-    interpolated values match bitwise. The final display rounding uses
-    round-half-UP (values are non-negative means): interpolation midpoints
-    between two 6-dp means land exactly on the 7th decimal's 5, where
-    numpy's banker's rounding and SQL ROUND disagree."""
-    t1h = rollup_tier(_events(sf_dir), "1h", key_cols=["event_type"])
+    microsecond timestamps, as SEPARATE multiply/add ops — are replicated
+    verbatim in the SQL oracle, so interpolated values match bitwise.
+    The final display rounding is half-away-from-zero (SQL ROUND):
+    interpolation midpoints between two 6-dp means land exactly on the
+    7th decimal's 5, where numpy's banker's rounding disagrees."""
+    from .queries import _events_v100
+
+    t1h = rollup_tier(_events_v100(sf_dir), "1h", key_cols=["event_type"])
 
     def round_mean(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["mean"] = _r6(_r6(batch["sum"]) / batch["count"].to_numpy())
+        # centivalue sums -> the mean double is identical on both sides
+        batch["mean"] = _r6away(
+            (batch["sum"].to_numpy(np.float64) / 100.0) / batch["count"].to_numpy()
+        )
         return batch
 
     t1h = t1h.map_batches(round_mean, batch_format="pandas")
@@ -182,7 +196,7 @@ def q_gapfill_linear_1h(sf_dir: str):
             {
                 "event_type": batch["event_type"],
                 "bucket_ts": batch["bucket_ts"],
-                "value": _r6h(batch["value"]),
+                "value": _r6away(batch["value"]),
                 "gap_filled": batch["gap_filled"].astype(bool),
             }
         )
@@ -631,8 +645,9 @@ def q_retention_tiers(sf_dir: str):
     the SQL oracle). The 'now' anchor comes from the tiny 1d tier — one
     driver-side scalar, never a data pass."""
     from ..stages.rollup import cascade_tier
+    from .queries import _events_v100
 
-    t1m = rollup_tier(_events(sf_dir), "1m", key_cols=["event_type"])
+    t1m = rollup_tier(_events_v100(sf_dir), "1m", key_cols=["event_type"])
     t1h = cascade_tier(t1m, "1h", key_cols=["event_type"])
     t1d = cascade_tier(t1h, "1d", key_cols=["event_type"])
 
@@ -656,7 +671,7 @@ def q_retention_tiers(sf_dir: str):
                     "event_type": b["event_type"],
                     "bucket_ts": b["bucket_ts"],
                     "cnt": b["count"].astype(np.int64),
-                    "sum_value": _r6(b["sum"]),
+                    "sum_value": _r6away(b["sum"].to_numpy(np.float64) / 100.0),
                 }
             )
 
@@ -831,7 +846,8 @@ FROM r GROUP BY 1, 2
     "delta_1h": """
 WITH r AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
-         ROUND(ROUND(SUM(value), 6) / COUNT(*), 6) AS mean_v
+         ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+               / COUNT(*), 6) AS mean_v
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, bucket_ts,
@@ -845,7 +861,8 @@ QUALIFY lag(mean_v) OVER w IS NOT NULL
     "gapfill_linear_1h": """
 WITH r AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
-         ROUND(ROUND(SUM(value), 6) / COUNT(*), 6) AS mean_v
+         ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+               / COUNT(*), 6) AS mean_v
   FROM events GROUP BY 1, 2
 ),
 b AS (
@@ -920,17 +937,23 @@ WITH anchor AS (
 ),
 m AS (
   SELECT event_type, date_trunc('minute', ts) AS bucket_ts,
-         COUNT(*) AS cnt, ROUND(SUM(value), 6) AS sum_value
+         COUNT(*) AS cnt,
+         ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100, 6)
+           AS sum_value
   FROM events GROUP BY 1, 2
 ),
 h AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
-         COUNT(*) AS cnt, ROUND(SUM(value), 6) AS sum_value
+         COUNT(*) AS cnt,
+         ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100, 6)
+           AS sum_value
   FROM events GROUP BY 1, 2
 ),
 d AS (
   SELECT event_type, date_trunc('day', ts) AS bucket_ts,
-         COUNT(*) AS cnt, ROUND(SUM(value), 6) AS sum_value
+         COUNT(*) AS cnt,
+         ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100, 6)
+           AS sum_value
   FROM events GROUP BY 1, 2
 )
 SELECT '1m' AS tier, m.* FROM m, anchor WHERE m.bucket_ts >= anchor.d0 - INTERVAL 7 DAY

@@ -6,7 +6,9 @@ No reference counterpart (the reference has index==time, so gaps cannot
 exist); required by BASELINE.json north_rule. Semantics:
 - grid = np.arange(first_bucket, last_bucket + tier, tier) per series
 - locf: value = last observed mean (forward fill)
-- linear: np.interp between neighboring observed means
+- linear: slope*(t-t0)+v0 between neighboring observed means (explicit
+  separate numpy ops — bitwise np.interp-equivalent without FMA-contraction
+  build dependence)
 - synthesized buckets get gap_filled=True, count=0, sum/min/max=NaN
 - ordering: the group is sorted by bucket_ts inside the kernel (groupby does
   not guarantee intra-group order)
@@ -56,7 +58,20 @@ def gapfill_arrays(
         last_idx = np.maximum(np.searchsorted(ts, grid, side="right") - 1, 0)
         value = mean_obs[last_idx]
     else:  # linear
-        value = np.interp(grid, ts, mean_obs)
+        # explicit slope*(t-t0)+v0 with SEPARATE numpy multiply/add ops
+        # (np.interp's fused C expression may FMA-contract on some builds,
+        # drifting 1 ulp from a SQL engine's op-for-op evaluation; separate
+        # ufunc calls cannot contract). Observed slots get v0 exactly
+        # (slope * 0); the last interval clamps to a flat extension.
+        idx = np.clip(np.searchsorted(ts, grid, side="right") - 1, 0, ts.size - 1)
+        nxt = np.minimum(idx + 1, ts.size - 1)
+        t0 = ts[idx].astype(np.float64)
+        t1 = ts[nxt].astype(np.float64)
+        v0 = mean_obs[idx]
+        v1 = mean_obs[nxt]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(t1 > t0, (v1 - v0) / (t1 - t0), 0.0)
+        value = slope * (grid.astype(np.float64) - t0) + v0
     return grid, value, observed, pos
 
 
