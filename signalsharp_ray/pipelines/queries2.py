@@ -624,6 +624,67 @@ def q_pricing_summary(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# incremental continuous-aggregate maintenance (arrival-chunked rollup)
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_rollup_1h(sf_dir: str, n_chunks: int = 3):
+    """The hourly tier built by INCREMENTAL application of three disjoint
+    arrival chunks (event_id mod 3) to a persisted IncrementalTierStore —
+    each chunk rewrites only its affected hash-bucket partitions. Held to
+    the SAME DuckDB oracle as the batch rollup: the invariant is
+    incremental == batch == SQL, which holds bitwise because the centivalue
+    partials merge associatively."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.incremental import IncrementalTierStore
+
+    root = tempfile.mkdtemp(prefix="inc_tier_")
+    store = IncrementalTierStore(root, "1h", key_cols=("event_type",), n_buckets=16)
+
+    def chunk_ds(i: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ev = batch["event_id"].to_numpy(zero_copy_only=False)
+            b = batch.filter(pa.array(ev % n_chunks == i))
+            return pa.table(
+                {
+                    "event_type": b["event_type"],
+                    "ts": b["ts"],
+                    "value": pc.cast(
+                        pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                    ),
+                }
+            )
+
+        return rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type", "ts", "value"],
+        ).map_batches(fn, batch_format="pyarrow")
+
+    for i in range(n_chunks):
+        store.apply(chunk_ds(i))
+
+    out = store.read()
+    cnt = out["count"].to_numpy(np.int64)
+    sum_d = out["sum"].to_numpy(np.float64) / 100.0
+    return pd.DataFrame(
+        {
+            "event_type": out["event_type"],
+            "bucket_ts": out["bucket_ts"],
+            "cnt": cnt,
+            "sum_value": _r6away(sum_d),
+            "min_value": _r6away(out["min"].to_numpy(np.float64) / 100.0),
+            "max_value": _r6away(out["max"].to_numpy(np.float64) / 100.0),
+            "mean_value": _r6away(sum_d / cnt),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # retention sweep: age-based survival per continuous-aggregate tier
 # ---------------------------------------------------------------------------
 
@@ -817,6 +878,7 @@ QUERIES2 = {
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_customer": q_top_orders_per_customer,
     "retention_tiers": q_retention_tiers,
+    "incremental_rollup_1h": q_incremental_rollup_1h,
 }
 
 _MD5_SIGNED = """CAST(CASE WHEN md5_number_upper(COALESCE(text, '')) >= 9223372036854775808
@@ -930,6 +992,20 @@ SELECT lang, doc_id, {_MD5_SIGNED} AS fingerprint FROM (
                             ORDER BY md5_number_upper(COALESCE(text, '')), doc_id) AS rn
   FROM documents
 ) WHERE rn <= 5
+""",
+    # identical to the batch hourly rollup oracle: incremental == batch == SQL
+    "incremental_rollup_1h": """
+WITH v AS (
+  SELECT event_type, ts, CAST(ROUND(value * 100) AS BIGINT) AS v100 FROM events
+)
+SELECT event_type,
+       date_trunc('hour', ts) AS bucket_ts,
+       COUNT(*) AS cnt,
+       ROUND(CAST(SUM(v100) AS DOUBLE) / 100, 6) AS sum_value,
+       ROUND(CAST(MIN(v100) AS DOUBLE) / 100, 6) AS min_value,
+       ROUND(CAST(MAX(v100) AS DOUBLE) / 100, 6) AS max_value,
+       ROUND(CAST(SUM(v100) AS DOUBLE) / 100 / COUNT(*), 6) AS mean_value
+FROM v GROUP BY 1, 2
 """,
     "retention_tiers": """
 WITH anchor AS (

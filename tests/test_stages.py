@@ -420,3 +420,75 @@ class TestEngineExactness:
         gs2 = gs.sort_values(["url_hash", "bucket_ts"]).reset_index(drop=True)
         ws2 = ws.sort_values(["url_hash", "bucket_ts"]).reset_index(drop=True)
         np.testing.assert_array_equal(gs2["smoothed"], ws2["smoothed"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalTierStore:
+    def _points(self, n=3000, seed=4):
+        rng = np.random.default_rng(seed)
+        t0 = 1_704_067_200_000_000
+        return pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "event_type": rng.choice(["a", "b", "c", "d"], n),
+                "ts": pd.to_datetime(
+                    t0 + rng.integers(0, 5 * 86400 * 1_000_000, n), unit="us"
+                ),
+                "value": rng.integers(0, 10_000, n).astype(np.int64),
+            }
+        )
+
+    def test_chunked_equals_batch(self, tmp_path):
+        import ray.data as rd
+
+        from signalsharp_ray.stages.incremental import IncrementalTierStore
+
+        df = self._points()
+        inc = IncrementalTierStore(str(tmp_path / "inc"), "1h", ("event_type",), 8)
+        for i in range(3):
+            inc.apply(rd.from_pandas(df[df["event_id"] % 3 == i]).repartition(3))
+        bat = IncrementalTierStore(str(tmp_path / "bat"), "1h", ("event_type",), 8)
+        bat.apply(rd.from_pandas(df).repartition(5))
+
+        a = inc.read().sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+        b = bat.read().sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        # and equals the plain pandas oracle
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64")
+        bucket = pd.to_datetime((ts_us // 3_600_000_000) * 3_600_000_000, unit="us")
+        oracle = (
+            df.assign(bucket_ts=bucket)
+            .groupby(["event_type", "bucket_ts"])["value"]
+            .agg(["count", "sum", "min", "max"])
+            .reset_index()
+            .sort_values(["event_type", "bucket_ts"])
+            .reset_index(drop=True)
+        )
+        np.testing.assert_array_equal(a["count"], oracle["count"])
+        np.testing.assert_allclose(a["sum"], oracle["sum"])
+
+    def test_untouched_buckets_not_rewritten(self, tmp_path):
+        import os
+
+        import ray.data as rd
+
+        from signalsharp_ray.stages.incremental import IncrementalTierStore
+
+        df = self._points()
+        store = IncrementalTierStore(str(tmp_path / "s"), "1h", ("event_type",), 8)
+        store.apply(rd.from_pandas(df))
+        mtimes = {}
+        for d in os.listdir(str(tmp_path / "s")):
+            p = str(tmp_path / "s" / d / "part.parquet")
+            mtimes[d] = os.path.getmtime(p)
+        # an increment touching ONE key must rewrite only that key's bucket
+        one = df[df["event_type"] == "a"].head(50)
+        manifest = store.apply(rd.from_pandas(one))
+        assert len(manifest) == 1  # exactly one affected bucket
+        touched = f"bucket={manifest['bucket'].iloc[0]}"
+        for d, old in mtimes.items():
+            now = os.path.getmtime(str(tmp_path / "s" / d / "part.parquet"))
+            if d == touched:
+                assert now > old
+            else:
+                assert now == old
