@@ -624,6 +624,89 @@ def q_pricing_summary(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF top terms per document (two-sided aggregation + co-partitioned join)
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOKEN = r"[a-z0-9_]+"  # ASCII class: identical semantics in re and RE2
+
+
+def q_tfidf_top_terms(sf_dir: str, k: int = 3):
+    """Top-k TF-IDF terms per document: score = tf * ln(N / df).
+
+    The canonical two-sided text aggregation: term frequencies are computed
+    per doc inside map_batches (no raw text crosses a shuffle), document
+    frequencies by a bucketed C++ count over the (doc, term) rows, the df
+    side joins back via the co-partitioned bucketed_join (neither side ever
+    collected on the driver — at web scale the vocabulary is ~10^8 terms),
+    and the final top-k per doc is an associative reduction.
+
+    Float parity: idf uses math.log (C libm — bitwise-equal to DuckDB's
+    ln; numpy's SIMD log differs in ~24% of doubles), evaluated once per
+    distinct df value. Ranking orders by the RAW score with a term
+    tie-break, so order and rounded output match the SQL oracle exactly."""
+    import math
+    import re
+    from collections import Counter
+
+    from ..common.raytools import bucketed_join
+
+    token_re = re.compile(_TFIDF_TOKEN)
+    n_docs = _documents(sf_dir, ["doc_id"]).count()  # parquet metadata count
+
+    import pyarrow as pa
+
+    def tf_rows(batch: pd.DataFrame) -> "pa.Table":
+        ids, terms, tfs = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+            counts = Counter(token_re.findall(text.lower()))
+            ids.extend([doc_id] * len(counts))
+            terms.extend(counts.keys())
+            tfs.extend(counts.values())
+        # arrow output: bucketed_join unifies schemas at the arrow level
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(np.asarray(tfs, dtype=np.int64)),
+            }
+        )
+
+    tf = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        tf_rows, batch_format="pandas"
+    )
+    # (doc, term) rows are unique by construction -> df = rows per term
+    df_ds = hash_bucket_aggregate(tf, ["term"], [("tf", "min")], count_alias="df")
+
+    def df_only(batch: "pa.Table") -> "pa.Table":
+        return batch.select(["term", "df"])
+
+    joined = bucketed_join(
+        tf, df_ds.map_batches(df_only, batch_format="pyarrow"), on=["term"]
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        # libm log per DISTINCT df value, mapped back (bitwise == SQL ln)
+        idf_map = {
+            int(d): math.log(float(n_docs) / d) for d in df["df"].unique()
+        }
+        score = df["tf"].to_numpy(np.float64) * df["df"].map(idf_map).to_numpy()
+        out = df.assign(score=score).sort_values(
+            ["score", "term"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].astype(np.int64),
+                "term": out["term"],
+                "tf": out["tf"].astype(np.int64),
+                "score": _r6away(out["score"]),
+                "rank": np.arange(1, len(out) + 1, dtype=np.int64),
+            }
+        )
+
+    return bucketed_map_groups(joined, ["doc_id"], topk)
+
+
+# ---------------------------------------------------------------------------
 # incremental continuous-aggregate maintenance (arrival-chunked rollup)
 # ---------------------------------------------------------------------------
 
@@ -879,6 +962,7 @@ QUERIES2 = {
     "top_orders_per_customer": q_top_orders_per_customer,
     "retention_tiers": q_retention_tiers,
     "incremental_rollup_1h": q_incremental_rollup_1h,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 _MD5_SIGNED = """CAST(CASE WHEN md5_number_upper(COALESCE(text, '')) >= 9223372036854775808
@@ -992,6 +1076,29 @@ SELECT lang, doc_id, {_MD5_SIGNED} AS fingerprint FROM (
                             ORDER BY md5_number_upper(COALESCE(text, '')), doc_id) AS rn
   FROM documents
 ) WHERE rn <= 5
+""",
+    "tfidf_top_terms": """
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+tok AS (
+  SELECT doc_id,
+         UNNEST(regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS raw_score
+  FROM tf JOIN df USING (term), n
+),
+r AS (
+  SELECT doc_id, term, tf, raw_score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY raw_score DESC, term) AS rank
+  FROM s
+)
+SELECT doc_id, term, tf, ROUND(raw_score, 6) AS score, rank
+FROM r WHERE rank <= 3
 """,
     # identical to the batch hourly rollup oracle: incremental == batch == SQL
     "incremental_rollup_1h": """
