@@ -624,6 +624,78 @@ def q_pricing_summary(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# mergeable sketches: t-digest quantiles + HyperLogLog distinct counts
+# ---------------------------------------------------------------------------
+
+
+def q_quantiles_tdigest(sf_dir: str):
+    """Approximate per-series quantiles via mergeable t-digest sketches —
+    the fixed-memory scale path beside the exact `quantiles` operator.
+    Each batch builds one small sketch per event_type (the combiner); the
+    shuffle moves centroid blobs, never values; the final kernel merges.
+    Approximate-by-design -> rows-only; tests bound rank error vs the
+    exact answer and assert split-invariance within that bound."""
+    from ..stages.sketches import TDigestLite
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in batch.groupby("event_type", sort=False):
+            d = TDigestLite.of(g["value"].to_numpy(np.float64))
+            rows.append((et, d.to_bytes()))
+        return pd.DataFrame(rows, columns=["event_type", "sketch"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        acc = TDigestLite(100)
+        for blob in df["sketch"]:
+            acc = acc.merge(TDigestLite.from_bytes(blob))
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]] * 3,
+                "q": [0.5, 0.95, 0.99],
+                "estimate": _r6([acc.quantile(q) for q in (0.5, 0.95, 0.99)]),
+            }
+        )
+
+    parts = _events(sf_dir, ["event_type", "value"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    return bucketed_map_groups(parts, ["event_type"], final)
+
+
+def q_distinct_users_hll(sf_dir: str):
+    """Approximate distinct users per event_type via HyperLogLog (p=12,
+    ~1.6% standard error, 4 KiB of state per group) — the sketch path
+    beside the exact distinct_daily_users. Registers merge by elementwise
+    max, so partial+final is exactly associative and idempotent (late or
+    duplicated data cannot inflate the estimate)."""
+    from ..stages.sketches import HyperLogLog
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in batch.groupby("event_type", sort=False):
+            h = HyperLogLog(12)
+            h.add_hashes(HyperLogLog.hash_keys(g["user_id"].tolist()))
+            rows.append((et, h.to_bytes()))
+        return pd.DataFrame(rows, columns=["event_type", "sketch"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        acc = HyperLogLog(12)
+        for blob in df["sketch"]:
+            acc = acc.merge(HyperLogLog.from_bytes(blob))
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "distinct_users_est": [np.int64(round(acc.estimate()))],
+            }
+        )
+
+    parts = _events(sf_dir, ["event_type", "user_id"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    return bucketed_map_groups(parts, ["event_type"], final)
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top terms per document (two-sided aggregation + co-partitioned join)
 # ---------------------------------------------------------------------------
 
@@ -963,6 +1035,8 @@ QUERIES2 = {
     "retention_tiers": q_retention_tiers,
     "incremental_rollup_1h": q_incremental_rollup_1h,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "quantiles_tdigest": q_quantiles_tdigest,
+    "distinct_users_hll": q_distinct_users_hll,
 }
 
 _MD5_SIGNED = """CAST(CASE WHEN md5_number_upper(COALESCE(text, '')) >= 9223372036854775808

@@ -1,0 +1,194 @@
+"""Mergeable sketches for approximate aggregates at 100-TB scale.
+
+The exact quantile / distinct-count operators (queries2.quantiles,
+distinct_daily_users) materialize each group in one kernel — correct, but
+per-group memory grows with the series. These sketches are the scale path:
+fixed-size state, associative merge, so they run as partial+final
+aggregation like any sum (combiner inside map_batches, one tiny shuffle of
+sketch blobs, merge in the final kernel). Approximate-by-design, so they
+carry no SQL oracle; tests bound the error against the exact answers and
+assert merge order/split invariance (tests/test_sketches.py).
+
+- TDigestLite: centroid-based quantile sketch (Dunning & Ertl's t-digest,
+  public domain design), simplified: sorted centroids compressed against
+  the k1 scale-function size bound. Rank error concentrates at the tails
+  like the reference design.
+- HyperLogLog: Flajolet et al. HLL with md5-derived 64-bit hashes,
+  standard bias-corrected estimate (no sparse mode — registers are 2^p
+  bytes; p=12 -> 4 KiB per group, ~0.8% seen at p=14, ~1.6% at p=12).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# t-digest (simplified)
+# ---------------------------------------------------------------------------
+
+
+class TDigestLite:
+    """Fixed-size quantile sketch over float64 values.
+
+    State: (means, weights) sorted by mean, at most ~2*compression
+    centroids after compress(). merge() is associative up to compression
+    (estimates are split-invariant within the error bound, not bitwise)."""
+
+    def __init__(self, compression: int = 100):
+        self.compression = int(compression)
+        self.means = np.array([], dtype=np.float64)
+        self.weights = np.array([], dtype=np.float64)
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def of(cls, values: np.ndarray, compression: int = 100) -> "TDigestLite":
+        d = cls(compression)
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size:
+            d.means = np.sort(v)
+            d.weights = np.ones(v.size, dtype=np.float64)
+            d.compress()
+        return d
+
+    def merge(self, other: "TDigestLite") -> "TDigestLite":
+        out = TDigestLite(self.compression)
+        out.means = np.concatenate([self.means, other.means])
+        out.weights = np.concatenate([self.weights, other.weights])
+        order = np.argsort(out.means, kind="mergesort")
+        out.means, out.weights = out.means[order], out.weights[order]
+        out.compress()
+        return out
+
+    def compress(self) -> None:
+        n = self.weights.sum()
+        if n == 0 or self.means.size <= 1:
+            return
+        c = float(self.compression)
+        new_means: list[float] = []
+        new_weights: list[float] = []
+        cur_m, cur_w = self.means[0], self.weights[0]
+        acc = 0.0  # weight before the current centroid
+        for m, w in zip(self.means[1:], self.weights[1:]):
+            q = (acc + cur_w / 2.0) / n
+            # k1 size bound: centroids near the tails stay small
+            cap = max(1.0, 4.0 * n * q * (1.0 - q) / c)
+            if cur_w + w <= cap:
+                cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+                cur_w += w
+            else:
+                new_means.append(cur_m)
+                new_weights.append(cur_w)
+                acc += cur_w
+                cur_m, cur_w = m, w
+        new_means.append(cur_m)
+        new_weights.append(cur_w)
+        self.means = np.asarray(new_means, dtype=np.float64)
+        self.weights = np.asarray(new_weights, dtype=np.float64)
+
+    # -- query ---------------------------------------------------------------
+
+    def quantile(self, q: float) -> float:
+        if self.means.size == 0:
+            return float("nan")
+        if self.means.size == 1:
+            return float(self.means[0])
+        n = self.weights.sum()
+        target = q * n
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        if target <= cum[0]:
+            return float(self.means[0])
+        if target >= cum[-1]:
+            return float(self.means[-1])
+        i = np.searchsorted(cum, target) - 1
+        frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+        return float(self.means[i] + frac * (self.means[i + 1] - self.means[i]))
+
+    # -- serialization (for crossing the shuffle as a blob column) -----------
+
+    def to_bytes(self) -> bytes:
+        return np.concatenate([self.means, self.weights]).tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes, compression: int = 100) -> "TDigestLite":
+        arr = np.frombuffer(blob, dtype=np.float64)
+        d = cls(compression)
+        half = arr.size // 2
+        d.means = arr[:half].copy()
+        d.weights = arr[half:].copy()
+        return d
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+class HyperLogLog:
+    """Standard HLL over md5-hashed keys. Registers merge by elementwise max
+    (exactly associative and idempotent — re-adding a key is a no-op)."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        """h: uint64 hashes."""
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)  # remaining 64-p bits, left-aligned
+        # rank = leading zeros of rest + 1, capped at 64-p+1
+        lz = np.full(h.size, 64 - self.p, dtype=np.uint8)
+        nonzero = rest != 0
+        if nonzero.any():
+            bl = np.zeros(h.size, dtype=np.uint8)
+            r = rest[nonzero]
+            # bit_length via float log2 is unsafe near 2^53; use a loop-free
+            # scheme on 64-bit halves
+            hi = (r >> np.uint64(32)).astype(np.uint32)
+            lo = (r & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            bl_hi = np.frexp(hi.astype(np.float64))[1].astype(np.int64)
+            bl_lo = np.frexp(lo.astype(np.float64))[1].astype(np.int64)
+            bits = np.where(hi != 0, 32 + bl_hi, bl_lo)
+            bl[nonzero] = (64 - bits).astype(np.uint8)
+            lz[nonzero] = bl[nonzero]
+        rank = (lz + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    @staticmethod
+    def hash_keys(keys) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(k).encode()).digest()[:8], "big")
+                for k in keys
+            ),
+            dtype=np.uint64,
+            count=len(keys),
+        )
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        out = HyperLogLog(self.p)
+        out.registers = np.maximum(self.registers, other.registers)
+        return out
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        s = np.sum(2.0 ** (-self.registers.astype(np.float64)))
+        e = alpha * m * m / s
+        zeros = int(np.sum(self.registers == 0))
+        if e <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting for small cards
+        return float(e)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes, p: int = 12) -> "HyperLogLog":
+        h = cls(p)
+        h.registers = np.frombuffer(blob, dtype=np.uint8).copy()
+        return h

@@ -71,6 +71,28 @@ def test_query_matches_duckdb_oracle(con, name):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_sketch_queries_track_exact_answers(con):
+    """The approximate sketch operators must land near their exact
+    counterparts on the same data (they carry no SQL oracle by design)."""
+    qs = entrymod.queries()
+    hll = qs["distinct_users_hll"](SF).to_pandas()
+    exact = con.execute(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS n FROM events GROUP BY 1"
+    ).fetchdf()
+    merged = hll.merge(exact, on="event_type")
+    assert len(merged) == len(exact)
+    rel = np.abs(merged["distinct_users_est"] - merged["n"]) / merged["n"]
+    assert (rel < 0.05).all(), merged
+
+    td = qs["quantiles_tdigest"](SF).to_pandas()
+    ev = con.execute("SELECT event_type, value FROM events").fetchdf()
+    for _, row in td.iterrows():
+        v = ev.loc[ev["event_type"] == row["event_type"], "value"].to_numpy()
+        rank = np.mean(v <= row["estimate"])
+        assert abs(rank - row["q"]) < 0.02, (row["event_type"], row["q"], rank)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_entry_smoke():
     ds = entrymod.entry()
     assert ds.count() > 0
