@@ -22,9 +22,11 @@ class L1Cost(CostFunction):
         return self
 
     def compute_cost(self, start: int | None = None, end: int | None = None) -> float:
-        s, e, _ = self._resolve(start, end)  # raises UninitializedDataError unfitted
-        if self._data.size == 0:
+        # reference order (L1CostFunction.cs:91-100): uninitialized check,
+        # then EMPTY-DATA -> 0 before any segment-length validation
+        if self._n_points is not None and self._data.size == 0:
             return 0.0
+        s, e, _ = self._resolve(start, end)  # raises UninitializedDataError unfitted
         seg = self._data[:, s:e]
         med = np.median(seg, axis=1, keepdims=True)
         return float(np.sum(np.abs(seg - med)))

@@ -61,6 +61,9 @@ class RBFCost(CostFunction):
         return 1.0 / med if med != 0.0 else 1.0
 
     def compute_cost(self, start: int | None = None, end: int | None = None) -> float:
+        # NOTE: unlike L1, the reference RBF has NO empty-data early-out —
+        # ComputeCost on an empty fit throws SegmentLengthException
+        # (RBFCostFunction.cs ComputeCost: ThrowIfInvalid(segmentLength))
         s, e, n = self._resolve(start, end)
         # rectangle [s, e) x [s, e) via inclusion-exclusion on the prefix sums
         block = (

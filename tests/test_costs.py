@@ -310,3 +310,18 @@ class TestCostToleranceEdges:
             assert c2.compute_cost(0, 4) == pytest.approx(
                 a.compute_cost(0, 4) + b.compute_cost(0, 4), abs=1e-9
             )
+
+
+@pytest.mark.parametrize("name,mk,sig", _UNIVARIATE_COSTS)
+def test_empty_fit_behavior_matches_reference(name, mk, sig):
+    # Fit on empty data succeeds everywhere (Fit_EmptyData_Success); on
+    # ComputeCost the reference returns 0 (L1CostFunction.cs:93-94 explicit
+    # early-out; Gaussian/Poisson/Bernoulli tests assert 0) EXCEPT RBF,
+    # whose ComputeCost validates segment length first and throws
+    c = mk()
+    c.fit(np.array([]))
+    if name == "rbf":
+        with pytest.raises(SegmentLengthError):
+            c.compute_cost()
+    else:
+        assert c.compute_cost() == 0.0
