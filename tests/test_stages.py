@@ -492,3 +492,79 @@ class TestIncrementalTierStore:
                 assert now > old
             else:
                 assert now == old
+
+
+class TestGapfillProperties:
+    """Hypothesis invariants for the gap-fill kernel (north-rule operator)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @staticmethod
+    def _series(draw, st):
+        tier = 3_600_000_000
+        t0 = 1_704_067_200_000_000
+        offs = draw(
+            st.lists(st.integers(0, 500), min_size=1, max_size=40, unique=True)
+        )
+        ts = t0 + np.sort(np.array(offs, dtype=np.int64)) * tier
+        means = np.array(
+            draw(
+                st.lists(
+                    st.floats(-1e6, 1e6, allow_nan=False),
+                    min_size=len(offs),
+                    max_size=len(offs),
+                )
+            ),
+            dtype=np.float64,
+        )
+        return ts, means, tier
+
+    @given(data=st.data())
+    @settings(max_examples=60, deadline=None)
+    def test_locf_invariants(self, data):
+        from signalsharp_ray.stages.gapfill import gapfill_arrays
+
+        ts, means, tier = self._series(data.draw, self.st)
+        grid, value, observed, pos = gapfill_arrays(ts, means, tier, "locf")
+        # dense grid covering [first, last]
+        assert grid[0] == ts[0] and grid[-1] == ts[-1]
+        assert np.all(np.diff(grid) == tier)
+        # observed slots keep their exact mean; filled slots carry the
+        # most recent observed mean
+        assert observed.sum() == len(ts)
+        np.testing.assert_array_equal(value[observed], means)
+        last = np.searchsorted(ts, grid, side="right") - 1
+        np.testing.assert_array_equal(value, means[np.maximum(last, 0)])
+
+    @given(data=st.data())
+    @settings(max_examples=60, deadline=None)
+    def test_linear_invariants(self, data):
+        from signalsharp_ray.stages.gapfill import gapfill_arrays
+
+        ts, means, tier = self._series(data.draw, self.st)
+        grid, value, observed, _ = gapfill_arrays(ts, means, tier, "linear")
+        np.testing.assert_array_equal(value[observed], means)
+        # every interpolated slot lies within its neighbors' envelope
+        left = np.searchsorted(ts, grid, side="right") - 1
+        right = np.minimum(left + 1, len(ts) - 1)
+        lo = np.minimum(means[left], means[right])
+        hi = np.maximum(means[left], means[right])
+        eps = 1e-9 * np.maximum(1.0, np.abs(hi))
+        assert np.all(value >= lo - eps) and np.all(value <= hi + eps)
+
+    @given(data=st.data(), max_gap=st.integers(1, 10))
+    @settings(max_examples=60, deadline=None)
+    def test_bounded_fill_skips_long_gaps(self, data, max_gap):
+        from signalsharp_ray.stages.gapfill import gapfill_arrays
+
+        ts, means, tier = self._series(data.draw, self.st)
+        grid, value, observed, _ = gapfill_arrays(ts, means, tier, "locf", max_gap)
+        # all observed points survive; no synthesized slot sits inside a
+        # gap longer than max_gap
+        assert observed.sum() == len(ts)
+        gaps = np.diff(ts) // tier - 1
+        synth = grid[~observed]
+        for i, g in enumerate(gaps):
+            inside = (synth > ts[i]) & (synth < ts[i + 1])
+            assert inside.sum() == (g if g <= max_gap else 0)
