@@ -205,6 +205,82 @@ def q_gapfill_linear_1h(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Bollinger bands: rolling mean +- k * rolling population std per series
+# ---------------------------------------------------------------------------
+
+
+def q_bollinger_bands(sf_dir: str, window: int = 24, k: float = 2.0):
+    """Rolling mean +- k*sigma envelope over each event_type series (the
+    monitoring-dashboard smoothing band). Window sums of x and x^2 run in
+    exact int64 centivalues — prefix-sum differences of float x^2 suffer
+    catastrophic cancellation on long series and cannot match a SQL
+    engine's windowed aggregates; integer sums are identical everywhere,
+    and the float reconstruction + IEEE sqrt then match bitwise. Emits
+    rows from index window-1 on (full windows only)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        v100 = np.rint(df["value"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        if v100.size < window:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype=object),
+                    "idx": pd.Series(dtype=np.int64),
+                    "mid": pd.Series(dtype=np.float64),
+                    "upper": pd.Series(dtype=np.float64),
+                    "lower": pd.Series(dtype=np.float64),
+                }
+            )
+        c1 = np.cumsum(np.concatenate(([0], v100)))  # int64: exact
+        c2 = np.cumsum(np.concatenate(([0], v100 * v100)))
+        s1 = (c1[window:] - c1[:-window]).astype(np.float64)
+        s2 = (c2[window:] - c2[:-window]).astype(np.float64)
+        mean = s1 / 100.0 / window
+        ex2 = s2 / 10000.0 / window
+        sd = np.sqrt(np.maximum(ex2 - mean * mean, 0.0))
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].iloc[window - 1 :].to_numpy(),
+                "idx": np.arange(window - 1, v100.size, dtype=np.int64),
+                "mid": _r6away(mean),
+                "upper": _r6away(mean + k * sd),
+                "lower": _r6away(mean - k * sd),
+            }
+        )
+
+    return bucketed_map_groups(_events(sf_dir), ["event_type"], fn)
+
+
+# ---------------------------------------------------------------------------
+# LTTB visual downsampling (dashboard path beside the rollup tiers)
+# ---------------------------------------------------------------------------
+
+
+def q_lttb_downsample(sf_dir: str, n_out: int = 100):
+    """Largest-Triangle-Three-Buckets per event_type series: select n_out
+    points preserving visual shape (kernels/lttb.py). Deterministic subset
+    of the input rows; sequential bucket walk has no SQL ground truth, so
+    rows-only — tests pin the kernel against a reference implementation
+    and assert subset/endpoint/monotonicity invariants."""
+    from ..kernels.lttb import lttb
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        idx = lttb(ts_us, df["value"].to_numpy(np.float64), n_out)
+        out = df.iloc[idx]
+        return pd.DataFrame(
+            {
+                "event_type": out["event_type"],
+                "ts": out["ts"],
+                "value": _r6(out["value"]),
+            }
+        )
+
+    return bucketed_map_groups(_events(sf_dir), ["event_type"], fn)
+
+
+# ---------------------------------------------------------------------------
 # anomaly flagging: |zscore| threshold per series
 # ---------------------------------------------------------------------------
 
@@ -1037,6 +1113,8 @@ QUERIES2 = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "quantiles_tdigest": q_quantiles_tdigest,
     "distinct_users_hll": q_distinct_users_hll,
+    "bollinger_bands": q_bollinger_bands,
+    "lttb_downsample": q_lttb_downsample,
 }
 
 _MD5_SIGNED = """CAST(CASE WHEN md5_number_upper(COALESCE(text, '')) >= 9223372036854775808
@@ -1150,6 +1228,34 @@ SELECT lang, doc_id, {_MD5_SIGNED} AS fingerprint FROM (
                             ORDER BY md5_number_upper(COALESCE(text, '')), doc_id) AS rn
   FROM documents
 ) WHERE rn <= 5
+""",
+    "bollinger_bands": """
+WITH v AS (
+  SELECT event_type, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS v100
+  FROM events
+),
+w AS (
+  SELECT event_type,
+         row_number() OVER win - 1 AS idx,
+         SUM(v100) OVER (win ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS s1,
+         SUM(v100 * v100) OVER (win ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS s2
+  FROM v
+  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+m AS (
+  SELECT event_type, idx,
+         CAST(s1 AS DOUBLE) / 100 / 24 AS mid_raw,
+         sqrt(GREATEST(CAST(s2 AS DOUBLE) / 10000 / 24
+              - (CAST(s1 AS DOUBLE) / 100 / 24) * (CAST(s1 AS DOUBLE) / 100 / 24),
+              0)) AS sd
+  FROM w WHERE idx >= 23
+)
+SELECT event_type, idx,
+       ROUND(mid_raw, 6) AS mid,
+       ROUND(mid_raw + 2.0 * sd, 6) AS upper,
+       ROUND(mid_raw - 2.0 * sd, 6) AS lower
+FROM m
 """,
     "tfidf_top_terms": """
 WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
