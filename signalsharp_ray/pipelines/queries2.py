@@ -252,6 +252,44 @@ def q_bollinger_bands(sf_dir: str, window: int = 24, k: float = 2.0):
 
 
 # ---------------------------------------------------------------------------
+# counter rate: per-second rate over a monotone counter with resets
+# ---------------------------------------------------------------------------
+
+_COUNTER_MOD = 10_000_000  # deterministic synthetic reset point
+
+
+def q_counter_rate(sf_dir: str):
+    """Monitoring-style rate(): per-second increase of a monotone counter,
+    reset-aware (a decrease means the counter restarted; the post-reset
+    value IS the increase — Prometheus rate semantics for the single-reset
+    case). The counter is derived deterministically from the events table
+    (running centivalue total per series, wrapped at 10^7) so both sides
+    compute the identical integer series; the rate division and rounding
+    then match bitwise. Per-series sequential state -> the same
+    whole-series kernel contract as EMA/CUSUM."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        v100 = np.rint(df["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        counter = np.cumsum(v100) % _COUNTER_MOD
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        diff = counter[1:] - counter[:-1]
+        inc = np.where(diff >= 0, diff, counter[1:])  # reset: post-reset value
+        dt_s = (ts_us[1:] - ts_us[:-1]).astype(np.float64) / 1e6
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rate = np.where(dt_s > 0, inc.astype(np.float64) / dt_s, 0.0)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].iloc[1:].to_numpy(),
+                "idx": np.arange(1, len(df), dtype=np.int64),
+                "rate": _r6away(rate),
+            }
+        )
+
+    return bucketed_map_groups(_events(sf_dir), ["event_type"], fn)
+
+
+# ---------------------------------------------------------------------------
 # LTTB visual downsampling (dashboard path beside the rollup tiers)
 # ---------------------------------------------------------------------------
 
@@ -1115,6 +1153,7 @@ QUERIES2 = {
     "distinct_users_hll": q_distinct_users_hll,
     "bollinger_bands": q_bollinger_bands,
     "lttb_downsample": q_lttb_downsample,
+    "counter_rate": q_counter_rate,
 }
 
 _MD5_SIGNED = """CAST(CASE WHEN md5_number_upper(COALESCE(text, '')) >= 9223372036854775808
@@ -1228,6 +1267,33 @@ SELECT lang, doc_id, {_MD5_SIGNED} AS fingerprint FROM (
                             ORDER BY md5_number_upper(COALESCE(text, '')), doc_id) AS rn
   FROM documents
 ) WHERE rn <= 5
+""",
+    "counter_rate": """
+WITH v AS (
+  SELECT event_type, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS v100
+  FROM events
+),
+c AS (
+  SELECT event_type,
+         row_number() OVER win - 1 AS idx,
+         CAST(SUM(v100) OVER (win ROWS UNBOUNDED PRECEDING) % 10000000 AS BIGINT)
+           AS counter,
+         epoch_us(ts) AS t_us
+  FROM v WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+d AS (
+  SELECT event_type, idx, counter,
+         counter - lag(counter) OVER w AS diff,
+         t_us - lag(t_us) OVER w AS dt_us
+  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY idx)
+)
+SELECT event_type, idx,
+       ROUND(CASE WHEN CAST(dt_us AS DOUBLE) / 1000000.0 > 0
+                  THEN CAST(CASE WHEN diff >= 0 THEN diff ELSE counter END AS DOUBLE)
+                       / (CAST(dt_us AS DOUBLE) / 1000000.0)
+                  ELSE 0 END, 6) AS rate
+FROM d WHERE dt_us IS NOT NULL
 """,
     "bollinger_bands": """
 WITH v AS (
