@@ -168,7 +168,12 @@ def bucketed_map_groups(
         outs = [o for o in outs if o is not None]
         if not outs:
             return fn(df.iloc[:0])
-        return pd.concat(outs, ignore_index=True)
+        # concat non-empty frames only: pandas' empty/all-NA concat path is
+        # deprecated AND can silently alter result dtypes
+        non_empty = [o for o in outs if len(o)]
+        if not non_empty:
+            return outs[0]
+        return pd.concat(non_empty, ignore_index=True)
 
     bucketed = ds.map_batches(add_bucket, batch_format="pandas")
     return bucketed.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
