@@ -244,7 +244,19 @@ class GridSearchOptimizer:
             ),
         )
 
-        if best_params and opts.enable_adaptive_refinement and math.isfinite(best_metric):
+        # refinement needs remaining eval budget: the reference SKIPS the
+        # second pass entirely when the budget is exhausted rather than
+        # overrunning MaxFunctionEvaluations by its minimum one combo
+        has_budget = (
+            opts.max_function_evaluations is None
+            or evals < opts.max_function_evaluations
+        )
+        if (
+            best_params
+            and opts.enable_adaptive_refinement
+            and math.isfinite(best_metric)
+            and has_budget
+        ):
             refined_defs = []
             for p in parameters:
                 rng = p.max_value - p.min_value
@@ -316,6 +328,32 @@ class NelderMeadOptions:
     stagnation_improvement_threshold: float = 1e-9
     initial_simplex_range_factor: float = 0.05
     initial_simplex_absolute_step_for_zero_range: float = 0.001
+    # reference EnableAdaptiveParameters (NelderMeadOptimizerOptions.cs:58):
+    # coefficients adjusted by iteration count and dimensionality
+    enable_adaptive_parameters: bool = False
+
+    def algorithm_parameters(self, iteration: int, dims: int) -> tuple[float, float, float, float]:
+        """Reference GetAlgorithmParameters (NelderMeadOptimizer.cs:687-722):
+        aggressive early steps in high dimensions, conservative late steps,
+        with expansion > reflection and contraction clamped to [0.1, 0.9]."""
+        refl, exp_, contr, shrink = (
+            self.reflection_factor,
+            self.expansion_factor,
+            self.contraction_factor,
+            self.shrink_factor,
+        )
+        if not self.enable_adaptive_parameters:
+            return refl, exp_, contr, shrink
+        if dims > 5 and iteration < 20:
+            refl *= 1.1
+            exp_ *= 1.2
+        if iteration > 50:
+            refl *= 0.95
+            exp_ *= 0.9
+            contr *= 1.05
+        exp_ = max(exp_, refl + 0.1)
+        contr = min(max(contr, 0.1), 0.9)
+        return refl, exp_, contr, shrink
 
 
 class NelderMeadOptimizer:
@@ -421,27 +459,28 @@ class NelderMeadOptimizer:
                     stagnant = 0
                 prev_best = best
 
+                refl_f, exp_f, contr_f, shrink_f = opts.algorithm_parameters(it, n)
                 centroid = simplex[:-1].mean(axis=0)
-                xr = clamp(centroid + opts.reflection_factor * (centroid - simplex[-1]))
+                xr = clamp(centroid + refl_f * (centroid - simplex[-1]))
                 fr = f(xr)
                 if fvals[0] <= fr < fvals[-2]:
                     simplex[-1], fvals[-1] = xr, fr
                 elif fr < fvals[0]:
-                    xe = clamp(centroid + opts.expansion_factor * (xr - centroid))
+                    xe = clamp(centroid + exp_f * (xr - centroid))
                     fe = f(xe)
                     if fe < fr:
                         simplex[-1], fvals[-1] = xe, fe
                     else:
                         simplex[-1], fvals[-1] = xr, fr
                 else:
-                    xc = clamp(centroid + opts.contraction_factor * (simplex[-1] - centroid))
+                    xc = clamp(centroid + contr_f * (simplex[-1] - centroid))
                     fc = f(xc)
                     if fc < fvals[-1]:
                         simplex[-1], fvals[-1] = xc, fc
                     else:  # shrink toward the best vertex
                         for i in range(1, n + 1):
                             simplex[i] = clamp(
-                                simplex[0] + opts.shrink_factor * (simplex[i] - simplex[0])
+                                simplex[0] + shrink_f * (simplex[i] - simplex[0])
                             )
                             fvals[i] = f(simplex[i])
                 it += 1

@@ -425,3 +425,94 @@ class TestCancellationAndAsync:
         )
         assert res.success
         assert abs(res.best_parameters["x"] - 3.0) < 1e-3
+
+
+class TestReferenceBehaviorParity:
+    """Behaviors from GridSearchOptimizerTests.cs / NelderMeadOptimizerTests.cs
+    not covered above."""
+
+    def test_refinement_skipped_when_budget_exhausted(self):
+        # OptimizeAsync_AdaptiveRefinement_InsufficientBudget_SkipsRefinement
+        calls = []
+
+        def obj(p):
+            calls.append(p["x"])
+            return (p["x"] - 0.3) ** 2
+
+        opts = GridSearchOptions(
+            default_grid_steps=5,
+            max_function_evaluations=5,
+            enable_adaptive_refinement=True,
+            refinement_grid_steps=5,
+        )
+        res = GridSearchOptimizer(opts).optimize(obj, [ParameterDefinition("x", 0, 1)])
+        assert res.success
+        assert len(calls) == 5  # first pass only; no refinement overrun
+        assert res.function_evaluations == 5
+
+    def test_refinement_never_worsens_when_already_optimal(self):
+        # OptimizeAsync_AdaptiveRefinement_DoesNotImproveIfAlreadyOptimal:
+        # grid point 0.5 IS the optimum; the refined pass must keep it
+        def obj(p):
+            return (p["x"] - 0.5) ** 2
+
+        base = GridSearchOptions(default_grid_steps=5)
+        refined = GridSearchOptions(
+            default_grid_steps=5,
+            enable_adaptive_refinement=True,
+            refinement_grid_steps=5,
+        )
+        r0 = GridSearchOptimizer(base).optimize(obj, [ParameterDefinition("x", 0, 1)])
+        r1 = GridSearchOptimizer(refined).optimize(obj, [ParameterDefinition("x", 0, 1)])
+        assert r1.minimized_metric <= r0.minimized_metric
+        assert abs(r1.best_parameters["x"] - 0.5) < 1e-9
+
+    def test_grid_optimum_near_boundary_warns(self):
+        # OptimizeAsync_OptimumNearBoundary_IncludesWarningInResult
+        def obj(p):
+            return (p["x"] - 0.995) ** 2  # distance 0.5% < the strict 1% cut
+
+        res = GridSearchOptimizer(GridSearchOptions(default_grid_steps=201)).optimize(
+            obj, [ParameterDefinition("x", 0, 1)]
+        )
+        assert res.success
+        assert res.message is not None and "bound" in res.message.lower()
+
+    def test_nm_max_iterations_stops(self):
+        # OptimizeAsync_MaxIterations_StopsOptimization
+        def obj(p):
+            return (p["x"] - 0.123456) ** 2 + (p["y"] + 0.4) ** 2
+
+        res = NelderMeadOptimizer(NelderMeadOptions(max_iterations=3)).optimize(
+            obj,
+            [ParameterDefinition("x", -1, 1), ParameterDefinition("y", -1, 1)],
+        )
+        assert res.success  # terminates with SOME finite best
+        assert math.isfinite(res.minimized_metric)
+
+    def test_nm_adaptive_parameters_converges(self):
+        # OptimizeAsync_AdaptiveParameters_RunsSuccessfully — the adaptive
+        # coefficient schedule still finds the quadratic minimum
+        def obj(p):
+            return sum((p[k] - 0.2 * (i + 1)) ** 2 for i, k in enumerate(sorted(p)))
+
+        defs = [ParameterDefinition(f"p{i}", -2, 2) for i in range(6)]  # dims > 5
+        res = NelderMeadOptimizer(
+            NelderMeadOptions(enable_adaptive_parameters=True, max_iterations=2000)
+        ).optimize(obj, defs)
+        assert res.success
+        assert res.minimized_metric < 1e-3
+
+    def test_nm_adaptive_schedule_values(self):
+        # the exact reference schedule (NelderMeadOptimizer.cs:687-722)
+        o = NelderMeadOptions(enable_adaptive_parameters=True)
+        refl, exp_, contr, shrink = o.algorithm_parameters(iteration=0, dims=6)
+        assert refl == pytest.approx(1.1) and exp_ == pytest.approx(2.4)
+        refl, exp_, contr, shrink = o.algorithm_parameters(iteration=60, dims=2)
+        assert refl == pytest.approx(0.95)
+        assert exp_ == pytest.approx(1.8)
+        assert contr == pytest.approx(0.525)
+        assert shrink == 0.5
+        # disabled -> raw options
+        o2 = NelderMeadOptions()
+        assert o2.algorithm_parameters(60, 6) == (1.0, 2.0, 0.5, 0.5)
