@@ -252,6 +252,52 @@ def q_bollinger_bands(sf_dir: str, window: int = 24, k: float = 2.0):
 
 
 # ---------------------------------------------------------------------------
+# JSON field extraction + rollup (semi-structured payload path)
+# ---------------------------------------------------------------------------
+
+
+def q_json_field_rollup(sf_dir: str):
+    """Extract the integer field `k` from the JSON `props` payload and
+    aggregate it per event_type — the semi-structured column path every
+    event pipeline needs. Extraction is one vectorized C-regex pass per
+    batch (the flat {"k": int} shape needs no parser; a nested payload
+    would swap in an actor-pool json.loads stage), integer sums are exact,
+    and the partial+final merge is the standard combiner."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            batch["props"]
+            .str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+            .astype("float64")  # NaN-able for malformed rows
+        )
+        df = pd.DataFrame({"event_type": batch["event_type"], "k": k}).dropna()
+        df["k"] = df["k"].astype(np.int64)
+        g = df.groupby("event_type", sort=False).agg(
+            sum_k=("k", "sum"), n=("k", "size")
+        )
+        return g.reset_index()
+
+    parts = _events(sf_dir, ["event_type", "props"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    agg = hash_bucket_aggregate(parts, ["event_type"], [("sum_k", "sum"), ("n", "sum")])
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["sum_k_sum"].astype(np.int64)
+        n = batch["n_sum"].astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "sum_k": s,
+                "n": n,
+                "avg_k": _r6away(s.to_numpy(np.float64) / n.to_numpy()),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # counter rate: per-second rate over a monotone counter with resets
 # ---------------------------------------------------------------------------
 
@@ -1154,6 +1200,7 @@ QUERIES2 = {
     "bollinger_bands": q_bollinger_bands,
     "lttb_downsample": q_lttb_downsample,
     "counter_rate": q_counter_rate,
+    "json_field_rollup": q_json_field_rollup,
 }
 
 _MD5_SIGNED = """CAST(CASE WHEN md5_number_upper(COALESCE(text, '')) >= 9223372036854775808
@@ -1267,6 +1314,17 @@ SELECT lang, doc_id, {_MD5_SIGNED} AS fingerprint FROM (
                             ORDER BY md5_number_upper(COALESCE(text, '')), doc_id) AS rn
   FROM documents
 ) WHERE rn <= 5
+""",
+    "json_field_rollup": """
+WITH k AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+)
+SELECT event_type,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS avg_k
+FROM k GROUP BY 1
 """,
     "counter_rate": """
 WITH v AS (
