@@ -16,10 +16,11 @@ of the input produces bitwise-identical tier state to a single batch run
 held to the same DuckDB oracle as the batch rollup).
 
 Writes happen inside the bucket kernel (one task per affected bucket) with
-tmp-file + os.replace atomicity, so a mid-run failure leaves every bucket
-either old or fully merged — re-applying the same increment is idempotent
-only at the whole-increment level (the caller tracks applied chunks, e.g.
-via the pipeline manifest's fingerprint).
+tmp-file + os.replace atomicity. Pass `fingerprint=` to apply() for
+EXACTLY-ONCE increments: the set of applied chunk fingerprints rides in
+each bucket file's parquet footer metadata, replaced atomically WITH the
+data, so a bucket that already merged this chunk skips it — a crash
+mid-apply then re-apply cannot double-count any bucket.
 """
 
 from __future__ import annotations
@@ -63,12 +64,20 @@ class IncrementalTierStore:
 
     # -- write path --------------------------------------------------------
 
-    def apply(self, points_ds) -> pd.DataFrame:
+    def apply(self, points_ds, fingerprint: str | None = None) -> pd.DataFrame:
         """Merge a Dataset of raw points (key_cols..., ts, value) into the
-        tier. Returns a small manifest frame (bucket, rows_after)."""
-        tier_us, key_cols, n_buckets = self.tier_us, self.key_cols, self.n_buckets
-        root = self.root
+        tier. Returns a small manifest frame (bucket, rows_after, skipped).
+
+        fingerprint: identifies this increment; a bucket whose footer
+        already records it skips the merge (exactly-once per bucket under
+        crash + retry). None disables the ledger (at-least-once)."""
+        import json
+
+        import pyarrow.parquet as pq
+
+        tier_us, key_cols = self.tier_us, self.key_cols
         gk = key_cols + ["bucket_ts"]
+        _LEDGER = b"signalsharp_applied_chunks"
 
         def partial(batch) -> pd.DataFrame:
             t = partial_rollup_batch(batch, tier_us, key_cols).to_pandas()
@@ -76,12 +85,26 @@ class IncrementalTierStore:
             return t
 
         def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow as pa
+
             b = int(df["__bucket"].iloc[0])
             df = df.drop(columns=["__bucket"])
             path = self._bucket_path(b)
+            applied: list[str] = []
             if os.path.exists(path):
-                old = pd.read_parquet(path)
-                df = pd.concat([old, df], ignore_index=True)
+                old_table = pq.read_table(path)
+                meta = old_table.schema.metadata or {}
+                if _LEDGER in meta:
+                    applied = json.loads(meta[_LEDGER])
+                if fingerprint is not None and fingerprint in applied:
+                    return pd.DataFrame(
+                        {
+                            "bucket": [b],
+                            "rows_after": [np.int64(old_table.num_rows)],
+                            "skipped": [True],
+                        }
+                    )
+                df = pd.concat([old_table.to_pandas(), df], ignore_index=True)
             g = df.groupby(gk, sort=True).agg(
                 count=("count", "sum"),
                 sum=("sum", "sum"),
@@ -90,10 +113,22 @@ class IncrementalTierStore:
             )
             out = g.reset_index()
             os.makedirs(os.path.dirname(path), exist_ok=True)
+            table = pa.Table.from_pandas(out, preserve_index=False)
+            if fingerprint is not None:
+                # the ledger replaces atomically WITH the data: crash-safe
+                meta = dict(table.schema.metadata or {})
+                meta[_LEDGER] = json.dumps(applied + [fingerprint]).encode()
+                table = table.replace_schema_metadata(meta)
             tmp = path + ".tmp"
-            out.to_parquet(tmp, index=False)
+            pq.write_table(table, tmp)
             os.replace(tmp, path)  # atomic per bucket
-            return pd.DataFrame({"bucket": [b], "rows_after": [np.int64(len(out))]})
+            return pd.DataFrame(
+                {
+                    "bucket": [b],
+                    "rows_after": [np.int64(len(out))],
+                    "skipped": [False],
+                }
+            )
 
         partials = points_ds.map_batches(partial, batch_format="pyarrow")
         manifest = partials.groupby("__bucket").map_groups(

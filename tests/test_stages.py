@@ -494,6 +494,28 @@ class TestIncrementalTierStore:
                 assert now == old
 
 
+    def test_fingerprinted_apply_is_exactly_once(self, tmp_path):
+        import ray.data as rd
+
+        from signalsharp_ray.stages.incremental import IncrementalTierStore
+
+        df = self._points(n=1000, seed=11)
+        store = IncrementalTierStore(str(tmp_path / "x"), "1h", ("event_type",), 4)
+        m1 = store.apply(rd.from_pandas(df), fingerprint="chunk-0")
+        assert not m1["skipped"].any()
+        state1 = store.read().sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+        # re-applying the SAME chunk (crash + retry) changes nothing
+        m2 = store.apply(rd.from_pandas(df), fingerprint="chunk-0")
+        assert m2["skipped"].all()
+        state2 = store.read().sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(state1, state2)
+        # a NEW chunk still merges
+        df2 = self._points(n=500, seed=12)
+        m3 = store.apply(rd.from_pandas(df2), fingerprint="chunk-1")
+        assert not m3["skipped"].any()
+        assert store.read()["count"].sum() == 1500
+
+
 class TestGapfillProperties:
     """Hypothesis invariants for the gap-fill kernel (north-rule operator)."""
 
@@ -568,3 +590,4 @@ class TestGapfillProperties:
         for i, g in enumerate(gaps):
             inside = (synth > ts[i]) & (synth < ts[i + 1])
             assert inside.sum() == (g if g <= max_gap else 0)
+
