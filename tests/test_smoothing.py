@@ -187,3 +187,32 @@ def test_ema_chunked_path_parity_long_series():
                 want = seq_ema(x, alpha)
                 tol = np.max(np.abs(x)) * 1e-12
                 assert np.max(np.abs(got - want)) < tol, (alpha, scale, walk)
+
+
+def test_savgol_derivative_matches_reference_construction():
+    """deriv>0 path parity: the reference convolves with the REVERSED
+    least-squares polynomial coefficients (length polyorder+1, y = e_hw *
+    deriv!) — SavitzkyGolayFilter.cs:143-250 — NOT a window-length SG
+    kernel. Pin our interior output against a direct emulation of that
+    construction (edges then go through the polynomial re-fit)."""
+    import math
+
+    sig = 3.0 * np.arange(12) + 2
+    w, p, deriv, hw = 5, 2, 1, 2
+    pos = hw - 0.5
+    x = np.array([i - pos for i in range(w)])[::-1]
+    A = np.vander(x, p + 1, increasing=True)
+    y = np.zeros(w)
+    y[hw] = float(math.factorial(deriv))
+    c, *_ = np.linalg.lstsq(A, y, rcond=None)
+    coef = c[::-1]
+    n = len(sig)
+    emul = np.empty(n)
+    for i in range(n):
+        s = 0.0
+        for j in range(len(coef)):
+            idx = min(max(i + j - hw, 0), n - 1)
+            s += sig[idx] * coef[j]
+        emul[i] = s
+    ours = savitzky_golay(sig, w, p, deriv=deriv)
+    np.testing.assert_allclose(ours[hw:-hw], emul[hw:-hw], atol=1e-9)
