@@ -159,3 +159,63 @@ def test_range_join_count_matches_bruteforce():
         t = lts[i]
         mask = (right["user_id"] == row["user_id"]) & (rts > t - window_us) & (rts <= t)
         assert out[row["event_id"]] == mask.sum(), row["event_id"]
+
+
+def test_asof_join_tiebreak_independent_of_block_layout():
+    """The round-1 regression class: duplicate (key, ts) right rows split
+    across different blocks must still resolve to the MAX tiebreak row —
+    the dedup happens inside the per-key kernel, never per batch."""
+    import ray.data as rd
+
+    from signalsharp_ray.stages.windows import asof_join
+
+    rng = np.random.default_rng(13)
+    n_keys = 8
+    left = pd.DataFrame(
+        {
+            "k": np.repeat(np.arange(n_keys), 5),
+            "ts": pd.to_datetime(rng.integers(100, 200, n_keys * 5), unit="s"),
+        }
+    )
+    # every right (k, ts) appears 3x with different payloads; max wins
+    base = pd.DataFrame(
+        {
+            "k": np.repeat(np.arange(n_keys), 4),
+            "ts": pd.to_datetime(np.tile([90, 120, 150, 180], n_keys), unit="s"),
+        }
+    )
+    right = pd.concat(
+        [base.assign(payload=i * 1000 + np.arange(len(base))) for i in range(3)],
+        ignore_index=True,
+    )
+
+    def run(left_parts, right_parts, shuffle_seed):
+        r = right.sample(frac=1.0, random_state=shuffle_seed).reset_index(drop=True)
+        out = asof_join(
+            rd.from_pandas(left).repartition(left_parts),
+            rd.from_pandas(r).repartition(right_parts),
+            "k",
+            right_cols=["payload"],
+            right_tiebreak=["payload"],
+        ).to_pandas()
+        return out.sort_values(["k", "ts"]).reset_index(drop=True)
+
+    a = run(2, 2, 0)
+    b = run(7, 13, 1)  # different block layout AND row order
+    c = run(1, 40, 2)  # right side shattered into ~1-row blocks
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
+    # and the payload chosen is the maximum among the 3 duplicates
+    oracle = (
+        right.sort_values("payload").groupby(["k", "ts"], as_index=False).last()
+    )
+    merged = pd.merge_asof(
+        left.sort_values("ts"),
+        oracle.sort_values("ts"),
+        by="k",
+        on="ts",
+        direction="backward",
+    ).sort_values(["k", "ts"]).reset_index(drop=True)
+    np.testing.assert_array_equal(
+        a["payload"].fillna(-1).to_numpy(), merged["payload"].fillna(-1).to_numpy()
+    )
