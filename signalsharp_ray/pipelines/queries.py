@@ -137,15 +137,18 @@ def _finish_rollup(ds):
 
 
 def q_rollup_1m(sf_dir: str):
+    """Minutely continuous aggregate per event_type: partial+final count/sum/min/max with exact centivalue sums."""
     return _finish_rollup(rollup_tier(_events_v100(sf_dir), "1m", key_cols=["event_type"]))
 
 
 def q_rollup_1h_cascade(sf_dir: str):
+    """Hourly tier re-aggregated exactly from the 1m tier partials (the continuous-aggregate cascade)."""
     t1m = rollup_tier(_events_v100(sf_dir), "1m", key_cols=["event_type"])
     return _finish_rollup(cascade_tier(t1m, "1h", key_cols=["event_type"]))
 
 
 def q_rollup_1d_cascade(sf_dir: str):
+    """Daily tier re-aggregated exactly from the hourly tier (sum of sums, min of mins) — never touches raw points."""
     t1m = rollup_tier(_events_v100(sf_dir), "1m", key_cols=["event_type"])
     t1h = cascade_tier(t1m, "1h", key_cols=["event_type"])
     return _finish_rollup(cascade_tier(t1h, "1d", key_cols=["event_type"]))
@@ -198,6 +201,7 @@ def _per_series(sf_dir, fn):
 
 
 def q_downsample(sf_dir: str, factor: int = 3):
+    """Every 3rd point per event_type series by (ts, event_id) order — the reference's stride Downsample re-expressed distributed."""
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = _sorted_group(df)
         return df.iloc[::factor][["event_id", "event_type", "ts", "value"]]
@@ -230,18 +234,22 @@ def _segment_query(sf_dir, op, factor=10):
 
 
 def q_segment_mean(sf_dir: str):
+    """Tumbling 10-point segment mean per series (reference SegmentMean semantics, ragged tail included)."""
     return _segment_query(sf_dir, "mean")
 
 
 def q_segment_median(sf_dir: str):
+    """Tumbling 10-point segment median per series (sort/quickselect-identical median, even = mean of middle two)."""
     return _segment_query(sf_dir, "median")
 
 
 def q_segment_min(sf_dir: str):
+    """Tumbling 10-point segment min per series (reference SegmentMin semantics, ragged tail included)."""
     return _segment_query(sf_dir, "min")
 
 
 def q_segment_max(sf_dir: str):
+    """Tumbling 10-point segment max per series (reference SegmentMax semantics, ragged tail included)."""
     return _segment_query(sf_dir, "max")
 
 
@@ -265,6 +273,7 @@ FROM r GROUP BY 1, 2
 
 
 def q_sma(sf_dir: str, window: int = 5):
+    """5-point simple moving average per series ('valid' output, window never crosses series boundaries)."""
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = _sorted_group(df)
         vals = df["value"].to_numpy(dtype=np.float64)
@@ -281,6 +290,7 @@ def q_sma(sf_dir: str, window: int = 5):
 
 
 def q_wma(sf_dir: str):
+    """Weighted moving average (weights 0.1/0.3/0.6) per series, matching the reference's normalization."""
     weights = np.array([0.1, 0.3, 0.6])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -299,6 +309,7 @@ def q_wma(sf_dir: str):
 
 
 def q_ema(sf_dir: str, alpha: float = 0.3):
+    """Exponential moving average (alpha=0.3) per series; the sequential recurrence is mirrored by a recursive-CTE oracle."""
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = _sorted_group(df)
         vals = df["value"].to_numpy(dtype=np.float64)
@@ -314,6 +325,7 @@ def q_ema(sf_dir: str, alpha: float = 0.3):
 
 
 def q_savgol(sf_dir: str):
+    """Savitzky-Golay smoothing with the reference's quirks (middle restore, edge polyfit, short passthrough); rational-projection oracle."""
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = _sorted_group(df)
         vals = df["value"].to_numpy(dtype=np.float64)
@@ -329,6 +341,7 @@ def q_savgol(sf_dir: str):
 
 
 def q_kalman(sf_dir: str):
+    """1-D Kalman filter smoothing per series (public formulation; docs-only in the reference); recursive-CTE oracle."""
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = _sorted_group(df)
         vals = df["value"].to_numpy(dtype=np.float64)
@@ -349,6 +362,7 @@ def q_kalman(sf_dir: str):
 
 
 def q_zscore(sf_dir: str):
+    """Per-series z-score normalization ((x - mean) / population std; zero sigma -> zeros)."""
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         vals = df["value"].to_numpy(dtype=np.float64)
         return pd.DataFrame(
@@ -359,6 +373,7 @@ def q_zscore(sf_dir: str):
 
 
 def q_series_stats(sf_dir: str):
+    """Whole-series statistics per event_type: n, mean, population std, median, G1 skewness (reference formulas)."""
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         vals = df["value"].to_numpy(dtype=np.float64)
         return pd.DataFrame(
@@ -381,6 +396,7 @@ def q_series_stats(sf_dir: str):
 
 
 def q_linear_forecast(sf_dir: str, horizon: int = 3):
+    """OLS line per series extrapolated from the LAST OBSERVED value (the reference's anchor quirk), horizon 3."""
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = _sorted_group(df)
         vals = df["value"].to_numpy(dtype=np.float64)
@@ -397,6 +413,7 @@ def q_linear_forecast(sf_dir: str, horizon: int = 3):
 
 
 def q_ses_forecast(sf_dir: str, horizon: int = 3, alpha: float = 0.3):
+    """Simple exponential smoothing forecast (alpha=0.3, flat repeat of the final level; first point smoothed into the init level)."""
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = _sorted_group(df)
         vals = df["value"].to_numpy(dtype=np.float64)
@@ -413,6 +430,7 @@ def q_ses_forecast(sf_dir: str, horizon: int = 3, alpha: float = 0.3):
 
 
 def q_holt_forecast(sf_dir: str, horizon: int = 3):
+    """Holt linear-trend forecast (additive, alpha=beta=0.5) per series; recursive-CTE oracle replays the recurrence."""
     opts = HoltOptions(alpha=0.5, beta=0.5)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -477,6 +495,7 @@ def q_holt_multiplicative(sf_dir: str, horizon: int = 3):
 
 
 def q_gapfill_locf_1h(sf_dir: str):
+    """Dense hourly grid per series with last-observation-carried-forward fill and gap_filled flags (ASOF-join oracle)."""
     t1h = rollup_tier(_events_v100(sf_dir), "1h", key_cols=["event_type"])
 
     def round_mean(batch: pd.DataFrame) -> pd.DataFrame:
@@ -510,6 +529,7 @@ def q_gapfill_locf_1h(sf_dir: str):
 
 
 def q_cusum_changepoints(sf_dir: str):
+    """Two-sided CUSUM changepoints per z-normalized event_type series (recursive-CTE oracle carries the scan state bitwise)."""
     opts = CUSUMOptions(threshold_factor=1.5, slack_factor=0.1)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -711,6 +731,7 @@ def q_pelt_auto_penalty(sf_dir: str):
 
 
 def q_token_count(sf_dir: str):
+    """Whitespace token count per document, vectorized pandas-str kernels."""
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         text = batch["text"].fillna("")
         return pd.DataFrame(
@@ -746,12 +767,14 @@ def q_char_stats(sf_dir: str):
 
 
 def q_exact_dedup(sf_dir: str):
+    """One row per distinct text with representative min doc_id and copy count; only 64-bit content hashes cross the shuffle."""
     from ..stages.dedup import exact_dedup
 
     return exact_dedup(_documents(sf_dir))
 
 
 def q_quality_scores(sf_dir: str):
+    """Per-document quality heuristics (length, punctuation/digit/upper ratios, mean word length) — actor-pool regexes."""
     from ..stages.text import quality_scores
 
     ds = quality_scores(_documents(sf_dir))
@@ -766,12 +789,14 @@ def q_quality_scores(sf_dir: str):
 
 
 def q_language_id(sf_dir: str):
+    """Heuristic n-gram/stopword language identification per document (actor pool, tables built once)."""
     from ..stages.text import language_id
 
     return language_id(_documents(sf_dir))
 
 
 def q_fingerprints(sf_dir: str):
+    """64-bit md5 content fingerprint per document (little-endian first 8 bytes == DuckDB md5_number_upper)."""
     from ..stages.text import fingerprints
 
     return fingerprints(_documents(sf_dir))
@@ -819,6 +844,7 @@ def q_decontamination(sf_dir: str, n_probes: int = 5, threshold: float = 0.5):
 
 
 def q_minhash_near_dups(sf_dir: str):
+    """MinHash-LSH banded candidate pairs verified by exact Jaccard; exact counterpart jaccard_pairs is oracle-checked."""
     from ..stages.dedup import minhash_dedup_pairs
 
     ds = minhash_dedup_pairs(
@@ -834,6 +860,7 @@ def q_minhash_near_dups(sf_dir: str):
 
 
 def q_simhash_near_dups(sf_dir: str):
+    """SimHash near-dup pairs (hamming <= 3) via Manku 6-block multi-table blocking, each pair emitted exactly once."""
     from ..stages.dedup import simhash_near_dup_pairs
 
     return simhash_near_dup_pairs(_documents(sf_dir), max_hamming=3)
@@ -907,6 +934,7 @@ def q_dedup_clusters(sf_dir: str, threshold: float = 0.5):
 
 
 def q_knn_cosine(sf_dir: str, k: int = 10):
+    """Exact cosine top-10 neighbors of the first embedding: broadcast query, per-batch matmul partial top-k."""
     from ..stages.similarity import knn_brute_force
 
     q = _query_vector(sf_dir)
@@ -920,6 +948,7 @@ def q_knn_cosine(sf_dir: str, k: int = 10):
 
 
 def q_embedding_near_dups(sf_dir: str, threshold: float = 0.35):
+    """All embedding pairs with cosine >= threshold — EXACT, blocked-cartesian over object-store chunks."""
     from ..stages.similarity import embedding_near_dup_pairs
 
     out = embedding_near_dup_pairs(_embeddings(sf_dir), threshold=threshold).to_pandas()
@@ -941,6 +970,7 @@ def q_embedding_near_dups(sf_dir: str, threshold: float = 0.35):
 
 
 def q_ivf_knn(sf_dir: str, k: int = 10):
+    """Approximate cosine top-k probing the nearest IVF centroid cells; exact counterpart knn_cosine is oracle-checked."""
     from ..stages.similarity import ivf_knn
 
     q = _query_vector(sf_dir)
