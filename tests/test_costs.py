@@ -180,6 +180,33 @@ class TestBinomial:
         with pytest.raises(ValueError):
             BinomialLikelihoodCost().fit(np.array([[5.0], [3.0]]))
 
+    def test_fit_validation_matches_reference(self):
+        # BinomialLikelihoodCostFunctionTests.cs:Fit_InvalidData_* —
+        # negative k, n < 1, non-integer values, NaN/inf, 1-D input
+        with pytest.raises(ValueError):
+            BinomialLikelihoodCost().fit(np.array([[-1.0], [5.0]]))
+        with pytest.raises(ValueError):
+            BinomialLikelihoodCost().fit(np.array([[0.0], [0.0]]))
+        with pytest.raises(ValueError):
+            BinomialLikelihoodCost().fit(np.array([[1.5], [5.0]]))
+        with pytest.raises(ValueError):
+            BinomialLikelihoodCost().fit(np.array([[np.nan], [5.0]]))
+        with pytest.raises(ValueError):
+            BinomialLikelihoodCost().fit(np.array([[1.0], [np.inf]]))
+        with pytest.raises(ValueError):
+            BinomialLikelihoodCost().fit([1, 2, 3])  # 1-D rejected
+
+    def test_single_point_and_subset_segments(self):
+        # ComputeCost_SinglePointSegment / SubsetSegment_ValidData
+        data = np.array([[2.0, 5.0, 1.0], [4.0, 10.0, 8.0]])
+        c = BinomialLikelihoodCost().fit(data)
+        k, n = 2.0, 4.0
+        exp = -(k * math.log(k) + (n - k) * math.log(n - k) - n * math.log(n))
+        assert c.compute_cost(0, 1) == pytest.approx(exp)
+        k, n = 7.0, 14.0  # points 0..1
+        exp = -(k * math.log(k) + (n - k) * math.log(n - k) - n * math.log(n))
+        assert c.compute_cost(0, 2) == pytest.approx(exp)
+
 
 class TestAR:
     def test_perfect_ar1_zero_rss(self):
