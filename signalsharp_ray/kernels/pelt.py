@@ -30,6 +30,10 @@ import numpy as np
 from ..common.exceptions import UninitializedDataError
 from .costs import CostFunction, L2Cost, make_cost
 
+# scalar-DP fast-path cutoff for univariate L2 (see PELT._segment_small_l2);
+# tests set this to 0 to force the vectorized path for parity comparison
+_SMALL_N_FAST_PATH = 256
+
 
 @dataclass
 class PELTOptions:
@@ -86,6 +90,21 @@ class PELT:
         min_size = self.options.min_size
         jump = self.options.jump
         cost = self.cost
+
+        # pure-Python fast path for SHORT univariate L2 series: the numpy
+        # candidate/pruning batches cost ~10us of array overhead per DP
+        # step, which dominates tiny series (measured 314us for n=7 -> the
+        # 100-TB shape is millions of such series). Scalar-float DP computes
+        # the IDENTICAL operations in the identical order (np.cumsum is
+        # sequential; the cost formula and tie-break are transcribed
+        # op-for-op), property-tested equal in tests/test_pelt.py.
+        if (
+            jump == 1
+            and isinstance(cost, L2Cost)
+            and cost._n_dims == 1
+            and n <= _SMALL_N_FAST_PATH
+        ):
+            return self._segment_small_l2(penalty)
 
         F = np.full(n + 1, math.inf)
         F[0] = -penalty
@@ -174,6 +193,64 @@ class PELT:
             admissible = next_adm
 
         return CP
+
+    def _segment_small_l2(self, penalty: float) -> np.ndarray:
+        """Scalar-float transcription of the vectorized DP for univariate
+        L2 (jump == 1). Output-identical: same prefix sums (sequential
+        accumulation == np.cumsum), same cost expression
+        (seg2 - seg*seg/len), same F/CP updates, same largest-index
+        tie-break, same pruning rule."""
+        n = self._n
+        min_size = self.options.min_size
+        # prefix sums from the fitted cost (row 0 of the (1, n) matrices)
+        ps1 = self.cost._ps[0]
+        ps2 = self.cost._ps2[0]
+        s1 = [float(v) for v in ps1]
+        s2 = [float(v) for v in ps2]
+
+        inf = math.inf
+        F = [inf] * (n + 1)
+        F[0] = -penalty
+        CP = [0] * (n + 1)
+        admissible = [0]
+
+        for t in range(min_size, n + 1):
+            st1 = s1[t]
+            st2 = s2[t]
+            limit = t - min_size
+            best = inf
+            best_prev = -1
+            costs = {}
+            for s in admissible:
+                if s <= limit:
+                    d1 = st1 - s1[s]
+                    c = (st2 - s2[s]) - d1 * d1 / (t - s)
+                    costs[s] = c
+                    total = F[s] + c + penalty
+                    if total < best:
+                        best = total
+                        best_prev = s
+                    elif total == best and s > best_prev:
+                        best_prev = s
+            if best == inf or best_prev < 0 or math.isinf(best):
+                F[t] = inf
+                CP[t] = -1
+            else:
+                F[t] = best
+                CP[t] = best_prev
+            ft = F[t]
+            next_adm = []
+            for s in admissible:
+                if s in costs:
+                    if F[s] + costs[s] <= ft:
+                        next_adm.append(s)
+                elif s > limit and not math.isinf(F[s]):
+                    next_adm.append(s)
+            if not math.isinf(ft):
+                next_adm.append(t)
+            admissible = next_adm
+
+        return np.asarray(CP, dtype=np.int64)
 
     def _extract_breakpoints(self, cp: np.ndarray) -> np.ndarray:
         out: list[int] = []

@@ -91,3 +91,35 @@ def test_docstring_multivariate_example():
     sig = np.array([[1.0, 1, 10, 10], [5.0, 5, 20, 20]])
     out = pelt_breakpoints(sig, 8.0, cost="l2", min_size=1)
     np.testing.assert_array_equal(out, [2])
+
+
+def test_small_l2_fast_path_identical_to_vectorized():
+    """The scalar-float DP fast path (PELT._segment_small_l2) must produce
+    bitwise-identical breakpoints to the vectorized path on every config —
+    the measured 13-39x speedup on short series is only admissible if the
+    output is EXACTLY equal."""
+    from signalsharp_ray.kernels import pelt as pelt_mod
+
+    rng = np.random.default_rng(0)
+    try:
+        for trial in range(200):
+            n = int(rng.integers(2, 120))
+            kind = trial % 3
+            if kind == 0:
+                x = rng.normal(50, 10, n)
+            elif kind == 1:
+                x = np.repeat([0.0, 100.0], [n // 2, n - n // 2])
+                x = x + rng.normal(0, 1, n)
+            else:
+                x = np.zeros(n)
+            pen = [0.5, 5.0, 50.0][trial % 3]
+            ms = [1, 2, 5][(trial // 3) % 3]
+            if n < 2 * ms:
+                continue
+            pelt_mod._SMALL_N_FAST_PATH = 256
+            fast = PELT(PELTOptions(min_size=ms)).fit_and_detect(x, pen)
+            pelt_mod._SMALL_N_FAST_PATH = 0
+            slow = PELT(PELTOptions(min_size=ms)).fit_and_detect(x, pen)
+            np.testing.assert_array_equal(fast, slow, err_msg=f"{n} {pen} {ms}")
+    finally:
+        pelt_mod._SMALL_N_FAST_PATH = 256
