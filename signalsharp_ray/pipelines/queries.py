@@ -1026,9 +1026,11 @@ def q_media_features(sf_dir: str):
 
 def build_queries() -> dict:
     from .queries2 import QUERIES2
+    from .queries3 import QUERIES3
 
     return {
         **QUERIES2,
+        **QUERIES3,
         "rollup_1m": q_rollup_1m,
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_cascade": q_rollup_1d_cascade,
@@ -1089,10 +1091,12 @@ def build_queries() -> dict:
 
 def build_oracle_sql() -> dict:
     from .queries2 import ORACLES2
+    from .queries3 import ORACLES3
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     return {
         **ORACLES2,
+        **ORACLES3,
         "rollup_1m": _ROLLUP_SQL.format(unit="minute"),
         "rollup_1h_cascade": _ROLLUP_SQL.format(unit="hour"),
         "rollup_1d_cascade": _ROLLUP_SQL.format(unit="day"),

@@ -1,0 +1,489 @@
+"""Round-2 batch 3: seasonal / dependence diagnostics over the tier
+count series (ACF, classical decomposition, Theil-Sen trend, rolling
+correlation), robust MAD anomaly flagging, and Gopher-style repetition
+quality signals over documents.
+
+Every operator is DuckDB-oracle-verified (ORACLES3). Parity strategy (see
+kernels/seasonal.py): count series are INTEGER, so every sum — window
+sums, lagged cross-products, phase sums — runs in exact int64/HUGEINT
+arithmetic on both engines (order-free), and the float expressions that
+follow are transcribed op-for-op into the SQL, giving bitwise-equal
+doubles into the shared final ROUND.
+
+Scale contracts: the per-series kernels run on TIER-resolution series
+(one retention window of buckets per key — bounded state, the same
+contract as the EMA/CUSUM/PELT whole-series kernels); repetition signals
+are per-doc with state bounded by document length.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+from ..kernels.seasonal import (
+    acf_exact,
+    classical_decompose,
+    dense_counts,
+    rolling_corr_exact,
+    theil_sen,
+)
+from ..stages.rollup import rollup_tier
+from .queries2 import _documents, _events, _r6away
+
+HOUR_US = 3_600_000_000
+DAY_US = 86_400_000_000
+
+
+def _tier_counts(sf_dir: str, tier: str):
+    """(event_type, bucket_ts, count) at tier resolution via the standard
+    partial+final distributed rollup."""
+    t = rollup_tier(_events(sf_dir), tier, key_cols=["event_type"])
+    return t.select_columns(["event_type", "bucket_ts", "count"])
+
+
+def _bucket_us(df: pd.DataFrame) -> np.ndarray:
+    return df["bucket_ts"].astype("datetime64[us]").astype("int64").to_numpy()
+
+
+# ---------------------------------------------------------------------------
+# ACF: autocorrelation of the dense hourly count series
+# ---------------------------------------------------------------------------
+
+
+def q_acf(sf_dir: str, max_lag: int = 12):
+    """Autocorrelation r_1..r_12 of each event_type's dense (zero-filled)
+    hourly count series — the standard seasonality diagnostic a rollup
+    engine serves next to its tiers.
+
+    Exactness: all sums (S, SS, and the per-lag cross-products P_k, Q_k)
+    are int64 reductions over integer counts — order-free, so the shuffle
+    and batch layout cannot perturb them; the float combination is
+    replicated verbatim in the oracle (kernels/seasonal.py:acf_exact).
+    Series shorter than max_lag+1 buckets are dropped on both sides."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        _, x = dense_counts(_bucket_us(df), df["count"].to_numpy(), HOUR_US)
+        if x.size <= max_lag:
+            return pd.DataFrame(
+                {"event_type": pd.Series(dtype=object),
+                 "lag": pd.Series(dtype=np.int64),
+                 "acf": pd.Series(dtype=np.float64)}
+            )
+        lags, r = acf_exact(x, max_lag)
+        return pd.DataFrame(
+            {
+                "event_type": np.repeat(df["event_type"].iloc[0], lags.size),
+                "lag": lags,
+                "acf": _r6away(r),
+            }
+        )
+
+    return _tier_counts(sf_dir, "1h").groupby("event_type").map_groups(
+        fn, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classical additive seasonal decomposition (period 24 on the hourly tier)
+# ---------------------------------------------------------------------------
+
+
+def q_seasonal_decompose(sf_dir: str, period: int = 24):
+    """Classical additive decomposition (trend = even-period centered MA,
+    seasonal = phase mean of the detrended series, residual) of each
+    event_type's dense hourly count series with daily period 24.
+
+    Spec note: the seasonal component is the UNCENTERED phase mean — the
+    phase means are computed exactly from integer sums (see
+    kernels/seasonal.py:classical_decompose), whereas re-centering by the
+    float mean-of-means would re-introduce summation-order sensitivity.
+    Rows outside the full centered window are dropped on both sides."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        grid, x = dense_counts(_bucket_us(df), df["count"].to_numpy(), HOUR_US)
+        trend, seasonal, resid, valid = classical_decompose(x, period)
+        idx = np.flatnonzero(valid)
+        return pd.DataFrame(
+            {
+                "event_type": np.repeat(df["event_type"].iloc[0], idx.size),
+                "idx": idx.astype(np.int64),
+                "bucket_ts": pd.to_datetime(grid[idx], unit="us"),
+                "x": x[idx],
+                "trend": _r6away(trend[idx]),
+                "seasonal": _r6away(seasonal[idx]),
+                "residual": _r6away(resid[idx]),
+            }
+        )
+
+    return _tier_counts(sf_dir, "1h").groupby("event_type").map_groups(
+        fn, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend on the daily tier
+# ---------------------------------------------------------------------------
+
+
+def q_theilsen_trend(sf_dir: str):
+    """Theil-Sen robust trend (median of all pairwise slopes) of each
+    event_type's dense daily count series. O(n^2) pairs is the documented
+    cost — n is the number of retention DAYS (30 here, ~365 in
+    production), so the pair set stays tiny; the medians are np.quantile
+    linear == DuckDB quantile_cont bitwise."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        _, x = dense_counts(_bucket_us(df), df["count"].to_numpy(), DAY_US)
+        slope, intercept, n_pairs = theil_sen(x)
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "n_days": np.int64(x.size),
+                "n_pairs": np.int64(n_pairs),
+                "slope": _r6away(slope),
+                "intercept": _r6away(intercept),
+            }
+        )
+
+    return _tier_counts(sf_dir, "1d").groupby("event_type").map_groups(
+        fn, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD-based robust anomaly flags over raw event values
+# ---------------------------------------------------------------------------
+
+
+def q_mad_anomaly(sf_dir: str, k: float = 3.0):
+    """Events whose robust z-score |value - median| / (1.4826 * MAD)
+    exceeds k — the outlier-resistant sibling of anomaly_zscore (a single
+    wild value inflates the stddev and hides later outliers; the median
+    and MAD are immune). Both medians are quantile_cont-parity
+    np.quantile calls; the score is a shared float expression and the
+    k-boundary is compared on the 6-rounded score on both sides, so
+    boundary membership is identical."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        med = float(np.quantile(v, 0.5))
+        dev = np.abs(v - med)
+        mad = float(np.quantile(dev, 0.5))
+        empty = pd.DataFrame(
+            {"event_type": pd.Series(dtype=object),
+             "event_id": pd.Series(dtype=np.int64),
+             "value": pd.Series(dtype=np.float64),
+             "score": pd.Series(dtype=np.float64)}
+        )
+        if mad <= 0.0:
+            return empty
+        score = _r6away(dev / (1.4826 * mad))
+        sel = score > k
+        if not sel.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy()[sel],
+                "event_id": df["event_id"].to_numpy(np.int64)[sel],
+                "value": v[sel],
+                "score": score[sel],
+            }
+        )
+
+    return _events(sf_dir).groupby("event_type").map_groups(
+        fn, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation between two event-type series
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_corr(sf_dir: str, type_a: str = "click", type_b: str = "view",
+                   window: int = 24):
+    """Rolling 24h Pearson correlation between the click and view hourly
+    count series, aligned on a shared zero-filled global hour grid.
+
+    The five window sums are exact integer window aggregates (order-free;
+    HUGEINT on the SQL side), so the correlation is a shared float
+    expression over identical operands (kernels/seasonal.py:
+    rolling_corr_exact). The pair of series lives in ONE kernel — tier
+    resolution, bounded by the retention window, the same single-series
+    state contract as the forecast kernels."""
+
+    counts = _tier_counts(sf_dir, "1h")
+
+    def mark(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["event_type"].isin([type_a, type_b])].copy()
+        batch["pair"] = np.int64(0)
+        return batch
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        us = _bucket_us(df)
+        lo, hi = int(us.min()), int(us.max())
+        a = df[df["event_type"] == type_a]
+        b = df[df["event_type"] == type_b]
+        grid, x = dense_counts(_bucket_us(a), a["count"].to_numpy(), HOUR_US, lo, hi)
+        _, y = dense_counts(_bucket_us(b), b["count"].to_numpy(), HOUR_US, lo, hi)
+        r = rolling_corr_exact(x, y, window)
+        sel = np.isfinite(r)
+        return pd.DataFrame(
+            {
+                "bucket_ts": pd.to_datetime(grid[sel], unit="us"),
+                "corr": _r6away(r[sel]),
+            }
+        )
+
+    return (
+        counts.map_batches(mark, batch_format="pandas")
+        .groupby("pair")
+        .map_groups(fn, batch_format="pandas")
+        .select_columns(["bucket_ts", "corr"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals per document
+# ---------------------------------------------------------------------------
+
+
+def repetition_row(text: str):
+    """Per-doc repetition signals; state bounded by document length.
+    Split on single spaces EXACTLY like DuckDB string_split(text, ' ')
+    (no collapsing of runs, unlike str.split())."""
+    words = (text or "").split(" ")
+    nw = len(words)
+    if nw < 5:
+        return None
+    c2 = Counter(zip(words, words[1:]))
+    total2 = nw - 1
+    top2 = max(c2.values())
+    c5 = Counter(zip(words, words[1:], words[2:], words[3:], words[4:]))
+    total5 = nw - 4
+    dup5 = sum(c for c in c5.values() if c > 1)
+    return nw, top2 / total2, dup5 / total5
+
+
+def q_repetition_signals(sf_dir: str):
+    """Gopher-style repetition quality signals per document: the fraction
+    of word-2-gram occurrences claimed by the single most frequent 2-gram
+    (top2_frac), and the fraction of word-5-gram occurrences that are
+    duplicated within the document (dup5_frac) — the two filters used to
+    drop boilerplate/spam pages from LLM training corpora.
+
+    Per-doc UDF (bounded state), embarrassingly parallel — no shuffle.
+    Documents with fewer than 5 space-separated tokens are dropped on
+    both sides."""
+
+    def batch_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, nws, t2, d5 = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            row = repetition_row(text)
+            if row is None:
+                continue
+            ids.append(int(doc_id))
+            nws.append(row[0])
+            t2.append(row[1])
+            d5.append(row[2])
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "n_words": np.asarray(nws, dtype=np.int64),
+                "top2_frac": _r6away(np.asarray(t2, dtype=np.float64)),
+                "dup5_frac": _r6away(np.asarray(d5, dtype=np.float64)),
+            }
+        )
+
+    return _documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        batch_fn, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registries
+# ---------------------------------------------------------------------------
+
+QUERIES3 = {
+    "acf": q_acf,
+    "seasonal_decompose": q_seasonal_decompose,
+    "theilsen_trend": q_theilsen_trend,
+    "mad_anomaly": q_mad_anomaly,
+    "rolling_corr": q_rolling_corr,
+    "repetition_signals": q_repetition_signals,
+}
+
+# dense zero-filled hourly count grid per event_type, with integer idx
+_DENSE_1H = """
+c AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM c GROUP BY 1),
+g AS (
+  SELECT bo.event_type, bo.lo,
+         UNNEST(generate_series(bo.lo, bo.hi, INTERVAL 1 HOUR)) AS b
+  FROM bounds bo
+),
+d AS (
+  SELECT g.event_type,
+         CAST(date_diff('hour', g.lo, g.b) AS BIGINT) AS idx,
+         g.b, COALESCE(c.x, 0) AS x
+  FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.b = g.b
+)
+"""
+
+ORACLES3 = {
+    "acf": """
+WITH """ + _DENSE_1H + """,
+s AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x*x) AS sxx
+      FROM d GROUP BY 1),
+ks AS (SELECT UNNEST(generate_series(1, 12)) AS k),
+pq AS (
+  SELECT a.event_type, ks.k,
+         SUM(a.x * b.x) AS p, SUM(a.x + b.x) AS q
+  FROM d a
+  CROSS JOIN ks
+  JOIN d b ON b.event_type = a.event_type AND b.idx = a.idx + ks.k
+  GROUP BY 1, 2
+)
+SELECT s.event_type, CAST(pq.k AS BIGINT) AS lag,
+       ROUND((CAST(p AS DOUBLE) - (CAST(sx AS DOUBLE)/n) * CAST(q AS DOUBLE)
+              + (n - pq.k) * (CAST(sx AS DOUBLE)/n) * (CAST(sx AS DOUBLE)/n))
+             / (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE)/n) * CAST(sx AS DOUBLE)),
+             6) AS acf
+FROM pq JOIN s USING (event_type)
+WHERE s.n > 12
+""",
+    "seasonal_decompose": """
+WITH """ + _DENSE_1H + """,
+w AS (
+  SELECT event_type, idx, b, x,
+         lag(x, 12)  OVER wo AS xm12,
+         lead(x, 12) OVER wo AS xp12,
+         SUM(x) OVER (PARTITION BY event_type ORDER BY idx
+                      ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING) AS s23,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY idx
+                        ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING) AS c23
+  FROM d
+  WINDOW wo AS (PARTITION BY event_type ORDER BY idx)
+),
+t AS (
+  SELECT event_type, idx, b, x, xm12 + 2*s23 + xp12 AS num2
+  FROM w WHERE xm12 IS NOT NULL AND xp12 IS NOT NULL AND c23 = 23
+),
+p AS (
+  SELECT event_type, idx % 24 AS phase,
+         48*SUM(x) - SUM(num2) AS dnum, COUNT(*) AS cnt
+  FROM t GROUP BY 1, 2
+),
+se AS (SELECT event_type, phase, CAST(dnum AS DOUBLE)/48.0/cnt AS seas FROM p)
+SELECT t.event_type, t.idx, t.b AS bucket_ts, t.x,
+       ROUND(CAST(num2 AS DOUBLE)/48.0, 6) AS trend,
+       ROUND(seas, 6) AS seasonal,
+       ROUND(t.x - CAST(num2 AS DOUBLE)/48.0 - seas, 6) AS residual
+FROM t JOIN se ON se.event_type = t.event_type AND se.phase = t.idx % 24
+""",
+    "theilsen_trend": """
+WITH c AS (
+  SELECT event_type, date_trunc('day', ts) AS b, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM c GROUP BY 1),
+g AS (
+  SELECT bo.event_type, bo.lo,
+         UNNEST(generate_series(bo.lo, bo.hi, INTERVAL 1 DAY)) AS b
+  FROM bounds bo
+),
+d AS (
+  SELECT g.event_type,
+         CAST(date_diff('day', g.lo, g.b) AS BIGINT) AS idx,
+         COALESCE(c.x, 0) AS x
+  FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.b = g.b
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(b.x - a.x AS DOUBLE) / (b.idx - a.idx) AS sl
+  FROM d a JOIN d b ON b.event_type = a.event_type AND b.idx > a.idx
+),
+m AS (SELECT event_type, quantile_cont(sl, 0.5) AS slope,
+             COUNT(*) AS n_pairs FROM pairs GROUP BY 1),
+mx AS (SELECT event_type, quantile_cont(CAST(x AS DOUBLE), 0.5) AS med_x,
+              quantile_cont(CAST(idx AS DOUBLE), 0.5) AS med_i,
+              COUNT(*) AS n_days FROM d GROUP BY 1)
+SELECT event_type, n_days, n_pairs, ROUND(slope, 6) AS slope,
+       ROUND(med_x - slope * med_i, 6) AS intercept
+FROM m JOIN mx USING (event_type)
+""",
+    "mad_anomaly": """
+WITH m AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+),
+dv AS (
+  SELECT e.event_type, e.event_id, e.value, ABS(e.value - m.med) AS dev
+  FROM events e JOIN m USING (event_type)
+),
+md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dv GROUP BY 1)
+SELECT dv.event_type, dv.event_id, dv.value,
+       ROUND(dev / (1.4826 * mad), 6) AS score
+FROM dv JOIN md USING (event_type)
+WHERE mad > 0 AND ROUND(dev / (1.4826 * mad), 6) > 3.0
+""",
+    "rolling_corr": """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, COUNT(*) AS x
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM c),
+g AS (
+  SELECT bo.lo, UNNEST(generate_series(bo.lo, bo.hi, INTERVAL 1 HOUR)) AS b
+  FROM bounds bo
+),
+p AS (
+  SELECT CAST(date_diff('hour', g.lo, g.b) AS BIGINT) AS idx, g.b,
+         COALESCE(MAX(CASE WHEN c.event_type = 'click' THEN c.x END), 0) AS x,
+         COALESCE(MAX(CASE WHEN c.event_type = 'view'  THEN c.x END), 0) AS y
+  FROM g LEFT JOIN c ON c.b = g.b
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT b, COUNT(*) OVER win AS cw,
+         SUM(x)   OVER win AS sx,  SUM(y)   OVER win AS sy,
+         SUM(x*x) OVER win AS sxx, SUM(y*y) OVER win AS syy,
+         SUM(x*y) OVER win AS sxy
+  FROM p
+  WINDOW win AS (ORDER BY idx ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT b AS bucket_ts,
+       ROUND(CAST(24*sxy - sx*sy AS DOUBLE)
+             / (sqrt(CAST(24*sxx - sx*sx AS DOUBLE))
+                * sqrt(CAST(24*syy - sy*sy AS DOUBLE))), 6) AS corr
+FROM w
+WHERE cw = 24 AND 24*sxx - sx*sx > 0 AND 24*syy - sy*sy > 0
+""",
+    "repetition_signals": """
+WITH w AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws FROM documents
+),
+n AS (SELECT doc_id, ws, len(ws) AS nw FROM w WHERE len(ws) >= 5),
+i2 AS (SELECT doc_id, ws, UNNEST(generate_series(1, nw - 1)) AS i FROM n),
+g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram FROM i2),
+c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+a2 AS (SELECT doc_id, MAX(c) AS maxc, SUM(c) AS total2 FROM c2 GROUP BY 1),
+i5 AS (SELECT doc_id, ws, UNNEST(generate_series(1, nw - 4)) AS i FROM n),
+g5 AS (SELECT doc_id,
+              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                    || ' ' || ws[i+4] AS gram
+       FROM i5),
+c5 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g5 GROUP BY 1, 2),
+a5 AS (SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup5,
+              SUM(c) AS total5 FROM c5 GROUP BY 1)
+SELECT n.doc_id, CAST(nw AS BIGINT) AS n_words,
+       ROUND(CAST(maxc AS DOUBLE) / total2, 6) AS top2_frac,
+       ROUND(CAST(dup5 AS DOUBLE) / total5, 6) AS dup5_frac
+FROM n JOIN a2 USING (doc_id) JOIN a5 USING (doc_id)
+""",
+}
