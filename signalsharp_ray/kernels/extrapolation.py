@@ -279,3 +279,61 @@ def holt_forecast(signal, horizon: int, options: HoltOptions | None = None) -> n
             factor = st.trend ** phi_sum if (st.trend > _EPS or abs(phi_sum) < _EPS) else 1.0
             out[h - 1] = st.level * factor
     return out
+
+
+def holt_winters_forecast(
+    signal,
+    horizon: int,
+    period: int = 24,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+) -> np.ndarray:
+    """Additive Holt-Winters (triple exponential smoothing) forecast —
+    the seasonal extension of the Holt family above. No reference
+    counterpart (emmorts/SignalSharp stops at double smoothing,
+    Extrapolation/HoltMethodExtrapolator.cs); this operator's spec is the
+    standard additive recurrence with the SQL-replicable initialization:
+
+        L0 = mean(x[0:m])                 (exact integer sum / m)
+        T0 = (sum(x[m:2m]) - sum(x[0:m])) / m^2
+        s[i] = x[i] - L0                  for i in 0..m-1
+
+        for t in m..n-1:
+            so = s[t % m]
+            L' = alpha*(x[t] - so) + (1-alpha)*(L + T)
+            T' = beta*(L' - L) + (1-beta)*T
+            s[t % m] = gamma*(x[t] - L') + (1-gamma)*so
+
+        F_h = L + h*T + s[(n-1+h) % m]
+
+    The scalar float recurrence is transcribed op-for-op into the
+    recursive-CTE oracle (pipelines/queries3.py), which carries the
+    m-element seasonal state as a SQL list — bitwise parity, the same
+    contract as the EMA/CUSUM/Holt oracles. The (1-alpha)-style
+    complements are taken as pre-evaluated literals on both sides.
+
+    Requires n >= 2*period; state is O(period).
+    """
+    x = np.asarray(signal, dtype=np.float64)
+    n = x.size
+    m = period
+    if n < 2 * m:
+        raise ValueError("holt_winters_forecast requires n >= 2*period")
+    ca, cb, cg = 1.0 - alpha, 1.0 - beta, 1.0 - gamma
+    s1 = float(x[:m].sum())
+    s2 = float(x[m : 2 * m].sum())
+    level = s1 / m
+    trend = (s2 - s1) / (m * m)
+    seas = [float(v) - level for v in x[:m]]
+    for t in range(m, n):
+        v = float(x[t])
+        so = seas[t % m]
+        lp = alpha * (v - so) + ca * (level + trend)
+        tp = beta * (lp - level) + cb * trend
+        seas[t % m] = gamma * (v - lp) + cg * so
+        level, trend = lp, tp
+    out = np.empty(horizon, dtype=np.float64)
+    for h in range(1, horizon + 1):
+        out[h - 1] = level + h * trend + seas[(n - 1 + h) % m]
+    return out

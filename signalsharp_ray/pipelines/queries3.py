@@ -487,3 +487,112 @@ SELECT n.doc_id, CAST(nw AS BIGINT) AS n_words,
 FROM n JOIN a2 USING (doc_id) JOIN a5 USING (doc_id)
 """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal forecast (period 24 on the hourly tier)
+# ---------------------------------------------------------------------------
+
+
+def q_holt_winters(sf_dir: str, horizon: int = 6):
+    """Additive Holt-Winters forecast (period 24, alpha=0.3, beta=0.1,
+    gamma=0.2) of each event_type's dense hourly count series — completes
+    the reference's exponential-smoothing family (SES -> Holt ->
+    Holt-Winters; Extrapolation/HoltMethodExtrapolator.cs stops at double
+    smoothing) with the seasonal member a telemetry rollup engine
+    actually forecasts with.
+
+    The recursive-CTE oracle replays the identical scalar recurrence,
+    carrying the 24-element seasonal state as a SQL list; complements
+    like (1-alpha) are written as the same (1.0 - 0.3) float expression
+    on both sides (1.0-0.3 != literal 0.7 in IEEE doubles). Requires
+    n >= 48 buckets; O(period) state per series."""
+    from ..kernels.extrapolation import holt_winters_forecast
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        _, x = dense_counts(_bucket_us(df), df["count"].to_numpy(), HOUR_US)
+        empty = pd.DataFrame(
+            {"event_type": pd.Series(dtype=object),
+             "h": pd.Series(dtype=np.int64),
+             "forecast": pd.Series(dtype=np.float64)}
+        )
+        if x.size < 48:
+            return empty
+        fc = holt_winters_forecast(x, horizon, period=24)
+        return pd.DataFrame(
+            {
+                "event_type": np.repeat(df["event_type"].iloc[0], horizon),
+                "h": np.arange(1, horizon + 1, dtype=np.int64),
+                "forecast": _r6away(fc),
+            }
+        )
+
+    return _tier_counts(sf_dir, "1h").groupby("event_type").map_groups(
+        fn, batch_format="pandas"
+    )
+
+
+QUERIES3["holt_winters"] = q_holt_winters
+
+# the new level L' inlined (recursive CTEs cannot reference select aliases);
+# phase index for step idx is (idx % 24) + 1 in 1-based SQL lists
+_HW_SO = "hw.sl[(b.idx % 24) + 1]"
+_HW_LP = f"(0.3*(b.v - {_HW_SO}) + (1.0 - 0.3)*(hw.level + hw.trend))"
+
+ORACLES3["holt_winters"] = f"""
+WITH RECURSIVE c AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM c GROUP BY 1),
+g AS (
+  SELECT bo.event_type, bo.lo,
+         UNNEST(generate_series(bo.lo, bo.hi, INTERVAL 1 HOUR)) AS b
+  FROM bounds bo
+),
+base AS MATERIALIZED (
+  SELECT g.event_type,
+         CAST(date_diff('hour', g.lo, g.b) AS BIGINT) AS idx,
+         CAST(COALESCE(c.x, 0) AS DOUBLE) AS v
+  FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.b = g.b
+),
+init AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN idx < 24 THEN CAST(v AS BIGINT) END) AS DOUBLE)
+           / 24 AS l0,
+         (CAST(SUM(CASE WHEN idx >= 24 AND idx < 48
+                        THEN CAST(v AS BIGINT) END) AS DOUBLE)
+          - CAST(SUM(CASE WHEN idx < 24 THEN CAST(v AS BIGINT) END) AS DOUBLE))
+           / 576 AS t0,
+         MAX(idx) AS mx
+  FROM base GROUP BY 1
+  HAVING MAX(idx) >= 47
+),
+s0 AS (
+  SELECT b.event_type, list(b.v - i.l0 ORDER BY b.idx) AS sl
+  FROM base b JOIN init i USING (event_type)
+  WHERE b.idx < 24
+  GROUP BY 1
+),
+hw AS (
+  SELECT i.event_type, CAST(23 AS BIGINT) AS idx, i.l0 AS level, i.t0 AS trend,
+         s0.sl AS sl
+  FROM init i JOIN s0 USING (event_type)
+  UNION ALL
+  SELECT b.event_type, b.idx,
+         {_HW_LP} AS level,
+         0.1*({_HW_LP} - hw.level) + (1.0 - 0.1)*hw.trend AS trend,
+         [CASE WHEN j = (b.idx % 24) + 1
+               THEN 0.2*(b.v - {_HW_LP}) + (1.0 - 0.2)*{_HW_SO}
+               ELSE hw.sl[j] END
+          FOR j IN generate_series(1, 24)] AS sl
+  FROM hw JOIN base b
+    ON b.event_type = hw.event_type AND b.idx = hw.idx + 1
+)
+SELECT hw.event_type, CAST(h.h AS BIGINT) AS h,
+       ROUND(hw.level + h.h * hw.trend
+             + hw.sl[((i.mx + h.h) % 24) + 1], 6) AS forecast
+FROM hw
+JOIN init i ON i.event_type = hw.event_type AND hw.idx = i.mx
+CROSS JOIN (SELECT UNNEST([1, 2, 3, 4, 5, 6]) AS h) h
+"""

@@ -167,3 +167,34 @@ def test_repetition_row_counts():
     assert repetition_row("") is None
     nw, _, _ = repetition_row("a  b  c")  # 'a','','b','','c' -> 5 tokens
     assert nw == 5
+
+
+def test_holt_winters_tracks_pure_seasonal_signal():
+    from signalsharp_ray.kernels.extrapolation import holt_winters_forecast
+
+    period = 24
+    seas = (10 * np.sin(np.arange(period) * 2 * np.pi / period)).round().astype(int)
+    x = np.tile(seas, 20) + 50  # stationary + clean daily shape
+    fc = holt_winters_forecast(x, period, period=period)
+    # the last observation sits at phase period-1, so h=1..period walks
+    # phases 0..period-1: one full period ahead reproduces the shape
+    np.testing.assert_allclose(fc, seas + 50, atol=1.5)
+
+
+def test_holt_winters_linear_trend_plus_seasonal():
+    from signalsharp_ray.kernels.extrapolation import holt_winters_forecast
+
+    period = 24
+    n = period * 30
+    seas = np.tile(np.arange(period), n // period)
+    x = 2 * np.arange(n) + 5 * seas
+    fc = holt_winters_forecast(x, 6, period=period)
+    truth = 2 * (np.arange(n, n + 6)) + 5 * ((np.arange(n, n + 6)) % period)
+    np.testing.assert_allclose(fc, truth, rtol=0.05)
+
+
+def test_holt_winters_too_short_rejected():
+    from signalsharp_ray.kernels.extrapolation import holt_winters_forecast
+
+    with pytest.raises(ValueError):
+        holt_winters_forecast(np.arange(47), 3, period=24)
