@@ -596,3 +596,108 @@ FROM hw
 JOIN init i ON i.event_type = hw.event_type AND hw.idx = i.mx
 CROSS JOIN (SELECT UNNEST([1, 2, 3, 4, 5, 6]) AS h) h
 """
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries sketch + exact sibling
+# ---------------------------------------------------------------------------
+
+
+def q_heavy_hitters(sf_dir: str, k: int = 256, threshold: int = 20):
+    """Frequent users per event_type via mergeable Misra-Gries sketches —
+    completes the sketch trio (t-digest quantiles, HLL distinct counts,
+    MG heavy hitters). Each batch collapses to one O(k) sketch per
+    event_type (the combiner); the shuffle moves counter blobs, never
+    events; the final kernel merges with the mergeable-summaries rule.
+
+    Guarantee (tested in tests/test_sketches.py): est <= true <= est +
+    offset with offset <= N/(k+1), and any user whose upper bound est +
+    offset reaches the threshold is emitted — no false negatives vs the
+    exact sibling heavy_hitters_exact. Approximate-by-design ->
+    rows-only."""
+    import pickle
+
+    from ..stages.sketches import MisraGries
+    from ..common.raytools import bucketed_map_groups
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in batch.groupby("event_type", sort=False):
+            mg = MisraGries(k)
+            ks, cs = np.unique(g["user_id"].to_numpy(np.int64), return_counts=True)
+            mg.add_counts(ks.tolist(), cs.tolist())
+            rows.append((et, pickle.dumps((mg.counters, mg.offset))))
+        return pd.DataFrame(rows, columns=["event_type", "sketch"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        acc = MisraGries(k)
+        for blob in df["sketch"]:
+            other = MisraGries(k)
+            other.counters, other.offset = pickle.loads(blob)
+            acc = acc.merge(other)
+        cand = sorted(acc.candidates(threshold))
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]] * len(cand),
+                "user_id": np.asarray([c[0] for c in cand], dtype=np.int64),
+                "count_est": np.asarray([c[1] for c in cand], dtype=np.int64),
+                "count_upper": np.asarray([c[2] for c in cand], dtype=np.int64),
+            }
+        )
+
+    parts = _events(sf_dir, columns=["event_type", "user_id"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    return bucketed_map_groups(parts, ["event_type"], final)
+
+
+def q_heavy_hitters_exact(sf_dir: str, threshold: int = 20):
+    """Exact frequent users per event_type (count >= threshold) — the
+    SQL-verified sibling of the MG sketch. Classic combiner shape: each
+    batch pre-counts (event_type, user_id) pairs, the shuffle moves
+    per-batch counts, the final kernel sums and filters. Counts are
+    integers, so the result is exact under any split."""
+    from ..common.raytools import bucketed_map_groups
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.groupby(["event_type", "user_id"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        g["user_id"] = g["user_id"].astype(np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        total = int(df["n"].sum())
+        if total < threshold:
+            return pd.DataFrame(
+                {"event_type": pd.Series(dtype=object),
+                 "user_id": pd.Series(dtype=np.int64),
+                 "count": pd.Series(dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "user_id": np.int64(df["user_id"].iloc[0]),
+                "count": np.int64(total),
+            }
+        )
+
+    parts = _events(sf_dir, columns=["event_type", "user_id"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    return bucketed_map_groups(parts, ["event_type", "user_id"], final)
+
+
+QUERIES3["heavy_hitters"] = q_heavy_hitters
+QUERIES3["heavy_hitters_exact"] = q_heavy_hitters_exact
+
+ORACLES3["heavy_hitters_exact"] = """
+SELECT event_type, user_id, COUNT(*) AS count
+FROM events
+GROUP BY 1, 2
+HAVING COUNT(*) >= 20
+"""

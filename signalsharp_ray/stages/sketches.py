@@ -192,3 +192,61 @@ class HyperLogLog:
         h = cls(p)
         h.registers = np.frombuffer(blob, dtype=np.uint8).copy()
         return h
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable, Agarwal et al. merge rule)
+# ---------------------------------------------------------------------------
+
+
+class MisraGries:
+    """Weighted Misra-Gries frequent-items sketch with the mergeable-
+    summaries merge (sum counters, then subtract the (k+1)-th largest
+    value and drop non-positive counters).
+
+    Invariants (tested in tests/test_sketches.py):
+      estimate(key) <= true_count(key) <= estimate(key) + offset
+    where `offset` is the cumulative decrement applied by compressions —
+    bounded by N/(k+1) for a stream of N total weight, regardless of how
+    the stream was split into batches or merge order. Any key with true
+    count > offset is guaranteed present. State is O(k)."""
+
+    def __init__(self, k: int = 256):
+        self.k = k
+        self.counters: dict = {}
+        self.offset = 0
+
+    def _compress(self) -> None:
+        if len(self.counters) <= self.k:
+            return
+        vals = sorted(self.counters.values(), reverse=True)
+        cut = vals[self.k]  # (k+1)-th largest
+        self.counters = {key: v - cut for key, v in self.counters.items() if v > cut}
+        self.offset += cut
+
+    def add_counts(self, keys, counts) -> None:
+        c = self.counters
+        for key, n in zip(keys, counts):
+            c[key] = c.get(key, 0) + int(n)
+        self._compress()
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        out = MisraGries(self.k)
+        out.counters = dict(self.counters)
+        for key, v in other.counters.items():
+            out.counters[key] = out.counters.get(key, 0) + v
+        out.offset = self.offset + other.offset
+        out._compress()
+        return out
+
+    def candidates(self, min_upper_bound: int):
+        """(key, est, upper_bound) for keys whose UPPER bound reaches the
+        threshold — no false negatives vs true_count >= min_upper_bound."""
+        return [
+            (key, v, v + self.offset)
+            for key, v in self.counters.items()
+            if v + self.offset >= min_upper_bound
+        ]
+
+    def to_items(self):
+        return sorted(self.counters.items())

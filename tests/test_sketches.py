@@ -96,3 +96,64 @@ class TestHLL:
         h.add_hashes(HyperLogLog.hash_keys(list(range(1000))))
         h2 = HyperLogLog.from_bytes(h.to_bytes())
         assert h2.estimate() == h.estimate()
+
+
+class TestMisraGries:
+    def _stream(self, seed=0, n=20_000, domain=1_000):
+        rng = np.random.default_rng(seed)
+        return (rng.zipf(1.5, n) % domain).tolist()
+
+    def _feed(self, mg, keys, n_chunks):
+        import numpy as _np
+
+        for chunk in _np.array_split(_np.asarray(keys), n_chunks):
+            ks, cs = _np.unique(chunk, return_counts=True)
+            mg.add_counts(ks.tolist(), cs.tolist())
+        return mg
+
+    def test_estimate_bounds(self):
+        from collections import Counter
+
+        from signalsharp_ray.stages.sketches import MisraGries
+
+        keys = self._stream()
+        true = Counter(keys)
+        mg = self._feed(MisraGries(64), keys, 37)
+        assert mg.offset <= len(keys) // 65 + 1  # N/(k+1)
+        for k, est in mg.counters.items():
+            assert est <= true[k] <= est + mg.offset
+
+    def test_no_false_negatives_at_threshold(self):
+        from collections import Counter
+
+        from signalsharp_ray.stages.sketches import MisraGries
+
+        keys = self._stream(seed=3)
+        true = Counter(keys)
+        mg = self._feed(MisraGries(64), keys, 23)
+        threshold = 500
+        cand = {k for k, _, _ in mg.candidates(threshold)}
+        for k, t in true.items():
+            if t >= threshold:
+                assert k in cand, (k, t)
+
+    def test_merge_preserves_bounds(self):
+        from collections import Counter
+
+        from signalsharp_ray.stages.sketches import MisraGries
+
+        keys = self._stream(seed=9)
+        true = Counter(keys)
+        a = self._feed(MisraGries(64), keys[:9_000], 7)
+        b = self._feed(MisraGries(64), keys[9_000:], 11)
+        m = a.merge(b)
+        assert len(m.counters) <= 64
+        for k, est in m.counters.items():
+            assert est <= true[k] <= est + m.offset
+
+    def test_state_is_bounded(self):
+        from signalsharp_ray.stages.sketches import MisraGries
+
+        mg = MisraGries(16)
+        mg.add_counts(list(range(10_000)), [1] * 10_000)
+        assert len(mg.counters) <= 16
