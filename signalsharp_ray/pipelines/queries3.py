@@ -701,3 +701,343 @@ FROM events
 GROUP BY 1, 2
 HAVING COUNT(*) >= 20
 """
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: funnel conversion + cohort retention
+# ---------------------------------------------------------------------------
+
+
+def q_funnel_conversion(sf_dir: str):
+    """Three-step funnel (view -> click after the first view -> purchase
+    after that click): how many users complete each step, with strictly
+    increasing timestamps between steps.
+
+    Scale shape: the per-user sequential scan runs inside a bucketed
+    exchange on user_id (bounded per-user state); the per-user 0/1 step
+    flags then collapse through a partial-sum combiner, so the second
+    exchange moves one tiny row per batch. Counts are integers — exact
+    under any split."""
+    from ..common.raytools import bucketed_map_groups
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy()
+        et = df["event_type"].to_numpy()
+        s1 = s2 = s3 = 0
+        tv = ts[et == "view"]
+        if tv.size:
+            s1 = 1
+            t1 = tv.min()
+            tc = ts[(et == "click") & (ts > t1)]
+            if tc.size:
+                s2 = 1
+                t2 = tc.min()
+                if ((et == "purchase") & (ts > t2)).any():
+                    s3 = 1
+        return pd.DataFrame({"s1": [s1], "s2": [s2], "s3": [s3]})
+
+    flags = bucketed_map_groups(
+        _events(sf_dir, columns=["user_id", "event_type", "ts"]),
+        ["user_id"],
+        per_user,
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"g": [0], "s1": [int(batch["s1"].sum())],
+             "s2": [int(batch["s2"].sum())], "s3": [int(batch["s3"].sum())]}
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "step": ["view", "click_after_view", "purchase_after_click"],
+                "users": np.asarray(
+                    [df["s1"].sum(), df["s2"].sum(), df["s3"].sum()],
+                    dtype=np.int64,
+                ),
+            }
+        )
+
+    parts = flags.map_batches(partial, batch_format="pandas")
+    return bucketed_map_groups(parts, ["g"], final).select_columns(["step", "users"])
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by the day of their first
+    event (the cohort), counted on each later day they were active —
+    (cohort_day, day_offset, active_users).
+
+    Scale shape: one bucketed exchange on user_id computes each user's
+    cohort day and distinct active-day offsets (per-user bounded state,
+    already deduplicated), so the second exchange counts unique rows with
+    a per-batch pre-count combiner. Exact integer counts."""
+    from ..common.raytools import bucketed_map_groups, hash_bucket_aggregate
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        days = np.unique(
+            df["ts"].astype("datetime64[us]").astype("int64").to_numpy() // DAY_US
+        )
+        d0 = int(days.min())
+        return pd.DataFrame(
+            {
+                "cohort_day": pd.to_datetime(
+                    np.repeat(d0 * DAY_US, days.size), unit="us"
+                ),
+                "day_offset": (days - d0).astype(np.int64),
+            }
+        )
+
+    rows = bucketed_map_groups(
+        _events(sf_dir, columns=["user_id", "ts"]), ["user_id"], per_user
+    )
+    return hash_bucket_aggregate(
+        rows, ["cohort_day", "day_offset"], aggs=[], count_alias="active_users"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization (percentile clipping) per series
+# ---------------------------------------------------------------------------
+
+
+def q_winsorize(sf_dir: str, lo: float = 0.05, hi: float = 0.95):
+    """Values clipped to each event_type's [p5, p95] — the standard
+    outlier-taming transform before model fitting. The quantiles are
+    np.quantile linear == quantile_cont bitwise, and clipping either
+    leaves the double unchanged or replaces it with that bitwise-equal
+    quantile, so no rounding is needed anywhere. Exact per-group quantiles
+    need the whole group in one kernel (documented; the sketch path is
+    quantiles_tdigest)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        ql = float(np.quantile(v, lo))
+        qh = float(np.quantile(v, hi))
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype(np.int64),
+                "event_type": df["event_type"],
+                "value": v,
+                "winsorized": np.clip(v, ql, qh),
+            }
+        )
+
+    return _events(sf_dir).groupby("event_type").map_groups(
+        fn, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation between two event-type series (lags -12..12)
+# ---------------------------------------------------------------------------
+
+
+def q_cross_correlation(sf_dir: str, type_a: str = "click",
+                        type_b: str = "view", max_lag: int = 12):
+    """Cross-correlation function between the click and view hourly count
+    series at lags -12..+12 (positive lag = view shifted later): the
+    lead/lag dependence diagnostic beside acf (self) and rolling_corr
+    (contemporaneous). Same exactness contract: every overlap sum is
+    exact integer arithmetic; the correlation is a shared float
+    expression (the rolling_corr formula over the lag-k overlap)."""
+
+    counts = _tier_counts(sf_dir, "1h")
+
+    def mark(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["event_type"].isin([type_a, type_b])].copy()
+        batch["pair"] = np.int64(0)
+        return batch
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        us = _bucket_us(df)
+        lo_us, hi_us = int(us.min()), int(us.max())
+        a_rows = df[df["event_type"] == type_a]
+        b_rows = df[df["event_type"] == type_b]
+        _, x = dense_counts(_bucket_us(a_rows), a_rows["count"].to_numpy(),
+                            HOUR_US, lo_us, hi_us)
+        _, y = dense_counts(_bucket_us(b_rows), b_rows["count"].to_numpy(),
+                            HOUR_US, lo_us, hi_us)
+        n = x.size
+        lags, ccfs = [], []
+        for k in range(-max_lag, max_lag + 1):
+            if k >= 0:
+                a, b = x[: n - k], y[k:]
+            else:
+                a, b = x[-k:], y[: n + k]
+            if a.size < 2:
+                continue
+            na = a.size
+            sx, sy = int(a.sum()), int(b.sum())
+            sxx, syy = int((a * a).sum()), int((b * b).sum())
+            sxy = int((a * b).sum())
+            vx = float(na * sxx - sx * sx)
+            vy = float(na * syy - sy * sy)
+            if vx <= 0.0 or vy <= 0.0:
+                continue
+            r = float(na * sxy - sx * sy) / (np.sqrt(vx) * np.sqrt(vy))
+            lags.append(k)
+            ccfs.append(r)
+        return pd.DataFrame(
+            {
+                "lag": np.asarray(lags, dtype=np.int64),
+                "ccf": _r6away(np.asarray(ccfs)),
+            }
+        )
+
+    return (
+        counts.map_batches(mark, batch_format="pandas")
+        .groupby("pair")
+        .map_groups(fn, batch_format="pandas")
+        .select_columns(["lag", "ccf"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table profile (data-quality summary)
+# ---------------------------------------------------------------------------
+
+
+def q_profile_events(sf_dir: str):
+    """One-row data-quality profile of the events table: row count, null
+    count, value min/max, exact centivalue sum, and timestamp bounds —
+    the pre-flight audit every ingestion pipeline runs. Every statistic
+    is associative, so it runs as partial+final aggregation with one
+    tiny row per batch crossing the shuffle."""
+    from ..common.raytools import bucketed_map_groups
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["value"]
+        ts = batch["ts"]
+        return pd.DataFrame(
+            {
+                "g": [0],
+                "n_rows": [np.int64(len(batch))],
+                "n_null_value": [np.int64(v.isna().sum())],
+                "min_value": [v.min()],
+                "max_value": [v.max()],
+                "sum_value_c": [
+                    np.int64(np.round(v.to_numpy(np.float64) * 100).sum())
+                ],
+                "min_ts": [ts.min()],
+                "max_ts": [ts.max()],
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_rows": [np.int64(df["n_rows"].sum())],
+                "n_null_value": [np.int64(df["n_null_value"].sum())],
+                "min_value": [df["min_value"].min()],
+                "max_value": [df["max_value"].max()],
+                "sum_value_c": [np.int64(df["sum_value_c"].sum())],
+                "min_ts": [df["min_ts"].min()],
+                "max_ts": [df["max_ts"].max()],
+            }
+        )
+
+    parts = _events(sf_dir).map_batches(partial, batch_format="pandas")
+    return bucketed_map_groups(parts, ["g"], final).select_columns(
+        ["n_rows", "n_null_value", "min_value", "max_value",
+         "sum_value_c", "min_ts", "max_ts"]
+    )
+
+
+QUERIES3["funnel_conversion"] = q_funnel_conversion
+QUERIES3["cohort_retention"] = q_cohort_retention
+QUERIES3["winsorize"] = q_winsorize
+QUERIES3["cross_correlation"] = q_cross_correlation
+QUERIES3["profile_events"] = q_profile_events
+
+ORACLES3["funnel_conversion"] = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+),
+p AS (
+  SELECT e.user_id
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+)
+SELECT 'view' AS step, (SELECT COUNT(*) FROM v) AS users
+UNION ALL SELECT 'click_after_view', (SELECT COUNT(*) FROM c)
+UNION ALL SELECT 'purchase_after_click', (SELECT COUNT(*) FROM p)
+"""
+
+ORACLES3["cohort_retention"] = """
+WITH f AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS d0 FROM events GROUP BY 1
+),
+a AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+)
+SELECT f.d0 AS cohort_day,
+       CAST(date_diff('day', f.d0, a.d) AS BIGINT) AS day_offset,
+       COUNT(*) AS active_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+ORACLES3["winsorize"] = """
+WITH q AS (
+  SELECT event_type, quantile_cont(value, 0.05) AS ql,
+         quantile_cont(value, 0.95) AS qh
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN e.value < ql THEN ql
+            WHEN e.value > qh THEN qh
+            ELSE e.value END AS winsorized
+FROM events e JOIN q USING (event_type)
+"""
+
+ORACLES3["cross_correlation"] = """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, COUNT(*) AS x
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM c),
+g AS (
+  SELECT bo.lo, UNNEST(generate_series(bo.lo, bo.hi, INTERVAL 1 HOUR)) AS b
+  FROM bounds bo
+),
+p AS (
+  SELECT CAST(date_diff('hour', g.lo, g.b) AS BIGINT) AS idx,
+         COALESCE(MAX(CASE WHEN c.event_type = 'click' THEN c.x END), 0) AS x,
+         COALESCE(MAX(CASE WHEN c.event_type = 'view'  THEN c.x END), 0) AS y
+  FROM g LEFT JOIN c ON c.b = g.b
+  GROUP BY 1
+),
+ks AS (SELECT UNNEST(generate_series(-12, 12)) AS k),
+s AS (
+  SELECT ks.k, COUNT(*) AS na,
+         SUM(a.x) AS sx, SUM(b.y) AS sy,
+         SUM(a.x*a.x) AS sxx, SUM(b.y*b.y) AS syy, SUM(a.x*b.y) AS sxy
+  FROM ks
+  JOIN p a ON TRUE
+  JOIN p b ON b.idx = a.idx + ks.k
+  GROUP BY 1
+)
+SELECT CAST(k AS BIGINT) AS lag,
+       ROUND(CAST(na*sxy - sx*sy AS DOUBLE)
+             / (sqrt(CAST(na*sxx - sx*sx AS DOUBLE))
+                * sqrt(CAST(na*syy - sy*sy AS DOUBLE))), 6) AS ccf
+FROM s
+WHERE na >= 2 AND na*sxx - sx*sx > 0 AND na*syy - sy*sy > 0
+"""
+
+ORACLES3["profile_events"] = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(value) AS n_null_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_c,
+       MIN(ts) AS min_ts,
+       MAX(ts) AS max_ts
+FROM events
+"""
