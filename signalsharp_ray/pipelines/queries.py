@@ -1090,11 +1090,11 @@ def build_queries() -> dict:
 
 
 def build_oracle_sql() -> dict:
-    from .queries2 import ORACLES2
-    from .queries3 import ORACLES3
+    from .queries2 import ORACLES2, _MD5_SIGNED
+    from .queries3 import CORPUS_FILTER_SQL_TEMPLATE, ORACLES3
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
-    return {
+    out = {
         **ORACLES2,
         **ORACLES3,
         "rollup_1m": _ROLLUP_SQL.format(unit="minute"),
@@ -1773,6 +1773,15 @@ FROM events e ASOF LEFT JOIN o
         # embedding_near_dups: threshold on float boundary -> rows-only to
         # avoid knife-edge hash mismatches; ivf_knn approximate -> rows-only.
     }
+    # the corpus filter's oracle is composed from the component oracles so
+    # both sides share one source of truth for each component's semantics
+    out["corpus_filter"] = CORPUS_FILTER_SQL_TEMPLATE.format(
+        quality=out["quality_scores"],
+        language=out["language_id"],
+        repetition=out["repetition_signals"],
+        md5signed=_MD5_SIGNED,
+    )
+    return out
 
 
 def q_pelt_cost_functions(sf_dir: str):

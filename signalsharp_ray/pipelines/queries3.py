@@ -1041,3 +1041,120 @@ SELECT COUNT(*) AS n_rows,
        MAX(ts) AS max_ts
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# Composed corpus filter (the webtext flagship: dedup + lang + quality +
+# repetition -> keep/drop with reasons)
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_filter(sf_dir: str, quality_min: float = 0.35,
+                    top2_max: float = 0.06, allowed_langs: tuple = ("en",)):
+    """End-to-end training-corpus filter: every document gets a keep/drop
+    decision with the FIRST failing reason, in the priority order every
+    production corpus pipeline uses — duplicate (md5 content fingerprint,
+    keep min doc_id) -> language (heuristic id != en) -> quality
+    (composite score < 0.35) -> repetition (top-2-gram fraction > 0.06)
+    -> ok.
+
+    Composition of already-verified components (QualityScorer,
+    LanguageId, repetition_row, md5 fingerprints) in ONE fused actor-pool
+    pass per document, then a single bucketed exchange on the fingerprint
+    to resolve duplicates. The oracle is assembled from the SAME
+    component SQL strings in the registry (build_oracle_sql), so the
+    composition — not just the parts — is hash-verified. Thresholds
+    compare the identical 6-rounded doubles on both sides."""
+    from ..common.raytools import bucketed_map_groups
+    from ..stages.text import LanguageId, QualityScorer, fingerprint_batch
+
+    allowed = set(allowed_langs)
+
+    class Featurize:
+        def __init__(self):
+            self.quality = QualityScorer()
+            self.lang = LanguageId()
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            qdf = self.quality(batch)
+            text = batch["text"].fillna("")
+            t2 = np.zeros(len(batch))
+            for i, t in enumerate(text):
+                row = repetition_row(t)
+                if row is not None:
+                    t2[i] = row[1]
+            return pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].astype(np.int64).to_numpy(),
+                    "fingerprint": fingerprint_batch(batch)["fingerprint"].to_numpy(),
+                    "pred_lang": text.map(self.lang._predict).to_numpy(),
+                    "quality_score": np.round(
+                        qdf["quality_score"].to_numpy(np.float64), 6
+                    ),
+                    "top2_frac": _r6away(t2),
+                }
+            )
+
+    def decide(df: pd.DataFrame) -> pd.DataFrame:
+        rep_id = int(df["doc_id"].min())
+        reasons = []
+        for r in df.itertuples(index=False):
+            if int(r.doc_id) != rep_id:
+                reasons.append("duplicate")
+            elif r.pred_lang not in allowed:
+                reasons.append("language")
+            elif r.quality_score < quality_min:
+                reasons.append("quality")
+            elif r.top2_frac > top2_max:
+                reasons.append("repetition")
+            else:
+                reasons.append("ok")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64).to_numpy(),
+                "reason": reasons,
+                "keep": np.asarray(
+                    [1 if x == "ok" else 0 for x in reasons], dtype=np.int64
+                ),
+            }
+        )
+
+    from ..stages.text import pool_size
+
+    feats = _documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        Featurize,
+        batch_format="pandas",
+        concurrency=pool_size(4),
+        num_cpus=1,
+    )
+    return bucketed_map_groups(feats, ["fingerprint"], decide).select_columns(
+        ["doc_id", "reason", "keep"]
+    )
+
+
+QUERIES3["corpus_filter"] = q_corpus_filter
+
+# the corpus_filter oracle is COMPOSED from the component SQL at registry
+# build time (see queries.build_oracle_sql) so both sides share one source
+# of truth for each component's semantics
+CORPUS_FILTER_SQL_TEMPLATE = """
+WITH q AS (SELECT doc_id, quality_score FROM ({quality})),
+l AS (SELECT doc_id, pred_lang FROM ({language})),
+r AS (SELECT doc_id, top2_frac FROM ({repetition})),
+f AS (SELECT doc_id, {md5signed} AS fp FROM documents),
+d AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS rep_id FROM f)
+SELECT q.doc_id,
+       CASE WHEN d.doc_id <> d.rep_id THEN 'duplicate'
+            WHEN l.pred_lang <> 'en' THEN 'language'
+            WHEN q.quality_score < 0.35 THEN 'quality'
+            WHEN COALESCE(r.top2_frac, 0) > 0.06 THEN 'repetition'
+            ELSE 'ok' END AS reason,
+       CAST(CASE WHEN d.doc_id = d.rep_id AND l.pred_lang = 'en'
+                 AND q.quality_score >= 0.35
+                 AND COALESCE(r.top2_frac, 0) <= 0.06
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM q
+JOIN l USING (doc_id)
+JOIN d USING (doc_id)
+LEFT JOIN r USING (doc_id)
+"""
