@@ -1027,10 +1027,12 @@ def q_media_features(sf_dir: str):
 def build_queries() -> dict:
     from .queries2 import QUERIES2
     from .queries3 import QUERIES3
+    from .queries4 import QUERIES4
 
     return {
         **QUERIES2,
         **QUERIES3,
+        **QUERIES4,
         "rollup_1m": q_rollup_1m,
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_cascade": q_rollup_1d_cascade,
@@ -1092,11 +1094,13 @@ def build_queries() -> dict:
 def build_oracle_sql() -> dict:
     from .queries2 import ORACLES2, _MD5_SIGNED
     from .queries3 import CORPUS_FILTER_SQL_TEMPLATE, ORACLES3
+    from .queries4 import ORACLES4
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
         **ORACLES2,
         **ORACLES3,
+        **ORACLES4,
         "rollup_1m": _ROLLUP_SQL.format(unit="minute"),
         "rollup_1h_cascade": _ROLLUP_SQL.format(unit="hour"),
         "rollup_1d_cascade": _ROLLUP_SQL.format(unit="day"),

@@ -1,0 +1,416 @@
+"""Round-2 batch 4: event-time semantics (time-weighted averages,
+watermark late-data drop, session statistics), day-over-day movers, and
+inter-arrival gap diagnostics.
+
+Every operator here is DuckDB-oracle-verified (ORACLES4). Parity rules are
+the house style (see queries2.py): money runs in exact int64 centivalues
+(`CAST(ROUND(value*100) AS BIGINT)` == `np.rint(v*100)`), durations run in
+exact int64 microseconds, every sum that crosses a shuffle is integer (so
+partial+final merging is order-free at any block layout), and the float
+expressions that follow are transcribed op-for-op into the SQL with a
+shared final ROUND.
+
+Scale contracts are stated per operator; the common one is the bucketed
+exchange with per-key state bounded by one key's rows (a user's events, a
+series-day's observations) — never the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..common.raytools import bucketed_map_groups, hash_bucket_aggregate
+from ..stages.rollup import rollup_tier
+from .queries2 import _events, _r6away
+
+HOUR_US = 3_600_000_000
+DAY_US = 86_400_000_000
+
+
+def _ts_us(col) -> np.ndarray:
+    return col.astype("datetime64[us]").astype("int64").to_numpy()
+
+
+def _cents(col) -> np.ndarray:
+    return np.rint(np.asarray(col, dtype=np.float64) * 100).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (LOCF weighting), per (event_type, day)
+# ---------------------------------------------------------------------------
+
+
+def twa_day_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-group kernel for ONE (event_type, day) group: LOCF
+    time-weighted average with exact int64 cents x duration_us sums."""
+    df = df.sort_values(["ts_us", "event_id"], kind="mergesort")
+    ts = df["ts_us"].to_numpy()
+    day_end = int(df["day_us"].iloc[0]) + DAY_US
+    dur = np.diff(ts, append=day_end)
+    cents = df["cents"].to_numpy()
+    sum_cd = int(np.sum(cents * dur))
+    sum_d = int(np.sum(dur))
+    return pd.DataFrame(
+        {
+            "event_type": [df["event_type"].iloc[0]],
+            "day": pd.to_datetime([df["day_us"].iloc[0]], unit="us"),
+            "twa_value": _r6away(float(sum_cd) / float(sum_d) / 100.0),
+            "n_obs": np.array([len(df)], dtype=np.int64),
+        }
+    )
+
+
+def q_time_weighted_avg(sf_dir: str):
+    """TimescaleDB-style time-weighted average per (event_type, day):
+    each observation's value holds (LOCF) until the next observation in
+    the same series-day, the day's last observation holds until the day
+    boundary, and the average weights each value by its holding duration.
+    The plain mean answers "average of the samples"; the TWA answers
+    "average of the signal" when sampling is irregular — the rollup-engine
+    aggregate monitoring systems actually chart.
+
+    Exactness: cents x duration_us products and their sums are exact
+    int64 (the durations partition the day, so a group's weighted sum is
+    bounded by 86.4e9 us * max cents ~ 4e15 — always inside int64; the
+    SQL side's HUGEINT SUM is cast back down). The final division is one
+    shared float expression. Per-key state = one series-day's rows
+    (bounded); one bucketed exchange on (event_type, day).
+    """
+    ev = _events(sf_dir, ["event_id", "ts", "event_type", "value"])
+
+    def add_day(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = _ts_us(batch["ts"])
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "day_us": (ts // DAY_US) * DAY_US,
+                "ts_us": ts,
+                "event_id": batch["event_id"].astype(np.int64),
+                "cents": _cents(batch["value"]),
+            }
+        )
+
+    return bucketed_map_groups(
+        ev.map_batches(add_day, batch_format="pandas"),
+        ["event_type", "day_us"],
+        twa_day_kernel,
+    ).select_columns(["event_type", "day", "twa_value", "n_obs"])
+
+
+TIME_WEIGHTED_AVG_SQL = """
+WITH w AS (
+  SELECT event_type,
+         date_trunc('day', ts) AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         COALESCE(
+           LEAD(epoch_us(ts)) OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                    ORDER BY ts, event_id),
+           epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY)
+         ) - epoch_us(ts) AS dur_us
+  FROM events
+)
+SELECT event_type, day,
+       ROUND(CAST(SUM(cents * dur_us) AS DOUBLE)
+             / CAST(SUM(dur_us) AS DOUBLE) / 100, 6) AS twa_value,
+       COUNT(*) AS n_obs
+FROM w GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-data drop -> hourly aggregate
+# ---------------------------------------------------------------------------
+
+
+def watermark_keep_kernel(df: pd.DataFrame, lateness_us: int = 600_000_000) -> pd.DataFrame:
+    """Per-user arrival-order watermark scan: keep an event iff its
+    event-time is not older than (max event-time seen so far - lateness)."""
+    df = df.sort_values("event_id", kind="mergesort")
+    ts = _ts_us(df["ts"])
+    prev_max = np.empty_like(ts)
+    prev_max[0] = np.iinfo(np.int64).min
+    np.maximum.accumulate(ts[:-1], out=prev_max[1:])
+    keep = (prev_max == np.iinfo(np.int64).min) | (ts >= prev_max - lateness_us)
+    return df.loc[keep, ["ts", "event_type", "value"]]
+
+
+def hourly_cents_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch combiner: (event_type, hour) -> exact cents sum + count."""
+    ts = _ts_us(batch["ts"])
+    g = (
+        pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "bucket_us": (ts // HOUR_US) * HOUR_US,
+                "cents": _cents(batch["value"]),
+            }
+        )
+        .groupby(["event_type", "bucket_us"], sort=False)
+        .agg(cents=("cents", "sum"), count=("cents", "size"))
+    )
+    return g.reset_index()
+
+
+def q_watermark_late_drop(sf_dir: str, lateness_us: int = 600_000_000):
+    """Streaming event-time semantics in batch form: events are processed
+    in arrival order (event_id) per user; each user's watermark is the
+    max event-time seen so far minus the allowed lateness (10 min); an
+    event older than the watermark at its arrival point is DROPPED (it
+    missed its window). Survivors aggregate into hourly (count, sum)
+    buckets — the deterministic replay of what a streaming engine with
+    per-key watermarks would have emitted.
+
+    The watermark scan is per-user sequential state (one bucketed
+    exchange on user_id, np.maximum.accumulate inside the kernel); the
+    surviving rows then take the standard partial+final combiner into the
+    hourly tier. All comparisons are exact int64 microseconds.
+    """
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def keep_on_time(df: pd.DataFrame) -> pd.DataFrame:
+        return watermark_keep_kernel(df, lateness_us)
+
+    kept = bucketed_map_groups(ev, ["user_id"], keep_on_time)
+
+    agg = hash_bucket_aggregate(
+        kept.map_batches(hourly_cents_partial, batch_format="pandas"),
+        ["event_type", "bucket_us"],
+        [("cents", "sum"), ("count", "sum")],
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "bucket_ts": pd.to_datetime(batch["bucket_us"], unit="us"),
+                "count": batch["count_sum"].astype(np.int64),
+                "sum_value": _r6away(
+                    batch["cents_sum"].to_numpy(np.float64) / 100.0
+                ),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+WATERMARK_LATE_DROP_SQL = """
+WITH m AS (
+  SELECT event_type, ts, value,
+         MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS wm_us
+  FROM events
+)
+SELECT event_type,
+       date_trunc('hour', ts) AS bucket_ts,
+       COUNT(*) AS count,
+       ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100, 6)
+         AS sum_value
+FROM m
+WHERE wm_us IS NULL OR epoch_us(ts) >= wm_us - 600000000
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Session statistics (duration / size / value per session)
+# ---------------------------------------------------------------------------
+
+
+def session_stats_kernel(df: pd.DataFrame, timeout_us: int = 1_800_000_000) -> pd.DataFrame:
+    """Whole-group kernel for ONE user's events: gap-sessionize, then
+    per-session count / exact us duration / exact cents value sum."""
+    df = df.sort_values(["ts", "event_id"], kind="mergesort")
+    ts = _ts_us(df["ts"])
+    gaps = np.diff(ts, prepend=ts[0])
+    sid = np.cumsum(gaps > timeout_us)
+    g = pd.DataFrame(
+        {"sid": sid, "ts": ts, "cents": _cents(df["value"])}
+    ).groupby("sid", sort=True)
+    start = g["ts"].min().to_numpy()
+    end = g["ts"].max().to_numpy()
+    return pd.DataFrame(
+        {
+            "user_id": np.full(len(start), df["user_id"].iloc[0], dtype=np.int64),
+            "session_id": np.arange(len(start), dtype=np.int64),
+            "n_events": g.size().to_numpy().astype(np.int64),
+            "duration_us": (end - start).astype(np.int64),
+            "value_sum": _r6away(g["cents"].sum().to_numpy(np.float64) / 100.0),
+        }
+    )
+
+
+def q_session_stats(sf_dir: str, timeout_us: int = 1_800_000_000):
+    """Per-session statistics on top of 30-minute-gap sessionization:
+    events per session, exact microsecond duration, and the session's
+    centivalue-exact value sum — the "session table" an analytics engine
+    derives before funnel/retention work. Same per-user kernel contract
+    as session_windows (stages/windows.py); value aggregation rides in
+    the same pass, so sessionize-then-aggregate costs ONE exchange.
+    """
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return session_stats_kernel(df, timeout_us)
+
+    return bucketed_map_groups(ev, ["user_id"], fn)
+
+
+SESSION_STATS_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+       ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100, 6)
+         AS value_sum
+FROM s GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day movers (largest daily count changes)
+# ---------------------------------------------------------------------------
+
+
+def q_daily_movers(sf_dir: str, k: int = 20):
+    """The "biggest movers" report: day-over-day change of each
+    event_type's daily event count (over observed days, in day order),
+    global top-20 by |delta| with a total tie-break order (abs_delta
+    DESC, event_type, day) so the cut is deterministic. Counts and deltas
+    are integers — exact under any layout. The daily tier comes from the
+    standard partial+final rollup; the diff is a per-series kernel over
+    the TINY tier rows; the top-k is a sort+limit over (types x days)
+    rows — all post-shuffle state is tier-sized, never event-sized.
+    """
+    t = rollup_tier(_events(sf_dir), "1d", key_cols=["event_type"]).select_columns(
+        ["event_type", "bucket_ts", "count"]
+    )
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bucket_ts", kind="mergesort")
+        c = df["count"].to_numpy(np.int64)
+        if len(c) < 2:
+            return pd.DataFrame(
+                columns=["event_type", "day", "delta", "abs_delta"]
+            ).astype({"event_type": object, "delta": np.int64, "abs_delta": np.int64})
+        delta = c[1:] - c[:-1]
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].iloc[0],
+                "day": df["bucket_ts"].iloc[1:].to_numpy(),
+                "delta": delta,
+                "abs_delta": np.abs(delta),
+            }
+        )
+
+    out = bucketed_map_groups(t, ["event_type"], diff)
+    return out.sort(
+        ["abs_delta", "event_type", "day"], descending=[True, False, False]
+    ).limit(k)
+
+
+DAILY_MOVERS_SQL = """
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+x AS (
+  SELECT event_type, day,
+         c - LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS delta
+  FROM d
+)
+SELECT event_type, day, delta, ABS(delta) AS abs_delta
+FROM x WHERE delta IS NOT NULL
+ORDER BY abs_delta DESC, event_type, day
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gap report (per-series freshness / cadence diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def q_gap_report(sf_dir: str):
+    """Per event_type ingestion-cadence diagnostic: event count, first
+    and last timestamps, the largest inter-arrival gap, and the mean gap
+    — the freshness report a telemetry pipeline runs before trusting its
+    tiers. The gap sum telescopes to (last - first), so the mean is a
+    ratio of exact int64s; only max_gap needs the sorted series (same
+    whole-series-per-key contract as the quantiles kernel, bounded by one
+    series' rows).
+    """
+    ev = _events(sf_dir, ["event_id", "ts", "event_type"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = _ts_us(df["ts"])
+        n = len(ts)
+        gaps = np.diff(ts)
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "n_events": np.array([n], dtype=np.int64),
+                "first_ts": pd.to_datetime([ts[0]], unit="us"),
+                "last_ts": pd.to_datetime([ts[-1]], unit="us"),
+                "max_gap_us": np.array(
+                    [int(gaps.max()) if n > 1 else 0], dtype=np.int64
+                ),
+                "mean_gap_us": _r6away(
+                    float(int(ts[-1]) - int(ts[0])) / float(n - 1)
+                )
+                if n > 1
+                else np.zeros(1),
+            }
+        )
+
+    return bucketed_map_groups(ev, ["event_type"], fn)
+
+
+GAP_REPORT_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       make_timestamp(MIN(ts_us)) AS first_ts,
+       make_timestamp(MAX(ts_us)) AS last_ts,
+       CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us,
+       CASE WHEN COUNT(*) > 1
+            THEN ROUND(CAST(MAX(ts_us) - MIN(ts_us) AS DOUBLE)
+                       / CAST(COUNT(*) - 1 AS DOUBLE), 6)
+            ELSE 0.0 END AS mean_gap_us
+FROM d GROUP BY 1
+"""
+
+
+QUERIES4 = {
+    "time_weighted_avg": q_time_weighted_avg,
+    "watermark_late_drop": q_watermark_late_drop,
+    "session_stats": q_session_stats,
+    "daily_movers": q_daily_movers,
+    "gap_report": q_gap_report,
+}
+
+ORACLES4 = {
+    "time_weighted_avg": TIME_WEIGHTED_AVG_SQL,
+    "watermark_late_drop": WATERMARK_LATE_DROP_SQL,
+    "session_stats": SESSION_STATS_SQL,
+    "daily_movers": DAILY_MOVERS_SQL,
+    "gap_report": GAP_REPORT_SQL,
+}
