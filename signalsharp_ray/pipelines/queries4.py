@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..common.raytools import bucketed_map_groups, hash_bucket_aggregate
+from ..common.raytools import bucketed_join, bucketed_map_groups, hash_bucket_aggregate
 from ..stages.rollup import rollup_tier
 from .queries2 import _events, _r6away
 
@@ -414,3 +414,270 @@ ORACLES4 = {
     "daily_movers": DAILY_MOVERS_SQL,
     "gap_report": GAP_REPORT_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped join suite (engine generality: broadcast, semi, anti joins)
+# ---------------------------------------------------------------------------
+
+
+def _orders(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/orders.parquet", columns=columns)
+
+
+def _lineitem(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=columns)
+
+
+def _customer(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/customer.parquet", columns=columns)
+
+
+def _distinct_keys(ds, col: str):
+    """Distinct values of an integer key column, fully distributed: per-batch
+    dedup (the combiner) shrinks the exchange, the bucketed kernel dedups
+    across batches. Only key integers ever cross the shuffle."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[[col]].drop_duplicates()
+
+    return bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pandas"),
+        [col],
+        None,
+        whole_bucket_fn=lambda df: df.drop_duplicates(),
+    )
+
+
+CUTOFF = "1998-06-01"
+CUTOFF_US = int(pd.Timestamp(CUTOFF).value // 1000)
+
+
+def q_shipping_priority(sf_dir: str, k: int = 10):
+    """TPC-H-Q3-shaped shipping priority: revenue of each not-yet-shipped
+    order for BUILDING-segment customers — top 10 by revenue. Three-table
+    plan shaped for 100 TB: the qualifying customer keys (small side) are
+    broadcast once via ray.put and probed inside every orders batch (no
+    shuffle for the first join); orders<->lineitem co-partition through
+    ONE bucketed exchange on orderkey; revenue partials sum in exact
+    int64 micro-dollars (cents x basis points), so the merge is
+    order-free. Both date predicates are pushed into the parquet scans.
+    """
+    import pyarrow.dataset as pds
+    import ray
+    import ray.data as rd
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filter=pds.field("c_mktsegment") == "BUILDING",
+    )
+    keys = np.sort(
+        np.concatenate(
+            [
+                b["c_custkey"].to_numpy()
+                for b in cust.iter_batches(batch_size=65536, batch_format="pandas")
+            ]
+        )
+    )
+    keys_ref = ray.put(keys)
+
+    def pick_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        wanted = ray.get(keys_ref)
+        sel = batch["o_custkey"].isin(wanted)
+        return batch.loc[sel, ["o_orderkey", "o_orderdate"]]
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pds.field("o_orderdate") < pd.Timestamp(CUTOFF),
+    ).map_batches(pick_orders, batch_format="pandas")
+
+    def rev_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(batch["l_extendedprice"].to_numpy(np.float64) * 100).astype(
+            np.int64
+        )
+        bp = np.rint(batch["l_discount"].to_numpy(np.float64) * 10000).astype(np.int64)
+        df = pd.DataFrame(
+            {"o_orderkey": batch["l_orderkey"].astype(np.int64),
+             "rev_ud": cents * (10000 - bp)}
+        )
+        return df.groupby("o_orderkey", sort=False).agg(rev_ud=("rev_ud", "sum")).reset_index()
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pds.field("l_shipdate") > pd.Timestamp(CUTOFF),
+    ).map_batches(rev_partial, batch_format="pandas")
+
+    joined = bucketed_join(line, orders, on=["o_orderkey"], how="inner")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_orderkey", "o_orderdate"], sort=False)["rev_ud"].sum()
+        out = g.reset_index()
+        return pd.DataFrame(
+            {
+                "o_orderkey": out["o_orderkey"].astype(np.int64),
+                "o_orderdate": out["o_orderdate"],
+                "revenue": _r6away(out["rev_ud"].to_numpy(np.float64) / 1000000.0),
+            }
+        )
+
+    out = bucketed_map_groups(joined, ["o_orderkey"], None, whole_bucket_fn=final)
+    return out.sort(
+        ["revenue", "o_orderdate", "o_orderkey"], descending=[True, False, False]
+    ).limit(k)
+
+
+SHIPPING_PRIORITY_SQL = f"""
+SELECT l.l_orderkey AS o_orderkey,
+       o.o_orderdate,
+       ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                      * (10000 - CAST(ROUND(l.l_discount * 10000) AS BIGINT)))
+                  AS DOUBLE) / 1000000, 6) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{CUTOFF}'
+GROUP BY 1, 2
+ORDER BY revenue DESC, o_orderdate, o_orderkey
+LIMIT 10
+"""
+
+
+def q_orders_with_returns(sf_dir: str):
+    """Semi-join shape (TPC-H-Q4-like): count orders per priority class
+    having at least one RETURNED line item. The returned orderkeys are
+    deduped DISTRIBUTED (per-batch dedup combiner -> bucketed exchange),
+    then co-partition with orders through one bucketed join — the
+    right side never collects anywhere, so both sides may be arbitrarily
+    large. The final per-priority count is the standard partial+final
+    combiner (integer sums).
+    """
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    returned = _distinct_keys(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey"],
+            filter=pds.field("l_returnflag") == "R",
+        ),
+        "l_orderkey",
+    )
+
+    def as_key(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_orderkey": batch["l_orderkey"].astype(np.int64)})
+
+    orders = _orders(sf_dir, ["o_orderkey", "o_orderpriority"])
+    joined = bucketed_join(
+        orders, returned.map_batches(as_key, batch_format="pandas"),
+        on=["o_orderkey"], how="inner",
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("o_orderpriority", sort=False).size()
+        return pd.DataFrame(
+            {"o_orderpriority": g.index, "n": g.to_numpy().astype(np.int64)}
+        )
+
+    agg = hash_bucket_aggregate(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["o_orderpriority"],
+        [("n", "sum")],
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "n_orders": batch["n_sum"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+ORDERS_WITH_RETURNS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY 1
+"""
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join shape: customers who never placed an order, counted per
+    market segment (segments with zero such customers report 0, so the
+    result schema is stable even when no customer qualifies). The active
+    custkeys are deduped distributed, the customer table LEFT-joins them
+    through one bucketed exchange, and the null-marker rows (no order)
+    are counted — the co-partitioned anti-join that never collects
+    either side. Counts are integer partial+final.
+    """
+
+    def as_key(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": batch["o_custkey"].astype(np.int64),
+                "has_order": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+
+    active = _distinct_keys(_orders(sf_dir, ["o_custkey"]), "o_custkey").map_batches(
+        as_key, batch_format="pandas"
+    )
+    cust = _customer(sf_dir, ["c_custkey", "c_mktsegment"])
+    joined = bucketed_join(cust, active, on=["c_custkey"], how="left")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.assign(miss=batch["has_order"].isna().astype(np.int64))
+            .groupby("c_mktsegment", sort=False)["miss"]
+            .sum()
+        )
+        return pd.DataFrame(
+            {"c_mktsegment": g.index, "n": g.to_numpy().astype(np.int64)}
+        )
+
+    agg = hash_bucket_aggregate(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["c_mktsegment"],
+        [("n", "sum")],
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "n_customers": batch["n_sum"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) FILTER (WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_customers
+FROM customer c
+GROUP BY 1
+"""
+
+
+QUERIES4["shipping_priority"] = q_shipping_priority
+QUERIES4["orders_with_returns"] = q_orders_with_returns
+QUERIES4["customers_without_orders"] = q_customers_without_orders
+ORACLES4["shipping_priority"] = SHIPPING_PRIORITY_SQL
+ORACLES4["orders_with_returns"] = ORDERS_WITH_RETURNS_SQL
+ORACLES4["customers_without_orders"] = CUSTOMERS_WITHOUT_ORDERS_SQL
