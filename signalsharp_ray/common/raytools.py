@@ -201,9 +201,19 @@ def bucketed_join(
     if n_buckets is None:
         n_buckets = default_buckets()
 
+    def _pa_type(t):
+        # pandas-block datasets report numpy dtypes (object for strings);
+        # normalize every schema entry to a pyarrow DataType
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError, ValueError):
+            return pa.string()
+
     lschema, rschema = left_ds.schema(), right_ds.schema()
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = dict(zip(rschema.names, rschema.types))
+    ltypes = {n: _pa_type(t) for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: _pa_type(t) for n, t in zip(rschema.names, rschema.types)}
     lcols, rcols = list(ltypes), list(rtypes)
     all_types = dict(ltypes)
     for n, t in rtypes.items():

@@ -22,7 +22,7 @@ import pandas as pd
 
 from ..common.raytools import bucketed_join, bucketed_map_groups, hash_bucket_aggregate
 from ..stages.rollup import rollup_tier
-from .queries2 import _events, _r6away
+from .queries2 import _documents, _events, _r6away
 
 HOUR_US = 3_600_000_000
 DAY_US = 86_400_000_000
@@ -681,3 +681,257 @@ QUERIES4["customers_without_orders"] = q_customers_without_orders
 ORACLES4["shipping_priority"] = SHIPPING_PRIORITY_SQL
 ORACLES4["orders_with_returns"] = ORDERS_WITH_RETURNS_SQL
 ORACLES4["customers_without_orders"] = CUSTOMERS_WITHOUT_ORDERS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Token rarity (corpus-frequency join back to documents)
+# ---------------------------------------------------------------------------
+
+
+def token_rarity_doc_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch combiner over joined (doc_id, c) token rows: integer
+    partials per doc (token count, frequency sum, hapax/rare counts)."""
+    c = batch["c"].to_numpy(np.int64)
+    df = pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].astype(np.int64),
+            "n": np.ones(len(batch), dtype=np.int64),
+            "sum_c": c,
+            "hapax": (c == 1).astype(np.int64),
+            "rare": (c <= 5).astype(np.int64),
+        }
+    )
+    return (
+        df.groupby("doc_id", sort=False)
+        .agg(n=("n", "sum"), sum_c=("sum_c", "sum"),
+             hapax=("hapax", "sum"), rare=("rare", "sum"))
+        .reset_index()
+    )
+
+
+def q_token_rarity(sf_dir: str):
+    """Per-document rarity signals under the corpus unigram distribution:
+    token count, summed corpus frequency of the doc's tokens, hapax count
+    (corpus frequency 1) and rare count (frequency <= 5), plus the mean
+    token frequency — the integer-exact core of perplexity-style corpus
+    filtering (a doc of hapaxes is gibberish or treasure; a doc of
+    ubiquitous tokens is boilerplate).
+
+    Fully distributed at corpus scale: tokens explode per batch; corpus
+    counts are a per-batch-count combiner + one bucketed integer sum on
+    token; frequencies join BACK to token rows through a co-partitioned
+    bucketed join (no driver-side vocabulary — the vocabulary of a 10^12
+    -token corpus doesn't fit anywhere); per-doc reduction is integer
+    partial+final on doc_id. Three exchanges, all integer-summed, so the
+    result is exact under any block layout.
+    """
+
+    def toks(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["text"].fillna("").str.split()
+        df = pd.DataFrame(
+            {"doc_id": batch["doc_id"].astype(np.int64), "tok": s}
+        ).explode("tok")
+        return df[df["tok"].notna()]
+
+    tok_rows = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        toks, batch_format="pandas"
+    )
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["tok"].value_counts()
+        return pd.DataFrame({"tok": vc.index, "c": vc.to_numpy().astype(np.int64)})
+
+    counts = hash_bucket_aggregate(
+        tok_rows.map_batches(count_partial, batch_format="pandas"),
+        ["tok"],
+        [("c", "sum")],
+    ).map_batches(
+        lambda b: pd.DataFrame({"tok": b["tok"], "c": b["c_sum"].astype(np.int64)}),
+        batch_format="pandas",
+    )
+
+    joined = bucketed_join(tok_rows, counts, on=["tok"], how="inner")
+
+    agg = hash_bucket_aggregate(
+        joined.map_batches(token_rarity_doc_partial, batch_format="pandas"),
+        ["doc_id"],
+        [("n", "sum"), ("sum_c", "sum"), ("hapax", "sum"), ("rare", "sum")],
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n_sum"].to_numpy(np.int64)
+        sum_c = batch["sum_c_sum"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "n_tokens": n,
+                "sum_freq": sum_c,
+                "n_hapax": batch["hapax_sum"].astype(np.int64),
+                "n_rare": batch["rare_sum"].astype(np.int64),
+                "mean_freq": _r6away(
+                    sum_c.astype(np.float64) / n.astype(np.float64)
+                ),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+TOKEN_RARITY_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(c.c) AS BIGINT) AS sum_freq,
+       CAST(SUM(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(CASE WHEN c.c <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       ROUND(CAST(SUM(c.c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_freq
+FROM tok t JOIN cnt c USING (tok)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document length percentile (per-language percent_rank via histogram)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_length_percentile(sf_dir: str):
+    """Each document's length percentile (PERCENT_RANK: fraction of the
+    language's documents strictly shorter, over n-1) within its language
+    — the per-stratum normalization used to build length-balanced
+    training mixes. The per-(lang, n_chars) histogram is a partial+final
+    integer count whose cardinality is bounded by languages x distinct
+    lengths (NOT corpus size), so the cumulative table is tiny; it
+    broadcasts once via ray.put and every batch maps through it — the
+    small-side-broadcast pattern, with the small side provably bounded.
+    """
+    import ray
+
+    docs = _documents(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["lang", "n_chars"], sort=False).size()
+        out = g.reset_index()
+        out.columns = ["lang", "n_chars", "cnt"]
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    hist = hash_bucket_aggregate(
+        docs.map_batches(hist_partial, batch_format="pandas"),
+        ["lang", "n_chars"],
+        [("cnt", "sum")],
+    )
+    h = hist.to_pandas().sort_values(["lang", "n_chars"])
+    h["cnt"] = h["cnt_sum"].astype(np.int64)
+    lut = {}
+    for lang, g in h.groupby("lang", sort=False):
+        counts = g["cnt"].to_numpy()
+        less = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        n = int(counts.sum())
+        denom = float(n - 1) if n > 1 else 1.0
+        lut[lang] = dict(
+            zip(g["n_chars"].to_numpy(), (less.astype(np.float64) / denom))
+        )
+    lut_ref = ray.put(lut)
+
+    def apply(batch: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(lut_ref)
+        pct = np.array(
+            [
+                table[l][c]
+                for l, c in zip(batch["lang"], batch["n_chars"].astype(np.int64))
+            ],
+            dtype=np.float64,
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "lang": batch["lang"],
+                "n_chars": batch["n_chars"].astype(np.int64),
+                "len_pct": _r6away(pct),
+            }
+        )
+
+    return docs.map_batches(apply, batch_format="pandas")
+
+
+DOC_LENGTH_PERCENTILE_SQL = """
+SELECT doc_id, lang, n_chars,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars), 6) AS len_pct
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization (exact-integer roundtrip summary)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_quantize(sf_dir: str):
+    """Symmetric int8 quantization of each embedding (q_i = round(x_i /
+    max|x| * 127), the scheme vector stores ship) summarized by
+    exact-integer outputs: the quantized component sum and the count of
+    saturated (+-127) components. Embarrassingly parallel — one batch
+    pass, no shuffle; the float pipeline (float32 -> float64 division,
+    scale, half-away round) is transcribed op-for-op in the SQL so the
+    integers match exactly. All-zero vectors quantize to all zeros.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        vec_ids, sums, sats = [], [], []
+        for vid, emb in zip(batch["vec_id"], batch["embedding"]):
+            x32 = np.asarray(emb, dtype=np.float32)
+            ma32 = np.abs(x32).max() if x32.size else np.float32(0)
+            if ma32 == 0:
+                q = np.zeros(x32.size, dtype=np.int64)
+            else:
+                r = x32.astype(np.float64) / float(ma32) * 127.0
+                q = (np.sign(r) * np.floor(np.abs(r) + 0.5)).astype(np.int64)
+            vec_ids.append(int(vid))
+            sums.append(int(q.sum()))
+            sats.append(int(np.count_nonzero(np.abs(q) == 127)))
+        return pd.DataFrame(
+            {
+                "vec_id": np.asarray(vec_ids, dtype=np.int64),
+                "sum_q": np.asarray(sums, dtype=np.int64),
+                "n_saturated": np.asarray(sats, dtype=np.int64),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x))) AS ma
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(COALESCE(list_sum(list_transform(embedding,
+         x -> CASE WHEN ma = 0 THEN 0
+                   ELSE CAST(ROUND(CAST(x AS DOUBLE) / CAST(ma AS DOUBLE) * 127)
+                             AS BIGINT) END)), 0) AS BIGINT) AS sum_q,
+       CAST(COALESCE(list_sum(list_transform(embedding,
+         x -> CASE WHEN ma = 0 THEN 0
+                   WHEN ABS(CAST(ROUND(CAST(x AS DOUBLE) / CAST(ma AS DOUBLE) * 127)
+                                 AS BIGINT)) = 127 THEN 1
+                   ELSE 0 END)), 0) AS BIGINT) AS n_saturated
+FROM m
+"""
+
+
+QUERIES4["token_rarity"] = q_token_rarity
+QUERIES4["doc_length_percentile"] = q_doc_length_percentile
+QUERIES4["embedding_quantize"] = q_embedding_quantize
+ORACLES4["token_rarity"] = TOKEN_RARITY_SQL
+ORACLES4["doc_length_percentile"] = DOC_LENGTH_PERCENTILE_SQL
+ORACLES4["embedding_quantize"] = EMBEDDING_QUANTIZE_SQL
