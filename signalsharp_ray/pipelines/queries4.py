@@ -935,3 +935,148 @@ QUERIES4["embedding_quantize"] = q_embedding_quantize
 ORACLES4["token_rarity"] = TOKEN_RARITY_SQL
 ORACLES4["doc_length_percentile"] = DOC_LENGTH_PERCENTILE_SQL
 ORACLES4["embedding_quantize"] = EMBEDDING_QUANTIZE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Hourly percentile rollup (p50/p95/p99 telemetry tier)
+# ---------------------------------------------------------------------------
+
+
+def hourly_percentile_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-group kernel for ONE (event_type, hour): exact linear
+    quantiles (np.quantile 'linear' == DuckDB quantile_cont bitwise)."""
+    v = df["value"].to_numpy(np.float64)
+    p50, p95, p99 = np.quantile(v, [0.50, 0.95, 0.99])
+    return pd.DataFrame(
+        {
+            "event_type": [df["event_type"].iloc[0]],
+            "bucket_ts": pd.to_datetime([df["bucket_us"].iloc[0]], unit="us"),
+            "count": np.array([len(v)], dtype=np.int64),
+            "p50": _r6away(p50),
+            "p95": _r6away(p95),
+            "p99": _r6away(p99),
+        }
+    )
+
+
+def q_percentile_rollup_1h(sf_dir: str):
+    """The latency-percentile tier every telemetry engine serves: exact
+    p50/p95/p99 of `value` per (event_type, hour). Exact quantiles need
+    each (series, hour) group whole in one kernel — state bounded by one
+    hour of one series (the same contract as the quantiles operator, but
+    with a much tighter bound); one bucketed exchange on the composite
+    key. The fixed-memory unbounded-group path is quantiles_tdigest.
+    """
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def add_bucket_col(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = _ts_us(batch["ts"])
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "bucket_us": (ts // HOUR_US) * HOUR_US,
+                "value": batch["value"].astype(np.float64),
+            }
+        )
+
+    return bucketed_map_groups(
+        ev.map_batches(add_bucket_col, batch_format="pandas"),
+        ["event_type", "bucket_us"],
+        hourly_percentile_kernel,
+    )
+
+
+PERCENTILE_ROLLUP_1H_SQL = """
+SELECT event_type,
+       date_trunc('hour', ts) AS bucket_ts,
+       COUNT(*) AS count,
+       ROUND(quantile_cont(value, 0.50), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Apdex score per (event_type, day)
+# ---------------------------------------------------------------------------
+
+
+def apdex_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch combiner: satisfied/tolerating/total counts per
+    (event_type, day) with the standard T / 4T thresholds on value."""
+    ts = _ts_us(batch["ts"])
+    v = batch["value"].to_numpy(np.float64)
+    df = pd.DataFrame(
+        {
+            "event_type": batch["event_type"],
+            "day_us": (ts // DAY_US) * DAY_US,
+            "sat": (v <= 100.0).astype(np.int64),
+            "tol": ((v > 100.0) & (v <= 400.0)).astype(np.int64),
+            "n": np.ones(len(v), dtype=np.int64),
+        }
+    )
+    return (
+        df.groupby(["event_type", "day_us"], sort=False)
+        .agg(sat=("sat", "sum"), tol=("tol", "sum"), n=("n", "sum"))
+        .reset_index()
+    )
+
+
+def q_apdex(sf_dir: str):
+    """Apdex (application performance index) per (event_type, day):
+    (satisfied + tolerating/2) / n with the standard T=100 / 4T=400
+    thresholds on `value` — the normalized satisfaction score SRE
+    dashboards track beside percentiles. Pure integer partial+final
+    counts (threshold comparisons on the raw parquet doubles are
+    identical on both engines); the single float division happens once at
+    the end, op-for-op shared with the SQL.
+    """
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+
+    agg = hash_bucket_aggregate(
+        ev.map_batches(apdex_partial, batch_format="pandas"),
+        ["event_type", "day_us"],
+        [("sat", "sum"), ("tol", "sum"), ("n", "sum")],
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        sat = batch["sat_sum"].to_numpy(np.int64)
+        tol = batch["tol_sum"].to_numpy(np.int64)
+        n = batch["n_sum"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "day": pd.to_datetime(batch["day_us"], unit="us"),
+                "n_satisfied": sat,
+                "n_tolerating": tol,
+                "n_events": n,
+                "apdex": _r6away(
+                    (sat.astype(np.float64) * 2.0 + tol.astype(np.float64))
+                    / (n.astype(np.float64) * 2.0)
+                ),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+APDEX_SQL = """
+SELECT event_type,
+       date_trunc('day', ts) AS day,
+       CAST(SUM(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_satisfied,
+       CAST(SUM(CASE WHEN value > 100.0 AND value <= 400.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tolerating,
+       COUNT(*) AS n_events,
+       ROUND((CAST(SUM(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS DOUBLE) * 2.0
+              + CAST(SUM(CASE WHEN value > 100.0 AND value <= 400.0 THEN 1 ELSE 0 END)
+                     AS DOUBLE))
+             / (CAST(COUNT(*) AS DOUBLE) * 2.0), 6) AS apdex
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES4["percentile_rollup_1h"] = q_percentile_rollup_1h
+QUERIES4["apdex"] = q_apdex
+ORACLES4["percentile_rollup_1h"] = PERCENTILE_ROLLUP_1H_SQL
+ORACLES4["apdex"] = APDEX_SQL
