@@ -1080,3 +1080,244 @@ QUERIES4["percentile_rollup_1h"] = q_percentile_rollup_1h
 QUERIES4["apdex"] = q_apdex
 ORACLES4["percentile_rollup_1h"] = PERCENTILE_ROLLUP_1H_SQL
 ORACLES4["apdex"] = APDEX_SQL
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (rolling k-gram hash + window minima)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8
+WINNOW_W = 16
+WINNOW_PREFIX = 256
+
+
+def winnow_doc(text: str):
+    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03) over a bounded
+    256-char probe prefix: hash every 8-char gram, keep the minimum of
+    each sliding 16-gram window. Returns (n_windows, n_fingerprints,
+    min_fp) or None when the prefix is too short for one full window.
+    Gram hash = DuckDB md5_number_upper reinterpreted signed, so the SQL
+    oracle selects the identical minima."""
+    from .queries2 import _md5_u64
+
+    p = (text or "")[:WINNOW_PREFIX]
+    n_grams = len(p) - WINNOW_K + 1
+    if n_grams < WINNOW_W:
+        return None
+    h = _md5_u64([p[i : i + WINNOW_K] for i in range(n_grams)]).view(np.int64)
+    wm = np.lib.stride_tricks.sliding_window_view(h, WINNOW_W).min(axis=1)
+    return len(wm), int(np.unique(wm).size), int(wm.min())
+
+
+def q_winnow_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprinting by winnowing: per document,
+    the count of sliding windows, the number of DISTINCT window-minimum
+    fingerprints selected, and the smallest fingerprint — the
+    plagiarism/near-dup fingerprint scheme whose guarantee (any shared
+    substring of length w+k-1 yields a shared fingerprint) complements
+    minhash's whole-document similarity. Per-document bounded state,
+    embarrassingly parallel, integer-exact outputs.
+    """
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, nw, nf, mf = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            r = winnow_doc(text)
+            if r is None:
+                continue
+            ids.append(int(doc_id))
+            nw.append(r[0])
+            nf.append(r[1])
+            mf.append(r[2])
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "n_windows": np.asarray(nw, dtype=np.int64),
+                "n_fingerprints": np.asarray(nf, dtype=np.int64),
+                "min_fp": np.asarray(mf, dtype=np.int64),
+            }
+        )
+
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+WINNOW_FINGERPRINTS_SQL = f"""
+WITH p AS (
+  SELECT doc_id, substr(COALESCE(text, ''), 1, {WINNOW_PREFIX}) AS pre
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(range(1, len(pre) - {WINNOW_K - 1} + 1)) AS i,
+         pre
+  FROM p
+  WHERE len(pre) >= {WINNOW_K}
+),
+h AS (
+  SELECT doc_id, i,
+         CAST(CASE WHEN md5_number_upper(substr(pre, CAST(i AS INTEGER), {WINNOW_K}))
+                        >= 9223372036854775808
+                   THEN md5_number_upper(substr(pre, CAST(i AS INTEGER), {WINNOW_K}))::HUGEINT
+                        - 18446744073709551616::HUGEINT
+                   ELSE md5_number_upper(substr(pre, CAST(i AS INTEGER), {WINNOW_K}))::HUGEINT
+              END AS BIGINT) AS hv
+  FROM g
+),
+w AS (
+  SELECT doc_id, i,
+         MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS wm
+  FROM h
+)
+SELECT doc_id,
+       COUNT(*) AS n_windows,
+       COUNT(DISTINCT wm) AS n_fingerprints,
+       MIN(wm) AS min_fp
+FROM w WHERE i >= {WINNOW_W}
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling 24-bucket median of the hourly count series
+# ---------------------------------------------------------------------------
+
+
+def rolling_median_kernel(df: pd.DataFrame, window: int = 24) -> pd.DataFrame:
+    """Whole-series kernel: sliding-window median (np.quantile linear ==
+    DuckDB quantile_cont bitwise) over the observed hourly buckets in
+    bucket order; full windows only."""
+    df = df.sort_values("bucket_ts", kind="mergesort")
+    c = df["count"].to_numpy(np.float64)
+    if len(c) < window:
+        return pd.DataFrame(
+            {"event_type": pd.Series(dtype=object),
+             "bucket_ts": pd.Series(dtype="datetime64[us]"),
+             "count": pd.Series(dtype=np.int64),
+             "rolling_median": pd.Series(dtype=np.float64)}
+        )
+    med = np.quantile(
+        np.lib.stride_tricks.sliding_window_view(c, window), 0.5, axis=1
+    )
+    return pd.DataFrame(
+        {
+            "event_type": df["event_type"].iloc[window - 1 :].to_numpy(),
+            "bucket_ts": df["bucket_ts"].iloc[window - 1 :].to_numpy(),
+            "count": df["count"].iloc[window - 1 :].to_numpy(np.int64),
+            "rolling_median": med,
+        }
+    )
+
+
+def q_rolling_median_24h(sf_dir: str):
+    """Rolling 24-bucket median of each event_type's hourly count series
+    — the robust trend line dashboards draw where a rolling mean would
+    chase spikes (the robust sibling of bollinger_bands' mean+-sigma).
+    Same tier-series kernel contract: counts come from the distributed
+    partial+final rollup; the sliding median runs per series inside one
+    bucketed exchange; medians of integer counts are exact doubles (x.0
+    or x.5), so no rounding is needed anywhere.
+    """
+    t = rollup_tier(_events(sf_dir), "1h", key_cols=["event_type"]).select_columns(
+        ["event_type", "bucket_ts", "count"]
+    )
+    return bucketed_map_groups(t, ["event_type"], rolling_median_kernel)
+
+
+ROLLING_MEDIAN_24H_SQL = """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts, COUNT(*) AS count
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, bucket_ts, count,
+         quantile_cont(count, 0.5) OVER (PARTITION BY event_type ORDER BY bucket_ts
+                                         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+           AS rolling_median,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS rn
+  FROM c
+)
+SELECT event_type, bucket_ts, count, rolling_median
+FROM w WHERE rn >= 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Partition statistics (per-partition pruning metadata)
+# ---------------------------------------------------------------------------
+
+
+def partition_stats_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-partition kernel for ONE (event_type, day): the min/max/
+    count/distinct stats a lakehouse keeps per data file for pruning."""
+    ts = df["ts_us"].to_numpy()
+    v = df["value"].to_numpy(np.float64)
+    return pd.DataFrame(
+        {
+            "event_type": [df["event_type"].iloc[0]],
+            "day": pd.to_datetime([df["day_us"].iloc[0]], unit="us"),
+            "n_rows": np.array([len(df)], dtype=np.int64),
+            "n_users": np.array(
+                [df["user_id"].nunique()], dtype=np.int64
+            ),
+            "min_ts": pd.to_datetime([int(ts.min())], unit="us"),
+            "max_ts": pd.to_datetime([int(ts.max())], unit="us"),
+            "min_value": np.array([v.min()], dtype=np.float64),
+            "max_value": np.array([v.max()], dtype=np.float64),
+            "cents_sum": np.array([int(_cents(df["value"]).sum())], dtype=np.int64),
+        }
+    )
+
+
+def q_partition_stats(sf_dir: str):
+    """Per-(event_type, day) partition statistics — row count, distinct
+    users, timestamp bounds, value bounds, exact centivalue sum: the
+    metadata a lakehouse writes per partition/file so readers can prune
+    (the distributed analogue of parquet row-group stats, kept as a
+    queryable table). One bucketed exchange on the partition key;
+    per-kernel state bounded by one partition's rows; all outputs exact
+    (raw-double extremes, integer counts/sums).
+    """
+    ev = _events(sf_dir, ["ts", "user_id", "event_type", "value"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = _ts_us(batch["ts"])
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "day_us": (ts // DAY_US) * DAY_US,
+                "ts_us": ts,
+                "user_id": batch["user_id"].astype(np.int64),
+                "value": batch["value"].astype(np.float64),
+            }
+        )
+
+    return bucketed_map_groups(
+        ev.map_batches(prep, batch_format="pandas"),
+        ["event_type", "day_us"],
+        partition_stats_kernel,
+    )
+
+
+PARTITION_STATS_SQL = """
+SELECT event_type,
+       date_trunc('day', ts) AS day,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT user_id) AS n_users,
+       MIN(ts) AS min_ts,
+       MAX(ts) AS max_ts,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES4["winnow_fingerprints"] = q_winnow_fingerprints
+QUERIES4["rolling_median_24h"] = q_rolling_median_24h
+QUERIES4["partition_stats"] = q_partition_stats
+ORACLES4["winnow_fingerprints"] = WINNOW_FINGERPRINTS_SQL
+ORACLES4["rolling_median_24h"] = ROLLING_MEDIAN_24H_SQL
+ORACLES4["partition_stats"] = PARTITION_STATS_SQL
