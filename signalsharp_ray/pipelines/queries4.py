@@ -1321,3 +1321,154 @@ QUERIES4["partition_stats"] = q_partition_stats
 ORACLES4["winnow_fingerprints"] = WINNOW_FINGERPRINTS_SQL
 ORACLES4["rolling_median_24h"] = ROLLING_MEDIAN_24H_SQL
 ORACLES4["partition_stats"] = PARTITION_STATS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day seasonal profile (dense grid phase means)
+# ---------------------------------------------------------------------------
+
+
+def hourly_profile_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-series kernel: zero-filled dense hourly grid (the exact
+    densification for count series), then per hour-of-day phase: slot
+    count, exact integer event sum, and their ratio."""
+    from ..kernels.seasonal import dense_counts
+
+    df = df.sort_values("bucket_ts", kind="mergesort")
+    grid, dense = dense_counts(
+        _ts_us(df["bucket_ts"]), df["count"].to_numpy(np.int64), HOUR_US
+    )
+    phase = ((grid // HOUR_US) % 24).astype(np.int64)
+    n = np.bincount(phase, minlength=24).astype(np.int64)
+    s = np.bincount(phase, weights=dense.astype(np.float64)).astype(np.int64)
+    keep = n > 0
+    hours = np.arange(24, dtype=np.int64)[keep]
+    return pd.DataFrame(
+        {
+            "event_type": np.repeat(df["event_type"].iloc[0], hours.size),
+            "hour_of_day": hours,
+            "n_hours": n[keep],
+            "sum_count": s[keep],
+            "mean_count": _r6away(
+                s[keep].astype(np.float64) / n[keep].astype(np.float64)
+            ),
+        }
+    )
+
+
+def q_hourly_profile(sf_dir: str):
+    """Hour-of-day seasonality profile per event_type: over the dense
+    (zero-filled) hourly grid, the number of grid slots at each hour of
+    day, the exact event sum, and the mean hourly count — the "typical
+    day" curve capacity planning reads, and the profile a seasonal-naive
+    forecaster serves. Zero-filling matters: skipping silent hours would
+    bias the phase means upward. Same tier-series kernel contract as
+    acf/seasonal_decompose (one retention window of buckets per key).
+    """
+    t = rollup_tier(_events(sf_dir), "1h", key_cols=["event_type"]).select_columns(
+        ["event_type", "bucket_ts", "count"]
+    )
+    return bucketed_map_groups(t, ["event_type"], hourly_profile_kernel)
+
+
+HOURLY_PROFILE_SQL = """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM c GROUP BY 1),
+g AS (
+  SELECT bo.event_type,
+         UNNEST(generate_series(bo.lo, bo.hi, INTERVAL 1 HOUR)) AS b
+  FROM bounds bo
+),
+d AS (
+  SELECT g.event_type, g.b, COALESCE(c.x, 0) AS x
+  FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.b = g.b
+)
+SELECT event_type,
+       CAST(hour(b) AS BIGINT) AS hour_of_day,
+       COUNT(*) AS n_hours,
+       CAST(SUM(x) AS BIGINT) AS sum_count,
+       ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_count
+FROM d GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exponentially weighted mean + variance (two-state recursion)
+# ---------------------------------------------------------------------------
+
+
+def ewm_var_kernel(df: pd.DataFrame, alpha: float = 0.2) -> pd.DataFrame:
+    """Whole-series kernel: EW mean/variance recursion over the hourly
+    count series in bucket order. m_0 = x_0, v_0 = 0; then
+    m_t = m + a*d, v_t = (1-a)*(v + a*d*d) with d = x - m — the exact
+    float expressions the recursive-CTE oracle replays."""
+    df = df.sort_values("bucket_ts", kind="mergesort")
+    x = df["count"].to_numpy(np.float64)
+    m = np.empty_like(x)
+    v = np.empty_like(x)
+    mm = x[0]
+    vv = 0.0
+    m[0] = mm
+    v[0] = vv
+    for i in range(1, x.size):
+        d = x[i] - mm
+        mm = mm + alpha * d
+        vv = (1.0 - alpha) * (vv + alpha * d * d)
+        m[i] = mm
+        v[i] = vv
+    return pd.DataFrame(
+        {
+            "event_type": df["event_type"].to_numpy(),
+            "bucket_ts": df["bucket_ts"].to_numpy(),
+            "ewm_mean": _r6away(m),
+            "ewm_var": _r6away(v),
+        }
+    )
+
+
+def q_ewm_var(sf_dir: str):
+    """Exponentially weighted mean AND variance of each event_type's
+    hourly count series — the adaptive baseline + adaptive band that
+    streaming anomaly detectors keep per series (EWMA control chart with
+    a forgetting variance, two doubles of state per key). The recursion
+    runs per series inside one bucketed exchange over TIER-resolution
+    rows; the recursive-CTE oracle carries (mean, var) through the
+    identical float64 expressions, so values match bitwise into the
+    shared ROUND.
+    """
+    t = rollup_tier(_events(sf_dir), "1h", key_cols=["event_type"]).select_columns(
+        ["event_type", "bucket_ts", "count"]
+    )
+    return bucketed_map_groups(t, ["event_type"], ewm_var_kernel)
+
+
+EWM_VAR_SQL = """
+WITH RECURSIVE c AS MATERIALIZED (
+  SELECT event_type, b, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY b) - 1 AS idx
+  FROM (SELECT event_type, date_trunc('hour', ts) AS b,
+               CAST(COUNT(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2)
+),
+e AS (
+  SELECT event_type, idx, b, x, x AS m, CAST(0.0 AS DOUBLE) AS v FROM c WHERE idx = 0
+  UNION ALL
+  SELECT c.event_type, c.idx, c.b, c.x,
+         e.m + 0.2*(c.x - e.m),
+         0.8*(e.v + 0.2*(c.x - e.m)*(c.x - e.m))
+  FROM e JOIN c ON c.event_type = e.event_type AND c.idx = e.idx + 1
+)
+SELECT event_type, b AS bucket_ts,
+       ROUND(m, 6) AS ewm_mean,
+       ROUND(v, 6) AS ewm_var
+FROM e
+"""
+
+
+QUERIES4["hourly_profile"] = q_hourly_profile
+QUERIES4["ewm_var"] = q_ewm_var
+ORACLES4["hourly_profile"] = HOURLY_PROFILE_SQL
+ORACLES4["ewm_var"] = EWM_VAR_SQL
