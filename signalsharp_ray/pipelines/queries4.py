@@ -1472,3 +1472,182 @@ QUERIES4["hourly_profile"] = q_hourly_profile
 QUERIES4["ewm_var"] = q_ewm_var
 ORACLES4["hourly_profile"] = HOURLY_PROFILE_SQL
 ORACLES4["ewm_var"] = EWM_VAR_SQL
+
+
+# ---------------------------------------------------------------------------
+# Corpus mix report (per-source composition + duplication audit)
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_mix_report(sf_dir: str):
+    """The per-source composition table a training-mix owner reads before
+    weighting sources: document count, exact char and whitespace-token
+    totals, how many of the source's documents are exact duplicates of
+    ANYTHING in the corpus (cross-source aware), and mean chars/doc.
+    Plan: per-doc features in one batch pass; corpus-wide fingerprint
+    counts via the partial+final combiner; counts join BACK to docs
+    through a co-partitioned exchange on the fingerprint (never a driver
+    lookup); per-source reduction is integer partial+final. All sums are
+    int64 — exact at any block layout.
+    """
+    from .queries2 import _md5_u64
+
+    def feat(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "source": batch["source"],
+                "fp": _md5_u64(text.tolist()).view(np.int64),
+                "chars": text.str.len().astype(np.int64),
+                "tokens": text.str.split().str.len().fillna(0).astype(np.int64),
+            }
+        )
+
+    docs = _documents(sf_dir, ["source", "text"]).map_batches(
+        feat, batch_format="pandas"
+    )
+
+    def cnt_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["fp"].value_counts()
+        return pd.DataFrame({"fp": vc.index.astype(np.int64),
+                             "c": vc.to_numpy().astype(np.int64)})
+
+    counts = hash_bucket_aggregate(
+        docs.map_batches(cnt_partial, batch_format="pandas"), ["fp"], [("c", "sum")]
+    ).map_batches(
+        lambda b: pd.DataFrame({"fp": b["fp"].astype(np.int64),
+                                "c": b["c_sum"].astype(np.int64)}),
+        batch_format="pandas",
+    )
+
+    joined = bucketed_join(docs, counts, on=["fp"], how="inner")
+
+    def src_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "source": batch["source"],
+                "n": np.ones(len(batch), dtype=np.int64),
+                "chars": batch["chars"].astype(np.int64),
+                "tokens": batch["tokens"].astype(np.int64),
+                "dup": (batch["c"].astype(np.int64) > 1).astype(np.int64),
+            }
+        )
+        return (
+            df.groupby("source", sort=False)
+            .agg(n=("n", "sum"), chars=("chars", "sum"),
+                 tokens=("tokens", "sum"), dup=("dup", "sum"))
+            .reset_index()
+        )
+
+    agg = hash_bucket_aggregate(
+        joined.map_batches(src_partial, batch_format="pandas"),
+        ["source"],
+        [("n", "sum"), ("chars", "sum"), ("tokens", "sum"), ("dup", "sum")],
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n_sum"].to_numpy(np.int64)
+        chars = batch["chars_sum"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "source": batch["source"],
+                "n_docs": n,
+                "total_chars": chars,
+                "total_tokens": batch["tokens_sum"].astype(np.int64),
+                "n_dup_docs": batch["dup_sum"].astype(np.int64),
+                "mean_chars": _r6away(chars.astype(np.float64) / n.astype(np.float64)),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+CORPUS_MIX_REPORT_SQL = """
+WITH f AS (
+  SELECT source,
+         md5_number_upper(COALESCE(text, '')) AS fp,
+         length(COALESCE(text, '')) AS chars,
+         len(list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+                         x -> x <> '')) AS tokens
+  FROM documents
+),
+c AS (SELECT fp, COUNT(*) AS n_copies FROM f GROUP BY 1)
+SELECT f.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(f.chars) AS BIGINT) AS total_chars,
+       CAST(SUM(f.tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       ROUND(CAST(SUM(f.chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_chars
+FROM f JOIN c USING (fp)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Normalization-aware dedup (case/whitespace-insensitive variants)
+# ---------------------------------------------------------------------------
+
+
+def norm_dedup_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-group kernel for docs sharing one normalized fingerprint:
+    representative min doc_id, copy count, distinct RAW variants."""
+    return pd.DataFrame(
+        {
+            "doc_id": np.array([int(df["doc_id"].min())], dtype=np.int64),
+            "n_copies": np.array([len(df)], dtype=np.int64),
+            "n_raw_variants": np.array([df["raw_fp"].nunique()], dtype=np.int64),
+        }
+    )
+
+
+def q_norm_dedup(sf_dir: str):
+    """Exact dedup AFTER text normalization (lowercase, collapse
+    [ \\t\\n\\r]+ runs to one space, trim): one row per distinct
+    normalized text with min-doc_id representative, copy count, and the
+    number of distinct RAW texts merged — the measure of duplicates that
+    only case/whitespace noise was hiding (Common Crawl's most common
+    near-dup class). Same single-exchange shape as exact_dedup; only
+    64-bit fingerprints cross the shuffle.
+    """
+    from .queries2 import _md5_u64
+
+    def feat(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        norm = (
+            text.str.lower()
+            .str.replace(r"[ \t\n\r]+", " ", regex=True)
+            .str.strip(" ")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "raw_fp": _md5_u64(text.tolist()).view(np.int64),
+                "norm_fp": _md5_u64(norm.tolist()).view(np.int64),
+            }
+        )
+
+    docs = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        feat, batch_format="pandas"
+    )
+    return bucketed_map_groups(docs, ["norm_fp"], norm_dedup_kernel)
+
+
+NORM_DEDUP_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         md5_number_upper(COALESCE(text, '')) AS raw_fp,
+         md5_number_upper(trim(regexp_replace(lower(COALESCE(text, '')),
+                                              '[ \t\n\r]+', ' ', 'g'), ' ')) AS norm_fp
+  FROM documents
+)
+SELECT MIN(doc_id) AS doc_id,
+       COUNT(*) AS n_copies,
+       COUNT(DISTINCT raw_fp) AS n_raw_variants
+FROM f GROUP BY norm_fp
+"""
+
+
+QUERIES4["corpus_mix_report"] = q_corpus_mix_report
+QUERIES4["norm_dedup"] = q_norm_dedup
+ORACLES4["corpus_mix_report"] = CORPUS_MIX_REPORT_SQL
+ORACLES4["norm_dedup"] = NORM_DEDUP_SQL
