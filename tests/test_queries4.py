@@ -167,3 +167,70 @@ def test_hourly_partial_split_invariant():
     skew = run([df.iloc[: n // 9], df.iloc[n // 9 :]])
     pd.testing.assert_frame_equal(whole, singles)
     pd.testing.assert_frame_equal(whole, skew)
+
+
+def test_winnow_guarantee_shared_window_yields_shared_fingerprint():
+    # winnowing guarantee: docs sharing a substring of length w+k-1 = 23
+    # chars share at least one selected fingerprint (here: identical
+    # prefixes -> identical fingerprint sets)
+    from signalsharp_ray.pipelines.queries4 import winnow_doc
+
+    a = winnow_doc("the quick brown fox jumps over the lazy dog once more")
+    b = winnow_doc("the quick brown fox jumps over the lazy dog once more")
+    assert a == b
+    assert a[0] > 0 and a[1] >= 1 and a[1] <= a[0]
+
+
+def test_winnow_short_text_returns_none():
+    from signalsharp_ray.pipelines.queries4 import winnow_doc
+
+    assert winnow_doc("short") is None
+    assert winnow_doc("") is None
+    # 22 chars: one gram short of a full 16-gram window
+    assert winnow_doc("x" * 22) is None
+    assert winnow_doc("x" * 23) is not None
+
+
+def test_ewm_var_matches_naive_recursion():
+    from signalsharp_ray.pipelines.queries4 import ewm_var_kernel
+
+    rng = np.random.default_rng(2)
+    n = 60
+    df = pd.DataFrame(
+        {
+            "event_type": ["a"] * n,
+            "bucket_ts": pd.to_datetime(np.arange(n) * 3_600_000_000, unit="us"),
+            "count": rng.integers(0, 50, n),
+        }
+    )
+    out = ewm_var_kernel(df, alpha=0.2)
+    m, v = float(df["count"].iloc[0]), 0.0
+    for i in range(1, n):
+        d = float(df["count"].iloc[i]) - m
+        m = m + 0.2 * d
+        v = 0.8 * (v + 0.2 * d * d)
+    assert out["ewm_mean"].iloc[-1] == np.sign(m) * np.floor(abs(m) * 1e6 + 0.5) / 1e6
+    assert out["ewm_var"].iloc[-1] == np.sign(v) * np.floor(abs(v) * 1e6 + 0.5) / 1e6
+    # variance non-negative everywhere
+    assert (out["ewm_var"].to_numpy() >= 0).all()
+
+
+def test_hourly_profile_zero_fill_matters():
+    from signalsharp_ray.pipelines.queries4 import hourly_profile_kernel
+
+    # observed buckets only at hours 0 and 2 across two days; hour 1 of
+    # day 1 is silent -> dense grid must count it as a zero slot
+    H = 3_600_000_000
+    df = pd.DataFrame(
+        {
+            "event_type": ["a"] * 3,
+            "bucket_ts": pd.to_datetime([0, 2 * H, 24 * H], unit="us"),
+            "count": [10, 6, 4],
+        }
+    )
+    out = hourly_profile_kernel(df).set_index("hour_of_day")
+    # grid spans hours 0..24 -> hour 0 has 2 slots (counts 10, 4)
+    assert out.loc[0, "n_hours"] == 2 and out.loc[0, "sum_count"] == 14
+    assert out.loc[0, "mean_count"] == 7.0
+    # hour 1 exists as a zero slot
+    assert out.loc[1, "n_hours"] == 1 and out.loc[1, "sum_count"] == 0
