@@ -1779,6 +1779,11 @@ FROM events e ASOF LEFT JOIN o
     }
     # the corpus filter's oracle is composed from the component oracles so
     # both sides share one source of truth for each component's semantics
+    from .queries4 import QUALITY_BY_LANGUAGE_SQL_TEMPLATE
+
+    out["quality_by_language"] = QUALITY_BY_LANGUAGE_SQL_TEMPLATE.format(
+        quality=out["quality_scores"]
+    )
     out["corpus_filter"] = CORPUS_FILTER_SQL_TEMPLATE.format(
         quality=out["quality_scores"],
         language=out["language_id"],

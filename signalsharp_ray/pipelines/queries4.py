@@ -1651,3 +1651,80 @@ QUERIES4["corpus_mix_report"] = q_corpus_mix_report
 QUERIES4["norm_dedup"] = q_norm_dedup
 ORACLES4["corpus_mix_report"] = CORPUS_MIX_REPORT_SQL
 ORACLES4["norm_dedup"] = NORM_DEDUP_SQL
+
+
+# ---------------------------------------------------------------------------
+# Quality by language (exact aggregation of a derived float feature)
+# ---------------------------------------------------------------------------
+
+
+def q_quality_by_language(sf_dir: str):
+    """Mean document quality score per language — the table a corpus
+    curator reads to set per-language quality thresholds. Demonstrates
+    the house rule for aggregating DERIVED FLOATS exactly: the per-doc
+    score is fixed to 6 decimals (the same rounding the verified
+    quality_scores operator emits), converted to exact int64 micro-units,
+    summed associatively across the shuffle, and divided once at the end
+    — float sums of raw doubles would be block-layout-dependent; integer
+    sums are not. The oracle composes the registry's quality_scores SQL,
+    so both sides share one definition of the score.
+    """
+    from ..stages.text import QualityScorer, pool_size
+
+    class Score:
+        def __init__(self):
+            self.q = QualityScorer()
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            qdf = self.q(batch)
+            micro = np.rint(
+                np.round(qdf["quality_score"].to_numpy(np.float64), 6) * 1e6
+            ).astype(np.int64)
+            df = pd.DataFrame(
+                {"lang": batch["lang"], "micro": micro,
+                 "n": np.ones(len(batch), dtype=np.int64)}
+            )
+            return (
+                df.groupby("lang", sort=False)
+                .agg(micro=("micro", "sum"), n=("n", "sum"))
+                .reset_index()
+            )
+
+    docs = _documents(sf_dir, ["doc_id", "lang", "text"])
+    agg = hash_bucket_aggregate(
+        docs.map_batches(
+            Score, batch_format="pandas", concurrency=pool_size(4), num_cpus=1
+        ),
+        ["lang"],
+        [("micro", "sum"), ("n", "sum")],
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n_sum"].to_numpy(np.int64)
+        micro = batch["micro_sum"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "lang": batch["lang"],
+                "n_docs": n,
+                "mean_quality": _r6away(
+                    micro.astype(np.float64) / 1e6 / n.astype(np.float64)
+                ),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+# composed at registry-build time from the verified quality_scores oracle
+QUALITY_BY_LANGUAGE_SQL_TEMPLATE = """
+WITH q AS (SELECT doc_id, quality_score FROM ({quality}))
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(ROUND(q.quality_score * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_quality
+FROM q JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
+QUERIES4["quality_by_language"] = q_quality_by_language
