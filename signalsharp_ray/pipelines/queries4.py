@@ -1728,3 +1728,165 @@ GROUP BY 1
 
 
 QUERIES4["quality_by_language"] = q_quality_by_language
+
+
+# ---------------------------------------------------------------------------
+# New vs returning daily actives
+# ---------------------------------------------------------------------------
+
+
+def q_new_vs_returning(sf_dir: str):
+    """Daily active users split into NEW (first-ever activity that day)
+    vs RETURNING — the growth-accounting table product analytics starts
+    from. Plan: per-user first day is a min-reduction (per-batch combiner
+    -> one bucketed exchange on user_id); distinct (user, day) actives
+    dedup through the same exchange; the flag compare and per-day counts
+    are integer partial+final. No driver-side state.
+    """
+    ev = _events(sf_dir, ["ts", "user_id"])
+
+    def days(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = _ts_us(batch["ts"])
+        return (
+            pd.DataFrame(
+                {"user_id": batch["user_id"].astype(np.int64),
+                 "day_us": (ts // DAY_US) * DAY_US}
+            )
+            .drop_duplicates()
+        )
+
+    pairs = ev.map_batches(days, batch_format="pandas")
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        first = int(df["day_us"].min())
+        return pd.DataFrame(
+            {
+                "day_us": df["day_us"].astype(np.int64),
+                "is_new": (df["day_us"].astype(np.int64) == first).astype(np.int64),
+            }
+        )
+
+    flagged = bucketed_map_groups(pairs, ["user_id"], per_user)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.groupby("day_us", sort=False)
+            .agg(new=("is_new", "sum"), n=("is_new", "size"))
+            .reset_index()
+        )
+        g["new"] = g["new"].astype(np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    agg = hash_bucket_aggregate(
+        flagged.map_batches(partial, batch_format="pandas"),
+        ["day_us"],
+        [("new", "sum"), ("n", "sum")],
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n_sum"].to_numpy(np.int64)
+        new = batch["new_sum"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "day": pd.to_datetime(batch["day_us"], unit="us"),
+                "new_users": new,
+                "returning_users": n - new,
+                "active_users": n,
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+NEW_VS_RETURNING_SQL = """
+WITH a AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+f AS (SELECT user_id, MIN(day) AS first_day FROM a GROUP BY 1)
+SELECT a.day,
+       CAST(SUM(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       CAST(SUM(CASE WHEN a.day <> f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning_users,
+       COUNT(*) AS active_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-user activity histogram (power-user distribution)
+# ---------------------------------------------------------------------------
+
+
+def q_user_activity_histogram(sf_dir: str):
+    """Distribution of per-user event counts in power-of-two bins — the
+    "how skewed is my user base" histogram that sizes per-key state and
+    flags hot keys before a shuffle. Per-user totals are an integer
+    partial+final reduction; binning each total (bit_length - 1) and
+    counting bins is a second tiny integer aggregate. The hot-key
+    diagnostic for exactly the skew this engine's salting docs discuss.
+    """
+    ev = _events(sf_dir, ["user_id"])
+
+    def cnt_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["user_id"].value_counts()
+        return pd.DataFrame(
+            {"user_id": vc.index.astype(np.int64),
+             "c": vc.to_numpy().astype(np.int64)}
+        )
+
+    per_user = hash_bucket_aggregate(
+        ev.map_batches(cnt_partial, batch_format="pandas"),
+        ["user_id"],
+        [("c", "sum")],
+    )
+
+    def bin_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = batch["c_sum"].to_numpy(np.int64)
+        bins = np.floor(np.log2(c)).astype(np.int64)  # c >= 1 always
+        g = pd.DataFrame({"bin": bins, "n": np.ones(c.size, dtype=np.int64),
+                          "events": c})
+        return (
+            g.groupby("bin", sort=False)
+            .agg(n=("n", "sum"), events=("events", "sum"))
+            .reset_index()
+        )
+
+    agg = hash_bucket_aggregate(
+        per_user.map_batches(bin_partial, batch_format="pandas"),
+        ["bin"],
+        [("n", "sum"), ("events", "sum")],
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch["bin"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "bin_lo": (2 ** b).astype(np.int64),
+                "bin_hi": (2 ** (b + 1) - 1).astype(np.int64),
+                "n_users": batch["n_sum"].astype(np.int64),
+                "n_events": batch["events_sum"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+USER_ACTIVITY_HISTOGRAM_SQL = """
+WITH u AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+b AS (SELECT CAST(FLOOR(LOG2(c)) AS BIGINT) AS bin, c FROM u)
+SELECT CAST(POWER(2, bin) AS BIGINT) AS bin_lo,
+       CAST(POWER(2, bin + 1) - 1 AS BIGINT) AS bin_hi,
+       COUNT(*) AS n_users,
+       CAST(SUM(c) AS BIGINT) AS n_events
+FROM b GROUP BY 1, 2
+"""
+
+
+QUERIES4["new_vs_returning"] = q_new_vs_returning
+QUERIES4["user_activity_histogram"] = q_user_activity_histogram
+ORACLES4["new_vs_returning"] = NEW_VS_RETURNING_SQL
+ORACLES4["user_activity_histogram"] = USER_ACTIVITY_HISTOGRAM_SQL
