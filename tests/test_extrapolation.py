@@ -279,3 +279,42 @@ class TestSESReferenceEdges:
             ses_forecast([1.0, 2.0], 1, alpha=1.5)
         with pytest.raises(ValueError):
             ses_forecast([], 1, alpha=0.3)
+
+
+class TestHoltMultiplicativeInitialValidation:
+    """Ported from HoltMethodExtrapolatorTests.cs: Fit_MultiplicativeTrend_
+    InitialLevelFromOptions / InitialTrendFromOptions / EstimatedInitialTrend
+    _NonPositive_ThrowsArgumentException."""
+
+    def test_initial_level_from_options_non_positive_raises(self):
+        import pytest
+        from signalsharp_ray.kernels.extrapolation import HoltOptions, holt_forecast
+
+        with pytest.raises(ValueError, match="[Ii]nitial level"):
+            holt_forecast(
+                [1.0, 2.0, 3.0], 1,
+                HoltOptions(alpha=0.5, beta=0.5, trend_type="multiplicative",
+                            initial_level=0.0),
+            )
+
+    def test_initial_trend_from_options_non_positive_raises(self):
+        import pytest
+        from signalsharp_ray.kernels.extrapolation import HoltOptions, holt_forecast
+
+        with pytest.raises(ValueError, match="[Ii]nitial trend"):
+            holt_forecast(
+                [1.0, 2.0, 3.0], 1,
+                HoltOptions(alpha=0.5, beta=0.5, trend_type="multiplicative",
+                            initial_trend=-1.0),
+            )
+
+    def test_estimated_initial_trend_non_positive_raises(self):
+        import pytest
+        from signalsharp_ray.kernels.extrapolation import HoltOptions, holt_forecast
+
+        # x[1] - x[0] <= 0 with strictly positive data: estimated trend invalid
+        with pytest.raises(ValueError, match="[Ee]stimated initial"):
+            holt_forecast(
+                [3.0, 2.0, 1.0], 1,
+                HoltOptions(alpha=0.5, beta=0.5, trend_type="multiplicative"),
+            )
