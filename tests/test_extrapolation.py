@@ -312,9 +312,13 @@ class TestHoltMultiplicativeInitialValidation:
         import pytest
         from signalsharp_ray.kernels.extrapolation import HoltOptions, holt_forecast
 
-        # x[1] - x[0] <= 0 with strictly positive data: estimated trend invalid
+        # reference semantics: estimated trend = x[1] / initial_level; a
+        # large provided level with tiny-but-positive x[1] drives the ratio
+        # under epsilon (HoltMethodExtrapolatorTests.cs: initialLevel=1,
+        # signal[1]=epsilon/2)
         with pytest.raises(ValueError, match="[Ee]stimated initial"):
             holt_forecast(
-                [3.0, 2.0, 1.0], 1,
-                HoltOptions(alpha=0.5, beta=0.5, trend_type="multiplicative"),
+                [1.0, 1e-7, 3.0], 1,
+                HoltOptions(alpha=0.5, beta=0.5, trend_type="multiplicative",
+                            initial_level=1e6),
             )
