@@ -1890,3 +1890,139 @@ QUERIES4["new_vs_returning"] = q_new_vs_returning
 QUERIES4["user_activity_histogram"] = q_user_activity_histogram
 ORACLES4["new_vs_returning"] = NEW_VS_RETURNING_SQL
 ORACLES4["user_activity_histogram"] = USER_ACTIVITY_HISTOGRAM_SQL
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked search (fixed multi-term query over the corpus)
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("query", "join", "sort")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_search(sf_dir: str, k: int = 20):
+    """BM25-ranked retrieval for a fixed three-term query — the lexical
+    search scoring every retrieval pipeline starts from. Plan: one batch
+    pass extracts (doc length, per-term tf) with C-regex token-exact
+    counts; the corpus constants (N, avg doclen, per-term df) reduce to
+    FIVE integers through the standard combiner (driver state is O(1));
+    the scoring pass is vectorized float64 with the BM25 expression tree
+    transcribed op-for-op into the SQL (scalar idf uses math.log == ln
+    bitwise); top-k is a deterministic sort on (rounded score DESC,
+    doc_id). The tf table is materialized once (narrow int columns,
+    object-store resident/spillable) so the corpus text streams exactly
+    one pass.
+    """
+    import math
+    import re
+
+    pats = {
+        t: rf"(?<!\S){re.escape(t)}(?!\S)" for t in BM25_TERMS
+    }
+
+    def feat(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        out = {
+            "doc_id": batch["doc_id"].astype(np.int64),
+            "dl": text.str.split().str.len().fillna(0).astype(np.int64),
+        }
+        for i, t in enumerate(BM25_TERMS):
+            out[f"tf{i}"] = text.str.count(pats[t]).astype(np.int64)
+        return pd.DataFrame(out)
+
+    feats = (
+        _documents(sf_dir, ["doc_id", "text"])
+        .map_batches(feat, batch_format="pandas")
+        .materialize()
+    )
+
+    def scal_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        row = {"n": np.int64(len(batch)), "sum_dl": batch["dl"].sum()}
+        for i in range(len(BM25_TERMS)):
+            row[f"df{i}"] = np.int64((batch[f"tf{i}"] > 0).sum())
+        return pd.DataFrame([row])
+
+    sc = feats.map_batches(scal_partial, batch_format="pandas").to_pandas().sum()
+    n_docs = int(sc["n"])
+    avgdl = float(int(sc["sum_dl"])) / float(n_docs)
+    idf = [
+        math.log((n_docs - int(sc[f"df{i}"]) + 0.5) / (int(sc[f"df{i}"]) + 0.5) + 1.0)
+        for i in range(len(BM25_TERMS))
+    ]
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        dl = batch["dl"].to_numpy(np.float64)
+        ratio = dl / avgdl
+        total = np.zeros(len(batch))
+        for i in range(len(BM25_TERMS)):
+            tf = batch[f"tf{i}"].to_numpy(np.float64)
+            denom = tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * ratio)
+            total = total + (idf[i] * (tf * (BM25_K1 + 1.0))) / denom
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "dl": batch["dl"].astype(np.int64),
+                "tf_query": batch["tf0"].astype(np.int64),
+                "tf_join": batch["tf1"].astype(np.int64),
+                "tf_sort": batch["tf2"].astype(np.int64),
+                "score": _r6away(total),
+            }
+        )
+        return out[out["score"] > 0.0]
+
+    return (
+        feats.map_batches(score, batch_format="pandas")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+BM25_SEARCH_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+                         x -> x <> '')) AS dl,
+         len(list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+                         x -> x = 'query')) AS tf0,
+         len(list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+                         x -> x = 'join')) AS tf1,
+         len(list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+                         x -> x = 'sort')) AS tf2
+  FROM documents
+),
+c AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM f
+),
+s AS (
+  SELECT f.doc_id, f.dl, f.tf0, f.tf1, f.tf2,
+         ROUND(
+           (ln((c.n - c.df0 + 0.5) / (c.df0 + 0.5) + 1.0)
+              * (CAST(f.tf0 AS DOUBLE) * 2.2))
+             / (CAST(f.tf0 AS DOUBLE)
+                + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(f.dl AS DOUBLE) / c.avgdl)))
+           + (ln((c.n - c.df1 + 0.5) / (c.df1 + 0.5) + 1.0)
+              * (CAST(f.tf1 AS DOUBLE) * 2.2))
+             / (CAST(f.tf1 AS DOUBLE)
+                + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(f.dl AS DOUBLE) / c.avgdl)))
+           + (ln((c.n - c.df2 + 0.5) / (c.df2 + 0.5) + 1.0)
+              * (CAST(f.tf2 AS DOUBLE) * 2.2))
+             / (CAST(f.tf2 AS DOUBLE)
+                + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(f.dl AS DOUBLE) / c.avgdl))),
+           6) AS score
+  FROM f, c
+)
+SELECT doc_id, dl, tf0 AS tf_query, tf1 AS tf_join, tf2 AS tf_sort, score
+FROM s WHERE score > 0.0
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+QUERIES4["bm25_search"] = q_bm25_search
+ORACLES4["bm25_search"] = BM25_SEARCH_SQL
