@@ -2026,3 +2026,106 @@ LIMIT 20
 
 QUERIES4["bm25_search"] = q_bm25_search
 ORACLES4["bm25_search"] = BM25_SEARCH_SQL
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroids over int8-quantized embeddings (exact aggregation)
+# ---------------------------------------------------------------------------
+
+
+def _quantize_rows(emb_col) -> np.ndarray:
+    """Vectorized symmetric int8 quantization of a batch of embeddings
+    (same math as embedding_quantize, matrix form): q = round_half_away(
+    x/max|x| * 127) per row; all-zero rows -> zeros."""
+    m = np.stack([np.asarray(e, dtype=np.float32) for e in emb_col])
+    ma = np.abs(m).max(axis=1)
+    safe = np.where(ma == 0, np.float32(1), ma)
+    r = m.astype(np.float64) / safe.astype(np.float64)[:, None] * 127.0
+    q = (np.sign(r) * np.floor(np.abs(r) + 0.5)).astype(np.int64)
+    q[ma == 0] = 0
+    return q
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label centroid of the int8-QUANTIZED embeddings, long format
+    (label, dim, n_vecs, sum_q, mean_q) — the cluster-profile table a
+    vector store keeps per partition. Quantizing FIRST makes the
+    aggregation exact: float32 component sums are block-layout-dependent,
+    int8 component sums are not (the house integer-sum rule applied to
+    vectors). Per-batch matrix partials: each batch collapses to one
+    64-int row per label, so the shuffle moves (labels x dims) integers,
+    never vectors.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        q = _quantize_rows(batch["embedding"])
+        labels = batch["label"].to_numpy(np.int64)
+        rows = []
+        for lab in np.unique(labels):
+            sel = q[labels == lab]
+            sums = sel.sum(axis=0)
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "label": np.full(q.shape[1], lab, dtype=np.int64),
+                        "dim": np.arange(q.shape[1], dtype=np.int64),
+                        "n": np.full(q.shape[1], sel.shape[0], dtype=np.int64),
+                        "sum_q": sums,
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    agg = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["label", "dim"],
+        [("n", "sum"), ("sum_q", "sum")],
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n_sum"].to_numpy(np.int64)
+        s = batch["sum_q_sum"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "label": batch["label"].astype(np.int64),
+                "dim": batch["dim"].astype(np.int64),
+                "n_vecs": n,
+                "sum_q": s,
+                "mean_q": _r6away(s.astype(np.float64) / n.astype(np.float64)),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+LABEL_CENTROIDS_SQL = """
+WITH m AS (
+  SELECT label, embedding,
+         list_max(list_transform(embedding, x -> abs(x))) AS ma
+  FROM embeddings
+),
+e AS (
+  SELECT label,
+         unnest(range(0, len(embedding))) AS dim,
+         unnest(list_transform(embedding,
+           x -> CASE WHEN ma = 0 THEN 0
+                     ELSE CAST(ROUND(CAST(x AS DOUBLE) / CAST(ma AS DOUBLE) * 127)
+                               AS BIGINT) END)) AS q
+  FROM m
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(dim AS BIGINT) AS dim,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(q) AS BIGINT) AS sum_q,
+       ROUND(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_q
+FROM e GROUP BY 1, 2
+"""
+
+
+QUERIES4["label_centroids"] = q_label_centroids
+ORACLES4["label_centroids"] = LABEL_CENTROIDS_SQL
