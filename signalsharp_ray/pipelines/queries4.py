@@ -2129,3 +2129,75 @@ FROM e GROUP BY 1, 2
 
 QUERIES4["label_centroids"] = q_label_centroids
 ORACLES4["label_centroids"] = LABEL_CENTROIDS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Time to conversion (first view -> first subsequent purchase)
+# ---------------------------------------------------------------------------
+
+
+def time_to_conversion_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-group kernel for ONE user: first view, first purchase
+    strictly after it, exact microsecond latency; empty if either leg is
+    missing."""
+    ts = _ts_us(df["ts"])
+    et = df["event_type"].to_numpy()
+    views = ts[et == "view"]
+    if views.size == 0:
+        return _TTC_EMPTY.copy()
+    fv = int(views.min())
+    purch = ts[(et == "purchase") & (ts > fv)]
+    if purch.size == 0:
+        return _TTC_EMPTY.copy()
+    fp = int(purch.min())
+    return pd.DataFrame(
+        {
+            "user_id": np.array([int(df["user_id"].iloc[0])], dtype=np.int64),
+            "first_view": pd.to_datetime([fv], unit="us"),
+            "first_purchase": pd.to_datetime([fp], unit="us"),
+            "latency_us": np.array([fp - fv], dtype=np.int64),
+        }
+    )
+
+
+_TTC_EMPTY = pd.DataFrame(
+    {
+        "user_id": pd.Series(dtype=np.int64),
+        "first_view": pd.Series(dtype="datetime64[us]"),
+        "first_purchase": pd.Series(dtype="datetime64[us]"),
+        "latency_us": pd.Series(dtype=np.int64),
+    }
+)
+
+
+def q_time_to_conversion(sf_dir: str):
+    """Conversion latency per user: the first view, the first purchase
+    STRICTLY AFTER it, and the exact microsecond gap — the
+    time-to-convert distribution behind funnel_conversion's counts. One
+    bucketed exchange on user_id; per-kernel state bounded by one user's
+    events; integer-exact output (users lacking either leg are omitted
+    on both sides).
+    """
+    ev = _events(sf_dir, ["ts", "user_id", "event_type"])
+    return bucketed_map_groups(ev, ["user_id"], time_to_conversion_kernel)
+
+
+TIME_TO_CONVERSION_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS first_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > v.first_view
+  GROUP BY 1
+)
+SELECT v.user_id, v.first_view, p.first_purchase,
+       epoch_us(p.first_purchase) - epoch_us(v.first_view) AS latency_us
+FROM v JOIN p USING (user_id)
+"""
+
+
+QUERIES4["time_to_conversion"] = q_time_to_conversion
+ORACLES4["time_to_conversion"] = TIME_TO_CONVERSION_SQL
