@@ -427,12 +427,6 @@ def _orders(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/orders.parquet", columns=columns)
 
 
-def _lineitem(sf_dir: str, columns=None):
-    import ray.data as rd
-
-    return rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=columns)
-
-
 def _customer(sf_dir: str, columns=None):
     import ray.data as rd
 
