@@ -2195,3 +2195,230 @@ FROM v JOIN p USING (user_id)
 
 QUERIES4["time_to_conversion"] = q_time_to_conversion
 ORACLES4["time_to_conversion"] = TIME_TO_CONVERSION_SQL
+
+
+# ---------------------------------------------------------------------------
+# Data-validation batch: referential audit, duplicate events, money audit
+# ---------------------------------------------------------------------------
+
+
+def q_referential_audit(sf_dir: str):
+    """Cross-table referential-integrity audit: orders with zero line
+    items and line-item orderkeys that don't exist in orders — the
+    foreign-key check every ingestion pipeline runs before joining.
+    Both tables project to tagged key rows with per-batch dedup (the
+    combiner), meet in ONE bucketed exchange keyed on the orderkey, and
+    the per-bucket kernel reduces straight to the three counts — a
+    single shuffle of deduped int64 keys, no driver-side state.
+    """
+    import ray.data as rd
+
+    def o_tag(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].drop_duplicates().astype(np.int64)
+        return pd.DataFrame({"k": k, "side": np.zeros(len(k), dtype=np.int64)})
+
+    def l_tag(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["l_orderkey"].drop_duplicates().astype(np.int64)
+        return pd.DataFrame({"k": k, "side": np.ones(len(k), dtype=np.int64)})
+
+    tagged = _orders(sf_dir, ["o_orderkey"]).map_batches(
+        o_tag, batch_format="pandas"
+    ).union(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+        .map_batches(l_tag, batch_format="pandas")
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k", sort=False)["side"].agg(["min", "max"])
+        has_o = g["min"].to_numpy() == 0
+        has_l = g["max"].to_numpy() == 1
+        return pd.DataFrame(
+            {
+                "g": np.zeros(1, dtype=np.int64),
+                "orders_no_items": np.array(
+                    [int((has_o & ~has_l).sum())], dtype=np.int64
+                ),
+                "dangling_keys": np.array(
+                    [int((~has_o & has_l).sum())], dtype=np.int64
+                ),
+                "matched": np.array([int((has_o & has_l).sum())], dtype=np.int64),
+            }
+        )
+
+    agg = hash_bucket_aggregate(
+        bucketed_map_groups(tagged, ["k"], None, whole_bucket_fn=per_bucket),
+        ["g"],
+        [("orders_no_items", "sum"), ("dangling_keys", "sum"), ("matched", "sum")],
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "orders_without_items": batch["orders_no_items_sum"].astype(np.int64),
+                "dangling_orderkeys": batch["dangling_keys_sum"].astype(np.int64),
+                "matched_orderkeys": batch["matched_sum"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+REFERENTIAL_AUDIT_SQL = """
+SELECT (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey))
+         AS orders_without_items,
+       (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+         AS dangling_orderkeys,
+       (SELECT COUNT(*) FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey))
+         AS matched_orderkeys
+"""
+
+
+def q_duplicate_events_rate(sf_dir: str):
+    """Per-day event-duplication audit: events sharing an identical
+    (user_id, ts, event_type) triple are ingestion duplicates; report
+    each day's duplicated-event count and share. Triple counts take the
+    per-batch-count combiner through one bucketed exchange; the per-day
+    reduction is integer partial+final; the single share division is the
+    shared float expression.
+    """
+    ev = _events(sf_dir, ["ts", "user_id", "event_type"])
+
+    def triple_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = _ts_us(batch["ts"])
+        g = (
+            pd.DataFrame(
+                {"user_id": batch["user_id"].astype(np.int64),
+                 "ts_us": ts, "event_type": batch["event_type"]}
+            )
+            .groupby(["user_id", "ts_us", "event_type"], sort=False)
+            .size()
+        )
+        out = g.reset_index()
+        out.columns = ["user_id", "ts_us", "event_type", "c"]
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
+    triples = hash_bucket_aggregate(
+        ev.map_batches(triple_partial, batch_format="pandas"),
+        ["user_id", "ts_us", "event_type"],
+        [("c", "sum")],
+    )
+
+    def day_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = batch["c_sum"].to_numpy(np.int64)
+        df = pd.DataFrame(
+            {
+                "day_us": (batch["ts_us"].to_numpy(np.int64) // DAY_US) * DAY_US,
+                "dup": np.where(c > 1, c, 0),
+                "n": c,
+            }
+        )
+        return (
+            df.groupby("day_us", sort=False)
+            .agg(dup=("dup", "sum"), n=("n", "sum"))
+            .reset_index()
+        )
+
+    agg = hash_bucket_aggregate(
+        triples.map_batches(day_partial, batch_format="pandas"),
+        ["day_us"],
+        [("dup", "sum"), ("n", "sum")],
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        dup = batch["dup_sum"].to_numpy(np.int64)
+        n = batch["n_sum"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "day": pd.to_datetime(batch["day_us"], unit="us"),
+                "dup_events": dup,
+                "n_events": n,
+                "dup_share": _r6away(dup.astype(np.float64) / n.astype(np.float64)),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+DUPLICATE_EVENTS_RATE_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT date_trunc('day', ts) AS day,
+       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_events,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE), 6) AS dup_share
+FROM g GROUP BY 1
+"""
+
+
+def q_money_rounding_audit(sf_dir: str):
+    """Per-series float-money audit: how many `value`s are NOT exactly
+    representable as cents (value*100 lands off-integer — the corruption
+    the scaled-int64 money rule exists to contain). The flag is a pure
+    float comparison both engines evaluate identically (exact-half cases
+    flag on both sides under either rounding mode); counts are integer
+    partial+final.
+    """
+    ev = _events(sf_dir, ["event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v100 = batch["value"].to_numpy(np.float64) * 100.0
+        bad = (v100 != np.rint(v100)).astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": batch["event_type"], "bad": bad,
+             "n": np.ones(len(batch), dtype=np.int64)}
+        )
+        return (
+            df.groupby("event_type", sort=False)
+            .agg(bad=("bad", "sum"), n=("n", "sum"))
+            .reset_index()
+        )
+
+    agg = hash_bucket_aggregate(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type"],
+        [("bad", "sum"), ("n", "sum")],
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        bad = batch["bad_sum"].to_numpy(np.int64)
+        n = batch["n_sum"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "n_off_cents": bad,
+                "n_events": n,
+                "off_share": _r6away(bad.astype(np.float64) / n.astype(np.float64)),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+MONEY_ROUNDING_AUDIT_SQL = """
+SELECT event_type,
+       CAST(SUM(CASE WHEN value * 100 <> ROUND(value * 100) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_off_cents,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CASE WHEN value * 100 <> ROUND(value * 100)
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS off_share
+FROM events GROUP BY 1
+"""
+
+
+QUERIES4["referential_audit"] = q_referential_audit
+QUERIES4["duplicate_events_rate"] = q_duplicate_events_rate
+QUERIES4["money_rounding_audit"] = q_money_rounding_audit
+ORACLES4["referential_audit"] = REFERENTIAL_AUDIT_SQL
+ORACLES4["duplicate_events_rate"] = DUPLICATE_EVENTS_RATE_SQL
+ORACLES4["money_rounding_audit"] = MONEY_ROUNDING_AUDIT_SQL
