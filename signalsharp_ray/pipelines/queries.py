@@ -1781,6 +1781,7 @@ FROM events e ASOF LEFT JOIN o
     # both sides share one source of truth for each component's semantics
     from .queries4 import QUALITY_BY_LANGUAGE_SQL_TEMPLATE
 
+    out["tier_roundtrip"] = _ROLLUP_SQL.format(unit="hour")
     out["quality_by_language"] = QUALITY_BY_LANGUAGE_SQL_TEMPLATE.format(
         quality=out["quality_scores"]
     )

@@ -2422,3 +2422,50 @@ QUERIES4["money_rounding_audit"] = q_money_rounding_audit
 ORACLES4["referential_audit"] = REFERENTIAL_AUDIT_SQL
 ORACLES4["duplicate_events_rate"] = DUPLICATE_EVENTS_RATE_SQL
 ORACLES4["money_rounding_audit"] = MONEY_ROUNDING_AUDIT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Partitioned sink roundtrip (write_parquet -> read_parquet parity)
+# ---------------------------------------------------------------------------
+
+
+def q_tier_roundtrip(sf_dir: str):
+    """The hourly tier written to hive-partitioned parquet (one directory
+    per event_type — the resumable-output layout the flagship uses) and
+    READ BACK, held to the same oracle as the in-memory rollup: proves
+    the sink+source leg is lossless (doubles roundtrip bit-exact through
+    parquet, partition keys restore with their dtypes). This is the
+    query-level counterpart of the flagship's per-stage parquet contract.
+    """
+    import shutil
+    import uuid
+
+    import ray.data as rd
+
+    from .queries import _events_v100, _finish_rollup
+
+    out_dir = f"/tmp/signalsharp_ray/tier_roundtrip_{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    tier = _finish_rollup(
+        rollup_tier(_events_v100(sf_dir), "1h", key_cols=["event_type"])
+    )
+    tier.write_parquet(out_dir, partition_cols=["event_type"])
+    back = rd.read_parquet(out_dir)
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"].astype(str),
+                "bucket_ts": batch["bucket_ts"].astype("datetime64[us]"),
+                "cnt": batch["cnt"].astype(np.int64),
+                "sum_value": batch["sum_value"].astype(np.float64),
+                "min_value": batch["min_value"].astype(np.float64),
+                "max_value": batch["max_value"].astype(np.float64),
+                "mean_value": batch["mean_value"].astype(np.float64),
+            }
+        )
+
+    return back.map_batches(fmt, batch_format="pandas")
+
+
+QUERIES4["tier_roundtrip"] = q_tier_roundtrip
