@@ -2469,3 +2469,66 @@ def q_tier_roundtrip(sf_dir: str):
 
 
 QUERIES4["tier_roundtrip"] = q_tier_roundtrip
+
+
+# ---------------------------------------------------------------------------
+# Debounce (kept-state rate limiting per user)
+# ---------------------------------------------------------------------------
+
+
+def debounce_kernel(df: pd.DataFrame, gap_us: int = 60_000_000) -> pd.DataFrame:
+    """Per-user greedy debounce: keep an event iff it is more than gap
+    after the LAST KEPT event (ts, event_id order). The state depends on
+    prior keep decisions, so this is a true sequential scan — the class
+    of per-key streaming state (rate limiting, deduplication windows) a
+    window function cannot express."""
+    df = df.sort_values(["ts", "event_id"], kind="mergesort")
+    ts = _ts_us(df["ts"])
+    keep = np.zeros(len(ts), dtype=bool)
+    last = None
+    for i, t in enumerate(ts):
+        if last is None or t - last > gap_us:
+            keep[i] = True
+            last = t
+    return df.loc[keep, ["event_id", "user_id", "ts"]]
+
+
+def q_debounce_events(sf_dir: str, gap_us: int = 60_000_000):
+    """Debounced event stream: per user, keep an event only if more than
+    60s have passed since the last KEPT event — the client-side
+    rate-limit / notification-throttle semantics. Unlike session breaks
+    (a window-function over gaps), the keep decision feeds back into the
+    state, so the oracle is a recursive CTE carrying (last_kept) per
+    user. One bucketed exchange on user_id; per-kernel state is one
+    user's events; all comparisons exact int64 microseconds.
+    """
+    ev = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return debounce_kernel(df, gap_us)
+
+    return bucketed_map_groups(ev, ["user_id"], fn)
+
+
+DEBOUNCE_EVENTS_SQL = """
+WITH RECURSIVE c AS MATERIALIZED (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS idx
+  FROM events
+),
+d AS (
+  SELECT user_id, idx, event_id, ts, ts_us, TRUE AS kept, ts_us AS last_kept
+  FROM c WHERE idx = 0
+  UNION ALL
+  SELECT c.user_id, c.idx, c.event_id, c.ts, c.ts_us,
+         c.ts_us - d.last_kept > 60000000 AS kept,
+         CASE WHEN c.ts_us - d.last_kept > 60000000
+              THEN c.ts_us ELSE d.last_kept END
+  FROM d JOIN c ON c.user_id = d.user_id AND c.idx = d.idx + 1
+)
+SELECT event_id, user_id, ts FROM d WHERE kept
+"""
+
+
+QUERIES4["debounce_events"] = q_debounce_events
+ORACLES4["debounce_events"] = DEBOUNCE_EVENTS_SQL
