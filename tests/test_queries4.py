@@ -234,3 +234,83 @@ def test_hourly_profile_zero_fill_matters():
     assert out.loc[0, "mean_count"] == 7.0
     # hour 1 exists as a zero slot
     assert out.loc[1, "n_hours"] == 1 and out.loc[1, "sum_count"] == 0
+
+
+def test_apdex_partial_split_invariant():
+    from signalsharp_ray.pipelines.queries4 import apdex_partial
+
+    rng = np.random.default_rng(9)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(rng.integers(0, 3 * 86_400 * US, n), unit="us"),
+            "event_type": rng.choice(["a", "b"], n),
+            "value": np.round(rng.uniform(0, 500, n), 2),
+        }
+    )
+
+    def run(batches):
+        parts = pd.concat([apdex_partial(b) for b in batches])
+        return (
+            parts.groupby(["event_type", "day_us"])
+            .agg(sat=("sat", "sum"), tol=("tol", "sum"), n=("n", "sum"))
+            .reset_index()
+            .sort_values(["event_type", "day_us"])
+            .reset_index(drop=True)
+        )
+
+    whole = run([df])
+    singles = run([df.iloc[[i]] for i in range(n)])
+    pd.testing.assert_frame_equal(whole, singles)
+
+
+def test_token_rarity_doc_partial_split_invariant():
+    from signalsharp_ray.pipelines.queries4 import token_rarity_doc_partial
+
+    rng = np.random.default_rng(4)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.integers(0, 40, n),
+            "c": rng.integers(1, 12, n),
+        }
+    )
+
+    def run(batches):
+        parts = pd.concat([token_rarity_doc_partial(b) for b in batches])
+        return (
+            parts.groupby("doc_id")
+            .agg(n=("n", "sum"), sum_c=("sum_c", "sum"),
+                 hapax=("hapax", "sum"), rare=("rare", "sum"))
+            .reset_index()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    whole = run([df])
+    singles = run([df.iloc[[i]] for i in range(n)])
+    cut = n // 5
+    skew = run([df.iloc[:cut], df.iloc[cut:]])
+    pd.testing.assert_frame_equal(whole, singles)
+    pd.testing.assert_frame_equal(whole, skew)
+
+
+def test_debounce_kernel_greedy_semantics():
+    from signalsharp_ray.pipelines.queries4 import debounce_kernel
+
+    # events at 0s, 30s, 70s, 100s, 140s with 60s gap:
+    # keep 0s; 30s (gap 30 from kept) drop; 70s (gap 70) keep;
+    # 100s (gap 30 from 70) drop; 140s (gap 70 from 70) keep
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": pd.to_datetime([0, 30 * US, 70 * US, 100 * US, 140 * US],
+                                 unit="us"),
+            "user_id": [7] * 5,
+        }
+    )
+    out = debounce_kernel(df, gap_us=60 * US)
+    assert list(out["event_id"]) == [1, 3, 5]
+    # a session-window (gap-to-PREVIOUS) rule would keep a different set —
+    # 100s is only 30s after 70s but 140s is 40s after 100s (dropped event
+    # still advances a naive gap rule); greedy kept-state must not.
