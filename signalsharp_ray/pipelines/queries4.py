@@ -2532,3 +2532,154 @@ SELECT event_id, user_id, ts FROM d WHERE kept
 
 QUERIES4["debounce_events"] = q_debounce_events
 ORACLES4["debounce_events"] = DEBOUNCE_EVENTS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Longest consecutive-day streak per user (gaps and islands)
+# ---------------------------------------------------------------------------
+
+
+def longest_streak_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-group kernel for ONE user: longest run of consecutive active
+    days (the gaps-and-islands reduction, vectorized)."""
+    days = np.unique(df["day_us"].to_numpy(np.int64)) // DAY_US
+    # island id = day - rank; runs of consecutive days share one id
+    island = days - np.arange(days.size)
+    _, counts = np.unique(island, return_counts=True)
+    return pd.DataFrame(
+        {
+            "user_id": np.array([int(df["user_id"].iloc[0])], dtype=np.int64),
+            "n_active_days": np.array([days.size], dtype=np.int64),
+            "longest_streak": np.array([int(counts.max())], dtype=np.int64),
+        }
+    )
+
+
+def q_longest_streak(sf_dir: str):
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern (day minus rank groups consecutive runs)
+    every engagement model needs. Per-batch (user, day) dedup is the
+    combiner; one bucketed exchange on user_id; the island reduction is
+    vectorized integer arithmetic inside the kernel.
+    """
+    ev = _events(sf_dir, ["ts", "user_id"])
+
+    def days(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = _ts_us(batch["ts"])
+        return pd.DataFrame(
+            {"user_id": batch["user_id"].astype(np.int64),
+             "day_us": (ts // DAY_US) * DAY_US}
+        ).drop_duplicates()
+
+    pairs = ev.map_batches(days, batch_format="pandas")
+    return bucketed_map_groups(pairs, ["user_id"], longest_streak_kernel)
+
+
+LONGEST_STREAK_SQL = """
+WITH a AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(date_trunc('day', ts)) / 86400000000 AS BIGINT) AS d
+  FROM events
+),
+i AS (
+  SELECT user_id, d,
+         d - (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) - 1) AS island
+  FROM a
+),
+runs AS (SELECT user_id, island, COUNT(*) AS run FROM i GROUP BY 1, 2)
+SELECT user_id,
+       CAST(SUM(run) AS BIGINT) AS n_active_days,
+       CAST(MAX(run) AS BIGINT) AS longest_streak
+FROM runs GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Difference variance ratio (stationarity diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def diff_variance_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-series kernel: population variances of the level, first and
+    second differences of the hourly count series, plus the d1/level
+    variance ratio — all moment sums exact int64 (counts are integers),
+    the float expressions shared with the SQL."""
+    df = df.sort_values("bucket_ts", kind="mergesort")
+    c = df["count"].to_numpy(np.int64)
+
+    def pop_var(x: np.ndarray) -> float:
+        n = x.size
+        s = int(x.sum())
+        ss = int((x * x).sum())
+        # population variance from exact integer moments: (ss - s^2/n) / n
+        return (float(ss) - float(s) * float(s) / float(n)) / float(n)
+
+    if c.size < 3:
+        return pd.DataFrame(
+            {"event_type": pd.Series(dtype=object),
+             "var_level": pd.Series(dtype=np.float64),
+             "var_d1": pd.Series(dtype=np.float64),
+             "var_d2": pd.Series(dtype=np.float64),
+             "d1_ratio": pd.Series(dtype=np.float64)}
+        )
+    d1 = np.diff(c)
+    d2 = np.diff(d1)
+    v0, v1, v2 = pop_var(c), pop_var(d1), pop_var(d2)
+    return pd.DataFrame(
+        {
+            "event_type": [df["event_type"].iloc[0]],
+            "var_level": _r6away(v0),
+            "var_d1": _r6away(v1),
+            "var_d2": _r6away(v2),
+            "d1_ratio": _r6away(v1 / v0),
+        }
+    )
+
+
+def q_diff_variance_ratio(sf_dir: str):
+    """Stationarity diagnostic per event_type: population variance of the
+    hourly count series, of its first and second differences, and the
+    d1/level variance ratio — the over/under-differencing check run
+    before fitting AR/forecast models (ratio << 1: differencing helps;
+    var_d2 > var_d1: over-differenced). All moment sums are exact int64;
+    the SQL oracle reproduces the identical float expressions over
+    window-lagged differences.
+    """
+    t = rollup_tier(_events(sf_dir), "1h", key_cols=["event_type"]).select_columns(
+        ["event_type", "bucket_ts", "count"]
+    )
+    return bucketed_map_groups(t, ["event_type"], diff_variance_kernel)
+
+
+DIFF_VARIANCE_RATIO_SQL = """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT event_type, x,
+         x - LAG(x) OVER w AS d1,
+         x - 2 * LAG(x) OVER w + LAG(x, 2) OVER w AS d2
+  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY b)
+),
+m AS (
+  SELECT event_type,
+         COUNT(x) AS n0, SUM(x) AS s0, SUM(x*x) AS ss0,
+         COUNT(d1) AS n1, SUM(d1) AS s1, SUM(d1*d1) AS ss1,
+         COUNT(d2) AS n2, SUM(d2) AS s2, SUM(d2*d2) AS ss2
+  FROM d GROUP BY 1 HAVING COUNT(x) >= 3
+)
+SELECT event_type,
+       ROUND((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE)/CAST(n0 AS DOUBLE)) / CAST(n0 AS DOUBLE), 6) AS var_level,
+       ROUND((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)) / CAST(n1 AS DOUBLE), 6) AS var_d1,
+       ROUND((CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE)) / CAST(n2 AS DOUBLE), 6) AS var_d2,
+       ROUND(((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)) / CAST(n1 AS DOUBLE))
+             / ((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE)/CAST(n0 AS DOUBLE)) / CAST(n0 AS DOUBLE)), 6) AS d1_ratio
+FROM m
+"""
+
+
+QUERIES4["longest_streak"] = q_longest_streak
+QUERIES4["diff_variance_ratio"] = q_diff_variance_ratio
+ORACLES4["longest_streak"] = LONGEST_STREAK_SQL
+ORACLES4["diff_variance_ratio"] = DIFF_VARIANCE_RATIO_SQL
