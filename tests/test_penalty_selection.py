@@ -213,3 +213,63 @@ def test_aicc_correction_undefined_scores_infinite():
     sel = _selector_with(StubLikelihoodCost(), small)  # 2 params/segment
     with pytest.raises(PELTAlgorithmError):
         sel.fit_and_select(small, PenaltySelectionOptions(method="aicc"))
+
+
+def test_detect_throws_midgrid_selects_other_penalty(monkeypatch):
+    """Ported: FitAndSelect_DetectThrowsException_HandlesGracefullyAndSelects
+    Other — one penalty's Detect raising records a NaN diagnostic and the
+    selection proceeds with the surviving penalties."""
+    sig = np.ones(100)
+    sel = _selector(sig)
+    penalties_seen = []
+    orig_detect = type(sel.pelt).detect
+
+    def flaky_detect(self, penalty):
+        penalties_seen.append(penalty)
+        if len(penalties_seen) == 2:  # the middle grid point
+            raise PELTAlgorithmError("Cost failed")
+        return []
+
+    monkeypatch.setattr(type(sel.pelt), "detect", flaky_detect)
+    try:
+        res = sel.fit_and_select(
+            sig,
+            PenaltySelectionOptions(
+                method="BIC", min_penalty=10.0, max_penalty=30.0, num_steps=3
+            ),
+        )
+    finally:
+        monkeypatch.setattr(type(sel.pelt), "detect", orig_detect)
+    assert res.selected_penalty == pytest.approx(10.0)
+    assert list(res.optimal_breakpoints) == []
+    assert len(res.diagnostics) == 3
+    assert res.diagnostics[1][0] == pytest.approx(math.sqrt(10.0 * 30.0))
+    assert math.isnan(res.diagnostics[1][1])
+
+
+def test_invalid_segment_length_scores_infinite(monkeypatch):
+    """Ported: FitAndSelect_InvalidSegmentLengthFromDetect_AssignsInfinite
+    Score — a segmentation violating MinSize gets +inf and loses to a
+    valid empty segmentation."""
+    sig = np.ones(100)
+    sel = _selector(sig, min_size=10)
+    calls = []
+
+    def stub_detect(self, penalty):
+        calls.append(penalty)
+        return [5] if len(calls) == 1 else []  # 5 < min_size -> invalid
+
+    orig_detect = type(sel.pelt).detect
+    monkeypatch.setattr(type(sel.pelt), "detect", stub_detect)
+    try:
+        res = sel.fit_and_select(
+            sig,
+            PenaltySelectionOptions(
+                method="BIC", min_penalty=10.0, max_penalty=20.0, num_steps=2
+            ),
+        )
+    finally:
+        monkeypatch.setattr(type(sel.pelt), "detect", orig_detect)
+    assert res.selected_penalty == pytest.approx(20.0)
+    assert list(res.optimal_breakpoints) == []
+    assert math.isinf(res.diagnostics[0][1])
