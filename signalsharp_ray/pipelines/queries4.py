@@ -2683,3 +2683,211 @@ QUERIES4["longest_streak"] = q_longest_streak
 QUERIES4["diff_variance_ratio"] = q_diff_variance_ratio
 ORACLES4["longest_streak"] = LONGEST_STREAK_SQL
 ORACLES4["diff_variance_ratio"] = DIFF_VARIANCE_RATIO_SQL
+
+
+# ---------------------------------------------------------------------------
+# Record highs (running-max breakers per series)
+# ---------------------------------------------------------------------------
+
+
+def record_highs_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-series kernel: events whose value strictly exceeds every
+    earlier value of the series ((ts, event_id) order)."""
+    df = df.sort_values(["ts", "event_id"], kind="mergesort")
+    v = df["value"].to_numpy(np.float64)
+    prev_max = np.empty_like(v)
+    prev_max[0] = -np.inf
+    np.maximum.accumulate(v[:-1], out=prev_max[1:])
+    rec = v > prev_max
+    out = df.loc[rec, ["event_type", "event_id", "ts", "value"]].copy()
+    out["value"] = out["value"].astype(np.float64)
+    return out
+
+
+def q_record_highs(sf_dir: str):
+    """Record highs per event_type: every event that set a new all-time
+    maximum value at its moment — the "new peak traffic" alert stream.
+    Strict-inequality comparisons on the raw parquet doubles are
+    identical on both engines, so membership is exact with no rounding.
+    One bucketed exchange; per-kernel state is one series.
+    """
+    ev = _events(sf_dir, ["event_id", "ts", "event_type", "value"])
+    return bucketed_map_groups(ev, ["event_type"], record_highs_kernel)
+
+
+RECORD_HIGHS_SQL = """
+WITH m AS (
+  SELECT event_type, event_id, ts, value,
+         MAX(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM events
+)
+SELECT event_type, event_id, ts, value
+FROM m WHERE prev_max IS NULL OR value > prev_max
+"""
+
+
+# ---------------------------------------------------------------------------
+# Activity heatmap (day-of-week x hour-of-day)
+# ---------------------------------------------------------------------------
+
+
+def q_activity_heatmap(sf_dir: str):
+    """The (day-of-week, hour-of-day) event-count heatmap every traffic
+    dashboard opens with, plus exact centivalue sums per cell. Pure
+    integer partial+final; the cell keys derive from epoch arithmetic
+    (1970-01-01 was a Thursday, dow 4 ISO-agnostic convention: 0=Monday).
+    """
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = _ts_us(batch["ts"])
+        days = ts // DAY_US
+        df = pd.DataFrame(
+            {
+                "dow": ((days + 3) % 7).astype(np.int64),  # 0 = Monday
+                "hour": ((ts // HOUR_US) % 24).astype(np.int64),
+                "n": np.ones(len(ts), dtype=np.int64),
+                "cents": _cents(batch["value"]),
+            }
+        )
+        return (
+            df.groupby(["dow", "hour"], sort=False)
+            .agg(n=("n", "sum"), cents=("cents", "sum"))
+            .reset_index()
+        )
+
+    agg = hash_bucket_aggregate(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["dow", "hour"],
+        [("n", "sum"), ("cents", "sum")],
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "dow": batch["dow"].astype(np.int64),
+                "hour": batch["hour"].astype(np.int64),
+                "n_events": batch["n_sum"].astype(np.int64),
+                "sum_value": _r6away(
+                    batch["cents_sum"].to_numpy(np.float64) / 100.0
+                ),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+ACTIVITY_HEATMAP_SQL = """
+SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100, 6)
+         AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Emerging terms (trend detection over the token stream)
+# ---------------------------------------------------------------------------
+
+
+def q_emerging_terms(sf_dir: str, k: int = 20, min_recent: int = 5):
+    """Trending-token detection: tokens whose frequency among the MOST
+    RECENT third of documents (by doc_id, the ingestion order) spikes
+    against the earlier corpus, scored by the add-one-smoothed ratio
+    (c_recent + 1)/(c_before + 1) — the emerging-topics report a corpus
+    monitor runs per crawl increment. Token counts per period take the
+    per-batch-count combiner through one bucketed exchange keyed on
+    (token); the cutoff is a broadcast scalar; top-k is a deterministic
+    sort on (rounded score DESC, token).
+    """
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    import ray
+
+    bounds = docs.map_batches(
+        lambda b: pd.DataFrame({"mx": [b["doc_id"].max()], "mn": [b["doc_id"].min()]}),
+        batch_format="pandas",
+    ).to_pandas()
+    lo, hi = int(bounds["mn"].min()), int(bounds["mx"].max())
+    cutoff = hi - (hi - lo + 1) // 3
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        recent = batch["doc_id"].astype(np.int64) > cutoff
+        toks = batch["text"].fillna("").str.split()
+        df = pd.DataFrame({"tok": toks, "recent": recent.astype(np.int64)}).explode(
+            "tok"
+        )
+        df = df[df["tok"].notna()]
+        g = (
+            df.assign(n=1)
+            .groupby(["tok", "recent"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    counts = hash_bucket_aggregate(
+        docs.map_batches(count_partial, batch_format="pandas"),
+        ["tok", "recent"],
+        [("n", "sum")],
+    )
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.pivot_table(
+            index="tok", columns="recent", values="n_sum", aggfunc="sum", fill_value=0
+        )
+        c_before = g[0].to_numpy(np.int64) if 0 in g.columns else np.zeros(len(g), np.int64)
+        c_recent = g[1].to_numpy(np.int64) if 1 in g.columns else np.zeros(len(g), np.int64)
+        out = pd.DataFrame(
+            {
+                "token": g.index.astype(str),
+                "c_recent": c_recent,
+                "c_before": c_before,
+                "score": _r6away(
+                    (c_recent.astype(np.float64) + 1.0)
+                    / (c_before.astype(np.float64) + 1.0)
+                ),
+            }
+        )
+        return out[out["c_recent"] >= min_recent]
+
+    scored = bucketed_map_groups(counts, ["tok"], None, whole_bucket_fn=pivot)
+    return scored.sort(["score", "token"], descending=[True, False]).limit(k)
+
+
+EMERGING_TERMS_SQL = """
+WITH b AS (
+  SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+),
+t AS (
+  SELECT CASE WHEN d.doc_id > b.hi - CAST((b.hi - b.lo + 1) // 3 AS BIGINT)
+              THEN 1 ELSE 0 END AS recent,
+         unnest(list_filter(regexp_split_to_array(COALESCE(d.text, ''), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents d, b
+),
+c AS (
+  SELECT tok,
+         CAST(SUM(recent) AS BIGINT) AS c_recent,
+         CAST(SUM(1 - recent) AS BIGINT) AS c_before
+  FROM t GROUP BY 1
+)
+SELECT tok AS token, c_recent, c_before,
+       ROUND((CAST(c_recent AS DOUBLE) + 1.0) / (CAST(c_before AS DOUBLE) + 1.0), 6)
+         AS score
+FROM c WHERE c_recent >= 5
+ORDER BY score DESC, token
+LIMIT 20
+"""
+
+
+QUERIES4["record_highs"] = q_record_highs
+QUERIES4["activity_heatmap"] = q_activity_heatmap
+QUERIES4["emerging_terms"] = q_emerging_terms
+ORACLES4["record_highs"] = RECORD_HIGHS_SQL
+ORACLES4["activity_heatmap"] = ACTIVITY_HEATMAP_SQL
+ORACLES4["emerging_terms"] = EMERGING_TERMS_SQL
