@@ -2891,3 +2891,164 @@ QUERIES4["emerging_terms"] = q_emerging_terms
 ORACLES4["record_highs"] = RECORD_HIGHS_SQL
 ORACLES4["activity_heatmap"] = ACTIVITY_HEATMAP_SQL
 ORACLES4["emerging_terms"] = EMERGING_TERMS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Forecasting feature matrix (lag/rolling features per series-day)
+# ---------------------------------------------------------------------------
+
+
+def feature_matrix_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-series kernel: per observed day (day order) the count, lag-1
+    and lag-7 counts, and the trailing-7-observed-days mean — integer
+    lags, ratio-of-int mean."""
+    df = df.sort_values("bucket_ts", kind="mergesort")
+    c = df["count"].to_numpy(np.int64)
+    n = c.size
+    lag1 = np.full(n, -1, dtype=np.int64)
+    lag7 = np.full(n, -1, dtype=np.int64)
+    lag1[1:] = c[:-1]
+    if n > 7:
+        lag7[7:] = c[:-7]
+    csum = np.concatenate([[0], np.cumsum(c)])
+    ma7 = np.full(n, np.nan)
+    if n >= 7:
+        w = (csum[7:] - csum[:-7]).astype(np.float64)
+        ma7[6:] = _r6away(w / 7.0)
+    keep = np.arange(n) >= 7
+    return pd.DataFrame(
+        {
+            "event_type": df["event_type"].to_numpy()[keep],
+            "day": df["bucket_ts"].to_numpy()[keep],
+            "count": c[keep],
+            "lag1": lag1[keep],
+            "lag7": lag7[keep],
+            "ma7": ma7[keep],
+        }
+    )
+
+
+def q_feature_matrix_1d(sf_dir: str):
+    """The forecasting feature matrix: per (event_type, observed day)
+    the daily count with lag-1, lag-7 and trailing-7-day-mean features —
+    the table a gradient-boosted or AR baseline trains on. Lags are over
+    OBSERVED days in day order (rows before a full lag-7 history are
+    dropped on both sides); counts and lags are exact integers, the
+    rolling mean is a ratio of exact sums. Tier-series kernel contract.
+    """
+    t = rollup_tier(_events(sf_dir), "1d", key_cols=["event_type"]).select_columns(
+        ["event_type", "bucket_ts", "count"]
+    )
+    return bucketed_map_groups(t, ["event_type"], feature_matrix_kernel)
+
+
+FEATURE_MATRIX_1D_SQL = """
+WITH c AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS count
+  FROM events GROUP BY 1, 2
+),
+f AS (
+  SELECT event_type, day, count,
+         LAG(count) OVER w AS lag1,
+         LAG(count, 7) OVER w AS lag7,
+         CAST(SUM(count) OVER (PARTITION BY event_type ORDER BY day
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s7,
+         ROW_NUMBER() OVER w AS rn
+  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, day, count,
+       CAST(lag1 AS BIGINT) AS lag1,
+       CAST(lag7 AS BIGINT) AS lag7,
+       ROUND(CAST(s7 AS DOUBLE) / 7.0, 6) AS ma7
+FROM f WHERE rn >= 8
+"""
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive backtest (forecast evaluation)
+# ---------------------------------------------------------------------------
+
+
+def seasonal_naive_kernel(df: pd.DataFrame, period: int = 24) -> pd.DataFrame:
+    """Whole-series kernel: seasonal-naive forecast (same hour yesterday)
+    over the dense hourly grid, scored by exact-integer absolute errors."""
+    from ..kernels.seasonal import dense_counts
+
+    df = df.sort_values("bucket_ts", kind="mergesort")
+    _, dense = dense_counts(
+        _ts_us(df["bucket_ts"]), df["count"].to_numpy(np.int64), HOUR_US
+    )
+    if dense.size <= period:
+        return pd.DataFrame(
+            {"event_type": pd.Series(dtype=object),
+             "n_scored": pd.Series(dtype=np.int64),
+             "sum_abs_err": pd.Series(dtype=np.int64),
+             "mae": pd.Series(dtype=np.float64),
+             "naive_hit_rate": pd.Series(dtype=np.float64)}
+        )
+    err = np.abs(dense[period:] - dense[:-period])
+    n = err.size
+    return pd.DataFrame(
+        {
+            "event_type": [df["event_type"].iloc[0]],
+            "n_scored": np.array([n], dtype=np.int64),
+            "sum_abs_err": np.array([int(err.sum())], dtype=np.int64),
+            "mae": _r6away(float(int(err.sum())) / float(n)),
+            "naive_hit_rate": _r6away(
+                float(int((err == 0).sum())) / float(n)
+            ),
+        }
+    )
+
+
+def q_seasonal_naive_backtest(sf_dir: str, period: int = 24):
+    """Backtest of the seasonal-naive forecaster (predict each hour with
+    the same hour one day earlier) on the dense hourly count grid: MAE
+    and exact-hit rate per event_type — the baseline score every
+    forecasting pipeline must beat before shipping a model. Errors are
+    exact integers over the zero-filled grid; the two ratios are the
+    shared float division.
+    """
+    t = rollup_tier(_events(sf_dir), "1h", key_cols=["event_type"]).select_columns(
+        ["event_type", "bucket_ts", "count"]
+    )
+    return bucketed_map_groups(t, ["event_type"], seasonal_naive_kernel)
+
+
+SEASONAL_NAIVE_BACKTEST_SQL = """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM c GROUP BY 1),
+g AS (
+  SELECT bo.event_type,
+         UNNEST(generate_series(bo.lo, bo.hi, INTERVAL 1 HOUR)) AS b
+  FROM bounds bo
+),
+d AS (
+  SELECT g.event_type, g.b, COALESCE(c.x, 0) AS x
+  FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.b = g.b
+),
+e AS (
+  SELECT event_type, x,
+         LAG(x, 24) OVER (PARTITION BY event_type ORDER BY b) AS pred
+  FROM d
+)
+SELECT event_type,
+       COUNT(pred) AS n_scored,
+       CAST(SUM(ABS(x - pred)) AS BIGINT) AS sum_abs_err,
+       ROUND(CAST(SUM(ABS(x - pred)) AS DOUBLE) / CAST(COUNT(pred) AS DOUBLE), 6)
+         AS mae,
+       ROUND(CAST(SUM(CASE WHEN x = pred THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(pred) AS DOUBLE), 6) AS naive_hit_rate
+FROM e WHERE pred IS NOT NULL
+GROUP BY 1
+"""
+
+
+QUERIES4["feature_matrix_1d"] = q_feature_matrix_1d
+QUERIES4["seasonal_naive_backtest"] = q_seasonal_naive_backtest
+ORACLES4["feature_matrix_1d"] = FEATURE_MATRIX_1D_SQL
+ORACLES4["seasonal_naive_backtest"] = SEASONAL_NAIVE_BACKTEST_SQL
