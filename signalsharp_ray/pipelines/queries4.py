@@ -3052,3 +3052,70 @@ QUERIES4["feature_matrix_1d"] = q_feature_matrix_1d
 QUERIES4["seasonal_naive_backtest"] = q_seasonal_naive_backtest
 ORACLES4["feature_matrix_1d"] = FEATURE_MATRIX_1D_SQL
 ORACLES4["seasonal_naive_backtest"] = SEASONAL_NAIVE_BACKTEST_SQL
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gap quantiles (traffic-model fit input)
+# ---------------------------------------------------------------------------
+
+
+def gap_quantiles_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-series kernel: exact linear quantiles of the inter-arrival
+    gaps ((ts, event_id) order; integer microsecond gaps, np.quantile ==
+    quantile_cont bitwise)."""
+    df = df.sort_values(["ts", "event_id"], kind="mergesort")
+    ts = _ts_us(df["ts"])
+    if ts.size < 2:
+        return pd.DataFrame(
+            {"event_type": pd.Series(dtype=object),
+             "n_gaps": pd.Series(dtype=np.int64),
+             "p50_us": pd.Series(dtype=np.float64),
+             "p90_us": pd.Series(dtype=np.float64),
+             "p99_us": pd.Series(dtype=np.float64)}
+        )
+    gaps = np.diff(ts).astype(np.float64)
+    # gaps are ~1e9-1e10 us: the lerp inside the quantile differs from the
+    # SQL engine's at ~1 ulp, which IS the 6th decimal at this magnitude —
+    # round to whole microseconds (half-up), far above the ulp noise
+    p50, p90, p99 = np.floor(np.quantile(gaps, [0.50, 0.90, 0.99]) + 0.5)
+    return pd.DataFrame(
+        {
+            "event_type": [df["event_type"].iloc[0]],
+            "n_gaps": np.array([gaps.size], dtype=np.int64),
+            "p50_us": np.array([p50]),
+            "p90_us": np.array([p90]),
+            "p99_us": np.array([p99]),
+        }
+    )
+
+
+def q_gap_quantiles(sf_dir: str):
+    """Exact p50/p90/p99 of the inter-arrival gaps per event_type — the
+    distribution a traffic model (Poisson? bursty?) is fitted against,
+    and the counterpart of gap_report's max/mean. Same whole-series
+    kernel contract as quantiles; integer gaps make the quantile inputs
+    exact on both engines.
+    """
+    ev = _events(sf_dir, ["event_id", "ts", "event_type"])
+    return bucketed_map_groups(ev, ["event_type"], gap_quantiles_kernel)
+
+
+GAP_QUANTILES_SQL = """
+WITH d AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT event_type,
+       COUNT(gap) AS n_gaps,
+       ROUND(quantile_cont(gap, 0.50), 0) AS p50_us,
+       ROUND(quantile_cont(gap, 0.90), 0) AS p90_us,
+       ROUND(quantile_cont(gap, 0.99), 0) AS p99_us
+FROM d WHERE gap IS NOT NULL
+GROUP BY 1 HAVING COUNT(gap) >= 1
+"""
+
+
+QUERIES4["gap_quantiles"] = q_gap_quantiles
+ORACLES4["gap_quantiles"] = GAP_QUANTILES_SQL
