@@ -1028,11 +1028,13 @@ def build_queries() -> dict:
     from .queries2 import QUERIES2
     from .queries3 import QUERIES3
     from .queries4 import QUERIES4
+    from .queries5 import QUERIES5
 
     return {
         **QUERIES2,
         **QUERIES3,
         **QUERIES4,
+        **QUERIES5,
         "rollup_1m": q_rollup_1m,
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_cascade": q_rollup_1d_cascade,
@@ -1095,12 +1097,14 @@ def build_oracle_sql() -> dict:
     from .queries2 import ORACLES2, _MD5_SIGNED
     from .queries3 import CORPUS_FILTER_SQL_TEMPLATE, ORACLES3
     from .queries4 import ORACLES4
+    from .queries5 import ORACLES5
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
         **ORACLES2,
         **ORACLES3,
         **ORACLES4,
+        **ORACLES5,
         "rollup_1m": _ROLLUP_SQL.format(unit="minute"),
         "rollup_1h_cascade": _ROLLUP_SQL.format(unit="hour"),
         "rollup_1d_cascade": _ROLLUP_SQL.format(unit="day"),

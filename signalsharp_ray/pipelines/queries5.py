@@ -1,0 +1,688 @@
+"""Round-2 batch 5: behavioural sequence models (Markov transitions),
+information-theoretic text quality (token entropy), symbolic series
+representation (SAX), robust outlier fences (IQR), churn diagnostics
+(dormant users), corpus bigram statistics, a TPC-H Q6-shaped filter
+aggregate, and CSV/JSON interchange sink+source roundtrips.
+
+Every operator here is DuckDB-oracle-verified (ORACLES5). Parity rules are
+the house style (see queries2.py/queries4.py): money and counts cross
+shuffles as exact int64 (order-free merges at any block layout), durations
+are int64 microseconds, and float expressions are transcribed op-for-op
+with one shared final ROUND. Two new parity tools this batch:
+
+- ordered float reductions: DuckDB `list_sum(list(term ORDER BY k))` sums
+  the ordered list sequentially left-to-right, bitwise-equal to a Python
+  left-fold over the same ascending-k terms (probed; locked in by the
+  token_entropy oracle at every sf).
+- no-float outputs: sax_symbols emits SYMBOLS cut from bitwise-shared
+  z-score expressions, so the whole operator verifies with zero rounding.
+
+Scale contracts are stated per operator; the common one is the bucketed
+exchange with per-key state bounded by one key's rows (one user's events,
+one series' retention window of hourly buckets) — never the corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from ..common.raytools import bucketed_map_groups, hash_bucket_aggregate
+from ..stages.rollup import rollup_tier
+from .queries2 import _documents, _events, _r6away
+from .queries4 import _cents, _ts_us, hourly_cents_partial
+
+HOUR_US = 3_600_000_000
+DAY_US = 86_400_000_000
+
+QUERIES5: dict = {}
+ORACLES5: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+
+def markov_user_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-group kernel for ONE user: consecutive event_type pairs in
+    (ts, event_id) order, reduced to per-user pair counts (int64)."""
+    df = df.sort_values(["ts_us", "event_id"], kind="mergesort")
+    et = df["event_type"].to_numpy()
+    if et.size < 2:
+        return pd.DataFrame(
+            {"from_type": [], "to_type": [], "n": np.array([], dtype=np.int64)}
+        )
+    pairs = pd.DataFrame({"from_type": et[:-1], "to_type": et[1:]})
+    g = pairs.groupby(["from_type", "to_type"], sort=False).size()
+    out = g.reset_index(name="n")
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+def q_markov_transitions(sf_dir: str):
+    """First-order Markov transition matrix of user behaviour: for every
+    (from_type, to_type) pair of CONSECUTIVE events of the same user
+    (event-time order, event_id tiebreak), the global transition count and
+    the conditional probability P(to | from) — the session-flow model
+    behind next-action prediction and funnel-anomaly alerts.
+
+    Scale: one bucketed exchange on user_id; per-key state is one user's
+    events. Per-user pair counts are exact int64 partials, so the second
+    (tiny: |types|^2 rows) exchange merges order-free; the only float is
+    the shared probability division, rounded once on both sides.
+    """
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype(np.int64),
+                "ts_us": _ts_us(batch["ts"]),
+                "event_id": batch["event_id"].astype(np.int64),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    pairs = bucketed_map_groups(
+        ev.map_batches(prep, batch_format="pandas"), ["user_id"], markov_user_kernel
+    )
+    agg = hash_bucket_aggregate(pairs, ["from_type", "to_type"], [("n", "sum")])
+    out = agg.to_pandas()  # |event_types|^2 rows — tiny
+    tot = out.groupby("from_type")["n_sum"].transform("sum")
+    return pd.DataFrame(
+        {
+            "from_type": out["from_type"],
+            "to_type": out["to_type"],
+            "n": out["n_sum"].astype(np.int64),
+            "prob": _r6away(
+                out["n_sum"].to_numpy(np.float64) / tot.to_numpy(np.float64)
+            ),
+        }
+    )
+
+
+MARKOV_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+t AS (
+  SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n
+  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob
+FROM t
+"""
+
+QUERIES5["markov_transitions"] = q_markov_transitions
+ORACLES5["markov_transitions"] = MARKOV_TRANSITIONS_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6-shaped filter aggregate (forecasting revenue change)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q6_revenue(sf_dir: str):
+    """TPC-H-Q6-shaped revenue-change forecast: total discount revenue of
+    1996 shipments with discount in [0.05, 0.07] and quantity < 24. The
+    canonical scan-dominated query: NO shuffle at all — the date predicate
+    is pushed into the parquet row-group scan, the discount/quantity
+    predicates are vectorized per batch, and each batch reduces to one
+    exact int64 (cents x basis-points) partial that sums order-free.
+
+    Emits one row even over an empty match set (zero-count row contract).
+    """
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_extendedprice", "l_discount", "l_quantity"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bp = np.rint(batch["l_discount"].to_numpy(np.float64) * 10000).astype(np.int64)
+        keep = (bp >= 500) & (bp <= 700) & (batch["l_quantity"].to_numpy() < 24)
+        cents = _cents(batch["l_extendedprice"][keep])
+        return pd.DataFrame(
+            {
+                "rev_cents_bp": np.array([int(np.sum(cents * bp[keep]))], dtype=np.int64),
+                "n_items": np.array([int(keep.sum())], dtype=np.int64),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()  # 1 row/batch
+    total = int(parts["rev_cents_bp"].sum()) if len(parts) else 0
+    n = int(parts["n_items"].sum()) if len(parts) else 0
+    return pd.DataFrame(
+        {
+            "revenue": _r6away(float(total) / 1000000.0),
+            "n_items": np.array([n], dtype=np.int64),
+        }
+    )
+
+
+TPCH_Q6_REVENUE_SQL = """
+SELECT ROUND(CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                               * CAST(ROUND(l_discount * 10000) AS BIGINT)), 0)
+                  AS DOUBLE) / 1000000.0, 6) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(ROUND(l_discount * 10000) AS BIGINT) BETWEEN 500 AND 700
+  AND l_quantity < 24
+"""
+
+QUERIES5["tpch_q6_revenue"] = q_tpch_q6_revenue
+ORACLES5["tpch_q6_revenue"] = TPCH_Q6_REVENUE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Token (Shannon) entropy per document — ordered-float-reduction parity
+# ---------------------------------------------------------------------------
+
+
+def token_entropy_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch kernel (embarrassingly parallel): Shannon entropy of each
+    document's token distribution in nats.
+
+    H = ln(n) - (sum_k m_k * k * ln k) / n over the count histogram
+    {k: m_k} (m_k = number of distinct tokens occurring k times), so every
+    sum except the final ~10-term float reduction is exact-integer, and
+    that reduction runs as a strict left-fold over ascending k — bitwise
+    equal to the oracle's list_sum(list(term ORDER BY k))."""
+    words = batch["text"].fillna("").str.lower().str.findall(r"\w+")
+    ids, ns, ds_, ents = [], [], [], []
+    for doc_id, toks in zip(batch["doc_id"], words):
+        n = len(toks)
+        if n == 0:
+            continue
+        vc = pd.Series(toks).value_counts()
+        kh = vc.value_counts().sort_index()  # k -> m_k, ascending k
+        s = 0.0
+        for k, m in kh.items():
+            s = s + float(m * k) * math.log(float(k))
+        ids.append(doc_id)
+        ns.append(n)
+        ds_.append(int(vc.size))
+        ents.append(math.log(float(n)) - s / float(n))
+    return pd.DataFrame(
+        {
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "n_tokens": np.asarray(ns, dtype=np.int64),
+            "n_distinct": np.asarray(ds_, dtype=np.int64),
+            "entropy": _r6away(np.asarray(ents, dtype=np.float64)),
+        }
+    )
+
+
+def q_token_entropy(sf_dir: str):
+    """Shannon entropy (nats) of each document's unigram distribution plus
+    token/distinct counts — the information-density quality signal that
+    separates boilerplate (low entropy: few tokens repeated) from natural
+    prose, complementing token_rarity's corpus-frequency view with a
+    purely local one. No shuffle; per-doc state only.
+    """
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        token_entropy_batch, batch_format="pandas"
+    )
+
+
+TOKEN_ENTROPY_SQL = """
+WITH tk AS (
+  SELECT doc_id,
+         UNNEST(regexp_extract_all(lower(COALESCE(text, '')), '[\\p{L}\\p{N}_]+')) AS w
+  FROM documents
+),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+kh AS (SELECT doc_id, c AS k, COUNT(*) AS m FROM wc GROUP BY 1, 2),
+ag AS (
+  SELECT doc_id,
+         CAST(SUM(m * k) AS BIGINT) AS n_tokens,
+         CAST(SUM(m) AS BIGINT) AS n_distinct,
+         list_sum(list(CAST(m * k AS DOUBLE) * ln(CAST(k AS DOUBLE)) ORDER BY k)) AS s
+  FROM kh GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_distinct,
+       ROUND(ln(CAST(n_tokens AS DOUBLE)) - s / CAST(n_tokens AS DOUBLE), 6) AS entropy
+FROM ag
+"""
+
+QUERIES5["token_entropy"] = q_token_entropy
+ORACLES5["token_entropy"] = TOKEN_ENTROPY_SQL
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolic series representation (z-normalized PAA -> alphabet)
+# ---------------------------------------------------------------------------
+
+_SAX_SEG = 24  # PAA window: one symbol per day of hourly buckets
+_SAX_BP = (-0.6745, 0.0, 0.6745)  # N(0,1) quartile breakpoints, alphabet abcd
+
+
+def sax_series_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-series kernel: zero-filled dense hourly count grid ->
+    population z-normalization -> 24-slot PAA -> 4-letter SAX word.
+
+    Every float (mean, E[x^2], variance, PAA mean, z) is a shared
+    expression over exact int64 sums, and the OUTPUT is symbols cut at
+    those shared doubles — no rounding anywhere."""
+    from ..kernels.seasonal import dense_counts
+
+    df = df.sort_values("bucket_ts", kind="mergesort")
+    _, x = dense_counts(
+        _ts_us(df["bucket_ts"]), df["count"].to_numpy(np.int64), HOUR_US
+    )
+    n = int(x.size)
+    s = int(x.sum())
+    q = int(np.sum(x * x))
+    mean = float(s) / float(n)
+    msq = float(q) / float(n)
+    var = msq - mean * mean
+    std = math.sqrt(var) if var > 0 else 0.0
+    segs, lens, syms = [], [], []
+    for i, start in enumerate(range(0, n, _SAX_SEG)):
+        seg = x[start : start + _SAX_SEG]
+        paa = float(int(seg.sum())) / float(int(seg.size))
+        if std == 0.0:
+            c = "b"
+        else:
+            z = (paa - mean) / std
+            if z < _SAX_BP[0]:
+                c = "a"
+            elif z < _SAX_BP[1]:
+                c = "b"
+            elif z < _SAX_BP[2]:
+                c = "c"
+            else:
+                c = "d"
+        segs.append(i)
+        lens.append(int(seg.size))
+        syms.append(c)
+    return pd.DataFrame(
+        {
+            "event_type": np.repeat(df["event_type"].iloc[0], len(segs)),
+            "seg_idx": np.asarray(segs, dtype=np.int64),
+            "seg_len": np.asarray(lens, dtype=np.int64),
+            "sax": syms,
+        }
+    )
+
+
+def q_sax_symbols(sf_dir: str):
+    """SAX (Symbolic Aggregate approXimation) of each event_type's hourly
+    count series: z-normalize the zero-filled dense grid with population
+    moments, average 24-hour PAA frames, and cut each frame's z-score at
+    the N(0,1) quartile breakpoints into letters a-d — the classic
+    Lin/Keogh symbolic representation behind motif discovery and
+    similarity indexing on massive series archives. One bucketed exchange
+    on event_type; per-key state is one retention window of buckets;
+    symbol output means ZERO float-rounding surface in the oracle.
+    """
+    t = rollup_tier(_events(sf_dir), "1h", key_cols=["event_type"]).select_columns(
+        ["event_type", "bucket_ts", "count"]
+    )
+    return bucketed_map_groups(t, ["event_type"], sax_series_kernel)
+
+
+SAX_SYMBOLS_SQL = """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM c GROUP BY 1),
+g AS (
+  SELECT bo.event_type,
+         UNNEST(generate_series(bo.lo, bo.hi, INTERVAL 1 HOUR)) AS b
+  FROM bounds bo
+),
+d AS (
+  SELECT g.event_type, g.b, COALESCE(c.x, 0) AS x,
+         epoch_us(g.b) AS bus
+  FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.b = g.b
+),
+st AS (
+  SELECT event_type, MIN(bus) AS lo_us, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x * x) AS BIGINT) AS q
+  FROM d GROUP BY 1
+),
+seg AS (
+  SELECT d.event_type,
+         ((d.bus - st.lo_us) // 3600000000) // 24 AS seg_idx,
+         COUNT(*) AS seg_len, CAST(SUM(d.x) AS BIGINT) AS seg_sum
+  FROM d JOIN st USING (event_type) GROUP BY 1, 2
+),
+z AS (
+  SELECT seg.event_type, seg.seg_idx, seg.seg_len,
+         CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE) AS mean,
+         CAST(st.q AS DOUBLE) / CAST(st.n AS DOUBLE)
+           - (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+             * (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE)) AS var,
+         CAST(seg.seg_sum AS DOUBLE) / CAST(seg.seg_len AS DOUBLE) AS paa
+  FROM seg JOIN st USING (event_type)
+)
+SELECT event_type, seg_idx, seg_len,
+       CASE
+         WHEN var <= 0 THEN 'b'
+         WHEN (paa - mean) / sqrt(var) < -0.6745 THEN 'a'
+         WHEN (paa - mean) / sqrt(var) < 0.0 THEN 'b'
+         WHEN (paa - mean) / sqrt(var) < 0.6745 THEN 'c'
+         ELSE 'd'
+       END AS sax
+FROM z
+"""
+
+QUERIES5["sax_symbols"] = q_sax_symbols
+ORACLES5["sax_symbols"] = SAX_SYMBOLS_SQL
+
+
+# ---------------------------------------------------------------------------
+# IQR (Tukey fence) outlier report per event_type
+# ---------------------------------------------------------------------------
+
+
+def iqr_outliers_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-group kernel: exact q1/q3 (np.quantile linear ==
+    quantile_cont bitwise), Tukey 1.5*IQR fences as shared float
+    expressions, integer outlier count."""
+    v = df["value"].to_numpy(np.float64)
+    q1 = float(np.quantile(v, 0.25))
+    q3 = float(np.quantile(v, 0.75))
+    lo = q1 - 1.5 * (q3 - q1)
+    hi = q3 + 1.5 * (q3 - q1)
+    n_out = int(np.sum((v < lo) | (v > hi)))
+    return pd.DataFrame(
+        {
+            "event_type": [df["event_type"].iloc[0]],
+            "q1": [q1],
+            "q3": [q3],
+            "n_outliers": np.array([n_out], dtype=np.int64),
+            "n_events": np.array([v.size], dtype=np.int64),
+            "outlier_pct": _r6away(float(n_out) / float(v.size)),
+        }
+    )
+
+
+def q_iqr_outliers(sf_dir: str):
+    """Tukey-fence outlier report per event_type: exact q1/q3, the
+    1.5*IQR fences, and the count/share of events outside them — the
+    robust complement to anomaly_zscore (fences from quartiles survive
+    the very outliers a sigma-based rule lets inflate its own threshold).
+    Same whole-group quantile contract as winsorize (documented; the
+    sketch path is quantiles_tdigest); one bucketed exchange on
+    event_type.
+    """
+    ev = _events(sf_dir, ["event_type", "value"])
+    return bucketed_map_groups(ev, ["event_type"], iqr_outliers_kernel)
+
+
+IQR_OUTLIERS_SQL = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, q.q1, q.q3,
+       CAST(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                       OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                             OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_pct
+FROM events e JOIN q USING (event_type)
+GROUP BY 1, 2, 3
+"""
+
+QUERIES5["iqr_outliers"] = q_iqr_outliers
+ORACLES5["iqr_outliers"] = IQR_OUTLIERS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Dormant-user churn report (per-user recency vs corpus watermark)
+# ---------------------------------------------------------------------------
+
+_DORMANT_US = 7 * DAY_US
+
+
+def q_dormant_users(sf_dir: str):
+    """Churn diagnostic: every user's event count, last-seen timestamp,
+    exact microsecond recency gap to the corpus watermark (global max
+    event time), and a dormant flag (gap > 7 days) — the retention
+    denominator feeding new_vs_returning and cohort_retention.
+
+    Scale: per-user (max ts, count) reduces through ONE bucketed exchange;
+    the corpus watermark is the max of the per-user maxima — a tiny
+    driver-side scalar over the already-aggregated table (never the raw
+    events), broadcast into the final stateless map. Output is
+    integer-exact throughout.
+    """
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype(np.int64),
+                "ts_us": _ts_us(batch["ts"]),
+            }
+        )
+
+    agg = hash_bucket_aggregate(
+        ev.map_batches(prep, batch_format="pandas"),
+        ["user_id"],
+        [("ts_us", "max")],
+        count_alias="n_events",
+    ).materialize()  # post-aggregate (one row per user), consumed twice
+    gmax = int(agg.max("ts_us_max"))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        last = batch["ts_us_max"].to_numpy(np.int64)
+        gap = gmax - last
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype(np.int64),
+                "n_events": batch["n_events"].astype(np.int64),
+                "last_seen": pd.to_datetime(last, unit="us"),
+                "gap_us": gap,
+                "dormant": (gap > _DORMANT_US).astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+DORMANT_USERS_SQL = """
+WITH u AS (
+  SELECT user_id, MAX(ts) AS last_seen, COUNT(*) AS n_events FROM events GROUP BY 1
+),
+g AS (SELECT MAX(last_seen) AS gmax FROM u)
+SELECT u.user_id, u.n_events, u.last_seen,
+       epoch_us(g.gmax) - epoch_us(u.last_seen) AS gap_us,
+       CAST(CASE WHEN epoch_us(g.gmax) - epoch_us(u.last_seen) > 604800000000
+                 THEN 1 ELSE 0 END AS BIGINT) AS dormant
+FROM u, g
+"""
+
+QUERIES5["dormant_users"] = q_dormant_users
+ORACLES5["dormant_users"] = DORMANT_USERS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram vocabulary (top-K adjacent-token pairs)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_K = 100
+
+
+def bigram_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch combiner: adjacent-token-pair counts (int64). Tokens
+    explode to one row per position; the within-document successor comes
+    from a grouped shift, so pairs never cross document boundaries."""
+    words = batch["text"].fillna("").str.lower().str.findall(r"\w+")
+    ex = words.explode().dropna()
+    if ex.empty:
+        return pd.DataFrame({"bigram": [], "n": np.array([], dtype=np.int64)})
+    df = pd.DataFrame({"doc": ex.index, "w": ex.to_numpy()})
+    nxt = df.groupby("doc", sort=False)["w"].shift(-1)
+    big = (df["w"] + " " + nxt).dropna()
+    vc = big.value_counts()
+    return pd.DataFrame(
+        {"bigram": vc.index.astype(str), "n": vc.to_numpy(np.int64)}
+    )
+
+
+def q_bigram_vocabulary(sf_dir: str, k: int = _BIGRAM_K):
+    """Global top-K adjacent-token bigrams — the phrase-level counterpart
+    of `vocabulary` (and the df table a phrase-aware tokenizer or
+    collocation miner starts from). Same exact top-K shape: in-batch
+    partial counts (pairs never cross documents, so batch splits cannot
+    change any count) -> bucketed exact sum (each bigram lives in exactly
+    one hash bucket) -> per-bucket top-K -> tiny driver merge of
+    K x n_buckets rows; ties break (count DESC, bigram ASC).
+    """
+    from ..common.raytools import bucketed_map_groups as bmg
+
+    parts = _documents(sf_dir, ["text"]).map_batches(
+        bigram_partial, batch_format="pandas"
+    )
+    agg = hash_bucket_aggregate(parts, ["bigram"], [("n", "sum")])
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n_sum", "bigram"], ascending=[False, True]).head(k)
+
+    tops = bmg(agg, ["bigram"], None, whole_bucket_fn=bucket_topk)
+    out = tops.to_pandas()  # K x n_buckets rows — tiny
+    out = out.sort_values(["n_sum", "bigram"], ascending=[False, True]).head(k)
+    return pd.DataFrame(
+        {
+            "bigram": out["bigram"].to_numpy(),
+            "n": out["n_sum"].to_numpy(np.int64),
+        }
+    )
+
+
+BIGRAM_VOCABULARY_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[\\p{L}\\p{N}_]+') AS toks
+  FROM documents
+),
+u AS (
+  SELECT doc_id, UNNEST(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t
+),
+b AS (
+  SELECT doc_id, tok,
+         LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM u
+)
+SELECT tok || ' ' || nxt AS bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM b WHERE nxt IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 100
+"""
+
+QUERIES5["bigram_vocabulary"] = q_bigram_vocabulary
+ORACLES5["bigram_vocabulary"] = BIGRAM_VOCABULARY_SQL
+
+
+# ---------------------------------------------------------------------------
+# CSV / JSON interchange roundtrips (sink + source parity)
+# ---------------------------------------------------------------------------
+
+
+def _hourly_cents_tier(sf_dir: str):
+    """The hourly (event_type, bucket) tier in interchange-safe integer
+    units: bucket_us/cnt/sum_cents are all int64, so CSV and JSON carry
+    them losslessly (no float-formatting surface)."""
+    parts = _events(sf_dir, ["ts", "event_type", "value"]).map_batches(
+        hourly_cents_partial, batch_format="pandas"
+    )
+    agg = hash_bucket_aggregate(
+        parts,
+        ["event_type", "bucket_us"],
+        [("cents", "sum"), ("count", "sum")],
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"].astype(str),
+                "bucket_us": batch["bucket_us"].astype(np.int64),
+                "cnt": batch["count_sum"].astype(np.int64),
+                "sum_cents": batch["cents_sum"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+_ROUNDTRIP_SQL = """
+SELECT event_type,
+       epoch_us(date_trunc('hour', ts)) AS bucket_us,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def _interchange_roundtrip(sf_dir: str, fmt: str):
+    import shutil
+    import uuid
+
+    import ray.data as rd
+
+    out_dir = f"/tmp/signalsharp_ray/{fmt}_roundtrip_{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    tier = _hourly_cents_tier(sf_dir)
+    if fmt == "csv":
+        tier.write_csv(out_dir)
+        back = rd.read_csv(out_dir)
+    else:
+        tier.write_json(out_dir)
+        back = rd.read_json(out_dir)
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"].astype(str),
+                "bucket_us": batch["bucket_us"].astype(np.int64),
+                "cnt": batch["cnt"].astype(np.int64),
+                "sum_cents": batch["sum_cents"].astype(np.int64),
+            }
+        )
+
+    return back.map_batches(norm, batch_format="pandas")
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """The hourly integer tier written to CSV and READ BACK through Ray's
+    CSV source, held to the same oracle as the direct rollup: proves the
+    CSV sink+source leg end-to-end (types survive inference because the
+    tier is integer-exact by construction — the same reason the tier is
+    safe to hand to non-Parquet consumers). Interchange cousin of
+    tier_roundtrip (Parquet)."""
+    return _interchange_roundtrip(sf_dir, "csv")
+
+
+def q_json_roundtrip(sf_dir: str):
+    """The hourly integer tier through Ray's JSON-lines sink+source, held
+    to the direct-rollup oracle — the log-pipeline interchange check
+    (JSONL is what fluentd/vector-style shippers emit)."""
+    return _interchange_roundtrip(sf_dir, "json")
+
+
+QUERIES5["csv_roundtrip"] = q_csv_roundtrip
+QUERIES5["json_roundtrip"] = q_json_roundtrip
+ORACLES5["csv_roundtrip"] = _ROUNDTRIP_SQL
+ORACLES5["json_roundtrip"] = _ROUNDTRIP_SQL

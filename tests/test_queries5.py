@@ -1,0 +1,190 @@
+"""Kernel-level tests for pipelines/queries5.py — pure pandas, no Ray.
+
+Each kernel gets a known-answer fixture plus the house split/order
+invariance checks: whole-group kernels must be row-order independent
+(they sort internally), and per-batch combiners must be split-invariant
+(partials merge associatively)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from signalsharp_ray.pipelines.queries5 import (
+    bigram_partial,
+    iqr_outliers_kernel,
+    markov_user_kernel,
+    sax_series_kernel,
+    token_entropy_batch,
+)
+
+US = 1_000_000
+HOUR_US = 3_600_000_000
+
+
+def _user_df(types, ids=None):
+    n = len(types)
+    return pd.DataFrame(
+        {
+            "user_id": np.full(n, 1, dtype=np.int64),
+            "ts_us": np.arange(n, dtype=np.int64) * US,
+            "event_id": np.asarray(ids if ids is not None else range(n), np.int64),
+            "event_type": types,
+        }
+    )
+
+
+def test_markov_known_answer():
+    out = markov_user_kernel(_user_df(["a", "b", "a", "b", "c"]))
+    got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 2, ("b", "a"): 1, ("b", "c"): 1}
+
+
+def test_markov_orders_by_time_then_event_id():
+    # same ts for rows 1 and 2 -> event_id breaks the tie
+    df = _user_df(["a", "b", "c"], ids=[0, 2, 1])
+    df.loc[1:2, "ts_us"] = 5 * US
+    out = markov_user_kernel(df)
+    got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
+    assert got == {("a", "c"): 1, ("c", "b"): 1}
+
+
+def test_markov_row_order_invariant():
+    rng = np.random.default_rng(11)
+    df = _user_df(list(rng.choice(["a", "b", "c"], 60)))
+    shuffled = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    a = markov_user_kernel(df).sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    b = (
+        markov_user_kernel(shuffled)
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_markov_single_event_user_emits_nothing():
+    assert len(markov_user_kernel(_user_df(["a"]))) == 0
+
+
+def test_token_entropy_uniform_and_degenerate():
+    batch = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b c d", "x x x x", "", "y"],
+        }
+    )
+    out = token_entropy_batch(batch).set_index("doc_id")
+    # 4 distinct tokens once each -> H = ln(4)
+    assert out.loc[1, "entropy"] == round(math.log(4.0), 6)
+    assert out.loc[1, "n_tokens"] == 4 and out.loc[1, "n_distinct"] == 4
+    # one token repeated -> H = 0
+    assert out.loc[2, "entropy"] == 0.0
+    # empty text emits no row; single token -> ln(1) = 0
+    assert 3 not in out.index
+    assert out.loc[4, "entropy"] == 0.0
+
+
+def test_token_entropy_split_invariant():
+    texts = ["the cat sat", "the the the dog", "cat cat mouse mouse mouse"]
+    whole = token_entropy_batch(pd.DataFrame({"doc_id": [1, 2, 3], "text": texts}))
+    parts = pd.concat(
+        [
+            token_entropy_batch(pd.DataFrame({"doc_id": [i + 1], "text": [t]}))
+            for i, t in enumerate(texts)
+        ],
+        ignore_index=True,
+    )
+    pd.testing.assert_frame_equal(whole, parts)
+
+
+def _series_df(counts):
+    n = len(counts)
+    return pd.DataFrame(
+        {
+            "event_type": ["a"] * n,
+            "bucket_ts": pd.to_datetime(np.arange(n, dtype=np.int64) * HOUR_US, unit="us"),
+            "count": np.asarray(counts, np.int64),
+        }
+    )
+
+
+def test_sax_constant_series_is_all_b():
+    out = sax_series_kernel(_series_df([5] * 48))
+    assert list(out["sax"]) == ["b", "b"]
+    assert list(out["seg_len"]) == [24, 24]
+
+
+def test_sax_step_series_splits_low_high():
+    out = sax_series_kernel(_series_df([0] * 24 + [100] * 24))
+    # z of the low day is -1, high day +1 -> letters a and d
+    assert list(out["sax"]) == ["a", "d"]
+
+
+def test_sax_ragged_tail_and_zero_fill():
+    # 30 hourly buckets -> segments of 24 and 6; missing buckets zero-fill
+    df = _series_df([1] * 30)
+    df = df[df.index != 5].reset_index(drop=True)  # drop one bucket -> dense 0
+    out = sax_series_kernel(df)
+    assert list(out["seg_len"]) == [24, 6]
+    assert len(out) == 2
+
+
+def test_sax_row_order_invariant():
+    rng = np.random.default_rng(5)
+    df = _series_df(list(rng.integers(0, 50, 72)))
+    shuffled = df.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        sax_series_kernel(df), sax_series_kernel(shuffled)
+    )
+
+
+def test_iqr_outliers_known_answer():
+    # 0..99 plus one huge outlier
+    v = list(range(100)) + [10_000]
+    df = pd.DataFrame({"event_type": ["a"] * 101, "value": np.asarray(v, float)})
+    out = iqr_outliers_kernel(df)
+    assert out["n_outliers"].iloc[0] == 1
+    assert out["n_events"].iloc[0] == 101
+    q1, q3 = np.quantile(np.asarray(v, float), 0.25), np.quantile(
+        np.asarray(v, float), 0.75
+    )
+    assert out["q1"].iloc[0] == q1 and out["q3"].iloc[0] == q3
+
+
+def test_iqr_outliers_no_outliers():
+    df = pd.DataFrame({"event_type": ["a"] * 8, "value": [1.0] * 8})
+    out = iqr_outliers_kernel(df)
+    assert out["n_outliers"].iloc[0] == 0
+    assert out["outlier_pct"].iloc[0] == 0.0
+
+
+def test_bigram_partial_counts_and_doc_boundary():
+    batch = pd.DataFrame({"text": ["a b c", "c a"]})
+    out = bigram_partial(batch).set_index("bigram")["n"]
+    # "c" (end of doc 1) never pairs with "c" (start of doc 2)
+    assert out.to_dict() == {"a b": 1, "b c": 1, "c a": 1}
+
+
+def test_bigram_partial_split_invariant_across_docs():
+    texts = ["the cat sat on the mat", "the dog", "cat sat cat sat"]
+    whole = (
+        bigram_partial(pd.DataFrame({"text": texts}))
+        .groupby("bigram")["n"]
+        .sum()
+        .sort_index()
+    )
+    parts = (
+        pd.concat(
+            [bigram_partial(pd.DataFrame({"text": [t]})) for t in texts],
+            ignore_index=True,
+        )
+        .groupby("bigram")["n"]
+        .sum()
+        .sort_index()
+    )
+    pd.testing.assert_series_equal(whole, parts)
+
+
+def test_bigram_partial_empty_and_single_token():
+    out = bigram_partial(pd.DataFrame({"text": ["", "solo", None]}))
+    assert len(out) == 0
