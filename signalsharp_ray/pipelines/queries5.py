@@ -686,3 +686,149 @@ QUERIES5["csv_roundtrip"] = q_csv_roundtrip
 QUERIES5["json_roundtrip"] = q_json_roundtrip
 ORACLES5["csv_roundtrip"] = _ROUNDTRIP_SQL
 ORACLES5["json_roundtrip"] = _ROUNDTRIP_SQL
+
+
+# ---------------------------------------------------------------------------
+# LTTB on the dense hourly grid — recursive-CTE-verified downsampling
+# ---------------------------------------------------------------------------
+
+_LTTB_N_OUT = 50
+
+
+def lttb_grid_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-series kernel: LTTB over the zero-filled hourly count grid
+    with x = 0..n-1. On grid coordinates every centroid sum is a sum of
+    small exact integers (float64-exact regardless of summation order),
+    so the triangle-area floats are shared expressions and the selection
+    is bitwise-reproducible in SQL."""
+    from ..kernels.lttb import lttb
+
+    df = df.sort_values("bucket_ts", kind="mergesort")
+    from ..kernels.seasonal import dense_counts
+
+    _, y = dense_counts(
+        _ts_us(df["bucket_ts"]), df["count"].to_numpy(np.int64), HOUR_US
+    )
+    n = int(y.size)
+    idx = lttb(np.arange(n, dtype=np.float64), y.astype(np.float64), _LTTB_N_OUT)
+    return pd.DataFrame(
+        {
+            "event_type": np.repeat(df["event_type"].iloc[0], idx.size),
+            "idx": idx.astype(np.int64),
+            "y": y[idx].astype(np.int64),
+        }
+    )
+
+
+def q_lttb_grid(sf_dir: str):
+    """Largest-Triangle-Three-Buckets downsample of each event_type's
+    dense hourly count series to 50 points — the SQL-verified member of
+    the LTTB family (q_lttb_downsample keeps the raw-timestamp variant,
+    rows-only: float means over ~1e15-microsecond x values cannot hold
+    bitwise parity, grid coordinates can). The oracle replays the full
+    sequential selection — bucket edges via np.linspace truncation,
+    next-bucket centroids, triangle-area argmax with first-wins ties —
+    as a recursive CTE advancing one bucket per iteration with a QUALIFY
+    row_number() argmax, which pins the DP exactly, not just its output
+    shape. Series shorter than 50 buckets pass through whole (kernel and
+    oracle agree on the n <= n_out identity branch).
+
+    Scale: one bucketed exchange on event_type; per-key state is one
+    retention window of hourly buckets; the DP is O(n) per series and
+    sequential per series / parallel across series — the same contract
+    as the PELT/forecast kernels.
+    """
+    t = rollup_tier(_events(sf_dir), "1h", key_cols=["event_type"]).select_columns(
+        ["event_type", "bucket_ts", "count"]
+    )
+    return bucketed_map_groups(t, ["event_type"], lttb_grid_kernel)
+
+
+LTTB_GRID_SQL = f"""
+WITH RECURSIVE
+c AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM c GROUP BY 1),
+g AS (
+  SELECT bo.event_type,
+         UNNEST(generate_series(bo.lo, bo.hi, INTERVAL 1 HOUR)) AS b
+  FROM bounds bo
+),
+d0 AS (
+  SELECT g.event_type, g.b, COALESCE(c.x, 0) AS y
+  FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.b = g.b
+),
+st AS (SELECT event_type, MIN(epoch_us(b)) AS lo_us FROM d0 GROUP BY 1),
+d AS (
+  SELECT d0.event_type,
+         (epoch_us(d0.b) - st.lo_us) // 3600000000 AS idx,
+         d0.y
+  FROM d0 JOIN st USING (event_type)
+),
+p AS (SELECT event_type, COUNT(*) AS n FROM d GROUP BY 1),
+small AS (
+  SELECT d.event_type, d.idx, d.y FROM d JOIN p USING (event_type)
+  WHERE p.n <= {_LTTB_N_OUT}
+),
+big AS (SELECT event_type, n FROM p WHERE n > {_LTTB_N_OUT}),
+e AS (
+  SELECT bg.event_type, j,
+         CASE WHEN j = {_LTTB_N_OUT} - 2 THEN bg.n - 1
+              ELSE CAST(trunc(CAST(j AS DOUBLE)
+                              * (CAST(bg.n - 2 AS DOUBLE)
+                                 / CAST({_LTTB_N_OUT} - 2 AS DOUBLE))
+                              + 1.0) AS BIGINT) END AS e
+  FROM big bg, UNNEST(range(0, {_LTTB_N_OUT} - 1)) AS t(j)
+),
+bkt AS (
+  SELECT a.event_type, a.j AS i, a.e AS lo, b.e AS hi
+  FROM e a JOIN e b ON a.event_type = b.event_type AND b.j = a.j + 1
+),
+cent AS (
+  SELECT k.event_type, k.i,
+         CAST(SUM(d.idx) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS cx,
+         CAST(SUM(d.y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS cy
+  FROM (
+    SELECT b1.event_type, b1.i, b1.hi AS nlo,
+           CASE WHEN b1.i + 1 < {_LTTB_N_OUT} - 2 THEN b2.hi ELSE bg.n END AS nhi
+    FROM bkt b1
+    JOIN big bg ON bg.event_type = b1.event_type
+    LEFT JOIN bkt b2 ON b2.event_type = b1.event_type AND b2.i = b1.i + 1
+  ) k
+  JOIN d ON d.event_type = k.event_type AND d.idx >= k.nlo AND d.idx < k.nhi
+  GROUP BY 1, 2
+),
+sel AS (
+  SELECT bg.event_type, CAST(-1 AS BIGINT) AS i, CAST(0 AS BIGINT) AS a_idx,
+         CAST(0 AS DOUBLE) AS ax,
+         (SELECT CAST(y AS DOUBLE) FROM d
+          WHERE d.event_type = bg.event_type AND d.idx = 0) AS ay
+  FROM big bg
+  UNION ALL
+  SELECT s.event_type, s.i + 1, d.idx,
+         CAST(d.idx AS DOUBLE), CAST(d.y AS DOUBLE)
+  FROM sel s
+  JOIN bkt b ON b.event_type = s.event_type AND b.i = s.i + 1
+  JOIN cent c ON c.event_type = s.event_type AND c.i = s.i + 1
+  JOIN d ON d.event_type = s.event_type AND d.idx >= b.lo AND d.idx < b.hi
+  QUALIFY row_number() OVER (
+    PARTITION BY s.event_type
+    ORDER BY abs((s.ax - c.cx) * (CAST(d.y AS DOUBLE) - s.ay)
+               - (s.ax - CAST(d.idx AS DOUBLE)) * (c.cy - s.ay)) DESC,
+             d.idx ASC) = 1
+),
+picks AS (
+  SELECT s.event_type, s.a_idx AS idx FROM sel s
+  UNION ALL
+  SELECT bg.event_type, bg.n - 1 FROM big bg
+)
+SELECT p2.event_type, p2.idx, d.y
+FROM picks p2 JOIN d USING (event_type, idx)
+UNION ALL
+SELECT event_type, idx, y FROM small
+"""
+
+QUERIES5["lttb_grid"] = q_lttb_grid
+ORACLES5["lttb_grid"] = LTTB_GRID_SQL

@@ -188,3 +188,31 @@ def test_bigram_partial_split_invariant_across_docs():
 def test_bigram_partial_empty_and_single_token():
     out = bigram_partial(pd.DataFrame({"text": ["", "solo", None]}))
     assert len(out) == 0
+
+
+def test_lttb_grid_short_series_passthrough():
+    from signalsharp_ray.pipelines.queries5 import lttb_grid_kernel
+
+    out = lttb_grid_kernel(_series_df([3] * 20))
+    assert list(out["idx"]) == list(range(20))
+    assert list(out["y"]) == [3] * 20
+
+
+def test_lttb_grid_selects_n_out_and_keeps_endpoints():
+    from signalsharp_ray.pipelines.queries5 import _LTTB_N_OUT, lttb_grid_kernel
+
+    rng = np.random.default_rng(9)
+    out = lttb_grid_kernel(_series_df(list(rng.integers(0, 100, 400))))
+    assert len(out) == _LTTB_N_OUT
+    assert out["idx"].iloc[0] == 0 and out["idx"].iloc[-1] == 399
+    assert out["idx"].is_monotonic_increasing
+
+
+def test_lttb_grid_keeps_spike():
+    # a huge spike mid-series must survive downsampling
+    from signalsharp_ray.pipelines.queries5 import lttb_grid_kernel
+
+    y = [1] * 400
+    y[217] = 1000
+    out = lttb_grid_kernel(_series_df(y))
+    assert 217 in set(out["idx"])
