@@ -595,6 +595,40 @@ _MH_K = 5
 _MH_PREFIX = 512
 
 
+def minhash_sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch kernel: (doc_id, perm, sig) md5-permutation MinHash rows
+    over distinct char 5-gram shingles of a bounded 512-char prefix. The
+    per-doc shingle loop is bounded by the prefix (md5 runs at C speed);
+    embarrassingly parallel, no shuffle. Shared by q_minhash_signatures
+    and the banded-LSH candidate query (queries5.q_lsh_candidates)."""
+    import hashlib
+
+    ids, perms, sigs = [], [], []
+    for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+        s = text[:_MH_PREFIX]
+        if len(s) < _MH_K:
+            continue
+        shingles = {s[i : i + _MH_K] for i in range(len(s) - _MH_K + 1)}
+        for pm in range(_MH_PERMS):
+            salt = f"p{pm}:".encode()
+            m = min(
+                int.from_bytes(
+                    hashlib.md5(salt + g.encode("utf-8")).digest()[:8], "little"
+                )
+                for g in shingles
+            )
+            ids.append(doc_id)
+            perms.append(pm)
+            sigs.append(m - (1 << 64) if m >= (1 << 63) else m)
+    return pd.DataFrame(
+        {
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "perm": np.asarray(perms, dtype=np.int64),
+            "sig": np.asarray(sigs, dtype=np.int64),
+        }
+    )
+
+
 def q_minhash_signatures(sf_dir: str):
     """MinHash signatures the DuckDB oracle can recompute: distinct char
     5-gram shingles of a bounded 512-char probe prefix, one md5-salted
@@ -604,37 +638,10 @@ def q_minhash_signatures(sf_dir: str):
     production near-dup path (stages/dedup.py MinHasher) uses numpy
     universal hashing (a*x+b) for throughput and stays rows-only; this
     operator proves the min-over-permuted-hashes construction itself
-    against SQL. The per-doc shingle loop is bounded by the prefix (md5
-    runs at C speed); embarrassingly parallel, no shuffle."""
-    import hashlib
-
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, perms, sigs = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
-            s = text[:_MH_PREFIX]
-            if len(s) < _MH_K:
-                continue
-            shingles = {s[i : i + _MH_K] for i in range(len(s) - _MH_K + 1)}
-            for pm in range(_MH_PERMS):
-                salt = f"p{pm}:".encode()
-                m = min(
-                    int.from_bytes(
-                        hashlib.md5(salt + g.encode("utf-8")).digest()[:8], "little"
-                    )
-                    for g in shingles
-                )
-                ids.append(doc_id)
-                perms.append(pm)
-                sigs.append(m - (1 << 64) if m >= (1 << 63) else m)
-        return pd.DataFrame(
-            {
-                "doc_id": np.asarray(ids, dtype=np.int64),
-                "perm": np.asarray(perms, dtype=np.int64),
-                "sig": np.asarray(sigs, dtype=np.int64),
-            }
-        )
-
-    return _documents(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+    against SQL."""
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        minhash_sig_batch, batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -832,3 +832,552 @@ SELECT event_type, idx, y FROM small
 
 QUERIES5["lttb_grid"] = q_lttb_grid
 ORACLES5["lttb_grid"] = LTTB_GRID_SQL
+
+
+# ---------------------------------------------------------------------------
+# Banded-LSH candidate pairs over the verified MinHash signatures
+# ---------------------------------------------------------------------------
+
+
+def lsh_band_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch kernel: (doc_id, band, s_lo, s_hi) band keys from the
+    md5-permutation MinHash signatures — band 0 = (perm0, perm1),
+    band 1 = (perm2, perm3). Signature rows of one doc always share a
+    batch (minhash_sig_batch emits them together)."""
+    from .queries2 import minhash_sig_batch
+
+    sig = minhash_sig_batch(batch)
+    if sig.empty:
+        return pd.DataFrame(
+            {
+                "band": np.array([], dtype=np.int64),
+                "s_lo": np.array([], dtype=np.int64),
+                "s_hi": np.array([], dtype=np.int64),
+                "doc_id": np.array([], dtype=np.int64),
+            }
+        )
+    wide = sig.pivot(index="doc_id", columns="perm", values="sig")
+    out = []
+    for band, (lo, hi) in enumerate([(0, 1), (2, 3)]):
+        out.append(
+            pd.DataFrame(
+                {
+                    "band": np.int64(band),
+                    "s_lo": wide[lo].to_numpy(np.int64),
+                    "s_hi": wide[hi].to_numpy(np.int64),
+                    "doc_id": wide.index.to_numpy(np.int64),
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def lsh_bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-group kernel for ONE (band, s_lo, s_hi) bucket: all ordered
+    doc pairs. Both 64-bit minhash slots agreeing is itself a strong
+    similarity certificate, so buckets hold genuine near-dup clusters —
+    bucket size is bounded by the largest duplicate cluster, not the
+    corpus (exact duplicates should be removed upstream by exact_dedup)."""
+    ids = np.sort(df["doc_id"].to_numpy(np.int64))
+    if ids.size < 2:
+        return pd.DataFrame(
+            {
+                "doc_a": np.array([], dtype=np.int64),
+                "doc_b": np.array([], dtype=np.int64),
+                "n": np.array([], dtype=np.int64),
+            }
+        )
+    a, b = np.triu_indices(ids.size, k=1)
+    return pd.DataFrame(
+        {"doc_a": ids[a], "doc_b": ids[b], "n": np.ones(a.size, dtype=np.int64)}
+    )
+
+
+def q_lsh_candidates(sf_dir: str):
+    """MinHash-LSH banded candidate pairs, SQL-verified end-to-end: the
+    4-slot md5-permutation signatures (the verified minhash_signatures
+    construction) band into 2 bands x 2 rows; documents sharing EITHER
+    band become a candidate pair, reported with the number of agreeing
+    bands — the exact banding step the production near-dup pipeline
+    (stages/dedup.py, rows-only) applies at throughput with numpy
+    universal hashing. Integer-only output: zero float surface.
+
+    Scale: one bucketed exchange on the band key; in-bucket pair
+    generation is bounded by the near-dup cluster size (both 64-bit
+    slots must agree); the per-pair band count merges as an int sum.
+    """
+    bands = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        lsh_band_batch, batch_format="pandas"
+    )
+    pairs = bucketed_map_groups(bands, ["band", "s_lo", "s_hi"], lsh_bucket_pairs)
+    agg = hash_bucket_aggregate(pairs, ["doc_a", "doc_b"], [("n", "sum")])
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_a": batch["doc_a"].astype(np.int64),
+                "doc_b": batch["doc_b"].astype(np.int64),
+                "n_shared_bands": batch["n_sum"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+LSH_CANDIDATES_SQL = """
+WITH t AS (
+  SELECT doc_id, substr(COALESCE(text, ''), 1, 512) AS s FROM documents
+  WHERE length(substr(COALESCE(text, ''), 1, 512)) >= 5
+),
+idx AS (
+  SELECT doc_id, s, UNNEST(generate_series(1, length(s) - 4)) AS i FROM t
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(s, CAST(i AS INT), 5) AS g5 FROM idx
+),
+p AS (SELECT UNNEST([0, 1, 2, 3]) AS perm),
+m AS (
+  SELECT sh.doc_id, p.perm,
+         MIN(md5_number_upper('p' || p.perm || ':' || sh.g5)) AS sig_u
+  FROM sh, p GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id, perm,
+         CAST(CASE WHEN sig_u >= 9223372036854775808
+                   THEN sig_u::HUGEINT - 18446744073709551616::HUGEINT
+                   ELSE sig_u::HUGEINT END AS BIGINT) AS sig
+  FROM m
+),
+wide AS (
+  SELECT doc_id,
+         MAX(CASE WHEN perm = 0 THEN sig END) AS s0,
+         MAX(CASE WHEN perm = 1 THEN sig END) AS s1,
+         MAX(CASE WHEN perm = 2 THEN sig END) AS s2,
+         MAX(CASE WHEN perm = 3 THEN sig END) AS s3
+  FROM sig GROUP BY 1
+),
+bands AS (
+  SELECT doc_id, 0 AS band, s0 AS s_lo, s1 AS s_hi FROM wide
+  UNION ALL
+  SELECT doc_id, 1 AS band, s2 AS s_lo, s3 AS s_hi FROM wide
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.s_lo = b.s_lo AND a.s_hi = b.s_hi
+            AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+QUERIES5["lsh_candidates"] = q_lsh_candidates
+ORACLES5["lsh_candidates"] = LSH_CANDIDATES_SQL
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of traffic across users, per event_type
+# ---------------------------------------------------------------------------
+
+
+def gini_type_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-group kernel for ONE event_type: Gini coefficient of the
+    per-user count distribution. Ranks follow (count, user_id) ascending
+    — a total order, so the int64 weighted sum W = sum(rank * count) is
+    reproducible; G = 2W/(nS) - (n+1)/n is the single float expression."""
+    d = df.sort_values(["cnt", "user_id"], kind="mergesort")
+    c = d["cnt"].to_numpy(np.int64)
+    n = int(c.size)
+    s = int(c.sum())
+    w = int(np.sum((np.arange(1, n + 1, dtype=np.int64)) * c))
+    gini = (2.0 * float(w)) / (float(n) * float(s)) - float(n + 1) / float(n)
+    return pd.DataFrame(
+        {
+            "event_type": [df["event_type"].iloc[0]],
+            "n_users": np.array([n], dtype=np.int64),
+            "n_events": np.array([s], dtype=np.int64),
+            "gini": _r6away(gini),
+        }
+    )
+
+
+def q_gini_traffic(sf_dir: str):
+    """Gini coefficient of per-user event counts within each event_type —
+    the standard 0 (uniform) .. 1 (one user is all the traffic)
+    concentration index, quantifying exactly the key skew this engine's
+    salting docs plan for (user_activity_histogram shows the shape; Gini
+    reduces it to one comparable number per type).
+
+    Scale: per-(type, user) counts reduce through one bucketed exchange;
+    the rank-weighted sum needs the type's user counts sorted in one
+    kernel (same whole-group contract as winsorize — the bounded-memory
+    path at extreme cardinality is the value-histogram rank formula,
+    since counts are small ints).
+    """
+    ev = _events(sf_dir, ["user_id", "event_type"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["event_type", "user_id"], sort=False).size()
+        out = g.reset_index(name="cnt")
+        out["cnt"] = out["cnt"].astype(np.int64)
+        out["user_id"] = out["user_id"].astype(np.int64)
+        return out
+
+    counts = hash_bucket_aggregate(
+        ev.map_batches(prep, batch_format="pandas"),
+        ["event_type", "user_id"],
+        [("cnt", "sum")],
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "user_id": b["user_id"].astype(np.int64),
+                "cnt": b["cnt_sum"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return bucketed_map_groups(counts, ["event_type"], gini_type_kernel)
+
+
+GINI_TRAFFIC_SQL = """
+WITH u AS (
+  SELECT event_type, user_id, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, cnt,
+         row_number() OVER (PARTITION BY event_type ORDER BY cnt, user_id) AS rk
+  FROM u
+)
+SELECT event_type,
+       COUNT(*) AS n_users,
+       CAST(SUM(cnt) AS BIGINT) AS n_events,
+       ROUND(2.0 * CAST(SUM(rk * cnt) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE))
+             - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+             6) AS gini
+FROM r GROUP BY 1
+"""
+
+QUERIES5["gini_traffic"] = q_gini_traffic
+ORACLES5["gini_traffic"] = GINI_TRAFFIC_SQL
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness per event_type
+# ---------------------------------------------------------------------------
+
+
+def burstiness_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-group kernel for ONE event_type: Goh-Barabasi burstiness
+    B = (sigma - mu)/(sigma + mu) of the inter-arrival gaps. Gaps are
+    exact int64 microseconds; the squared-gap sum runs in PYTHON ints
+    (gap^2 up to ~1e20 overflows int64; the oracle's HUGEINT matches),
+    and both engines round the exact integer to the nearest double the
+    same way before the shared float expression."""
+    d = df.sort_values(["ts_us", "event_id"], kind="mergesort")
+    ts = d["ts_us"].to_numpy()
+    if ts.size < 2:
+        # the oracle's LAG/WHERE drops gap-less series entirely
+        return pd.DataFrame(
+            {
+                "event_type": [],
+                "n_gaps": np.array([], dtype=np.int64),
+                "mean_gap_us": np.array([], dtype=np.float64),
+                "burstiness": np.array([], dtype=np.float64),
+            }
+        )
+    gaps = np.diff(ts)
+    n = int(gaps.size)
+    s = int(gaps.sum())
+    q = sum(int(g) * int(g) for g in gaps)
+    mean = float(s) / float(n)
+    msq = float(q) / float(n)
+    var = msq - mean * mean
+    sigma = math.sqrt(var) if var > 0 else 0.0
+    b = (sigma - mean) / (sigma + mean)
+    return pd.DataFrame(
+        {
+            "event_type": [df["event_type"].iloc[0]],
+            "n_gaps": np.array([n], dtype=np.int64),
+            "mean_gap_us": _r6away(mean),
+            "burstiness": _r6away(b),
+        }
+    )
+
+
+def q_interarrival_burstiness(sf_dir: str):
+    """Goh-Barabasi burstiness B = (sigma-mu)/(sigma+mu) of each
+    event_type's inter-arrival gap distribution: B -> -1 for a metronome,
+    ~0 for a Poisson stream, -> +1 for extreme bursts — the one-number
+    answer to "is this stream bursty or steady" that sizes buffers and
+    autoscaling headroom (gap_quantiles shows the distribution; this
+    scores it). One bucketed exchange on event_type; whole-series kernel.
+    """
+    ev = _events(sf_dir, ["event_id", "ts", "event_type"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "ts_us": _ts_us(batch["ts"]),
+                "event_id": batch["event_id"].astype(np.int64),
+            }
+        )
+
+    return bucketed_map_groups(
+        ev.map_batches(prep, batch_format="pandas"), ["event_type"], burstiness_kernel
+    )
+
+
+INTERARRIVAL_BURSTINESS_SQL = """
+WITH s AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap
+  FROM events
+),
+g AS (SELECT event_type, gap FROM s WHERE gap IS NOT NULL),
+a AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(gap) AS BIGINT) AS s,
+         SUM(gap::HUGEINT * gap::HUGEINT) AS q
+  FROM g GROUP BY 1
+)
+SELECT event_type, n AS n_gaps,
+       ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_gap_us,
+       ROUND((
+          (CASE WHEN CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                THEN sqrt(CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+                          - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                ELSE 0.0 END) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        / ((CASE WHEN CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                 THEN sqrt(CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+                           - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                 ELSE 0.0 END) + CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         AS burstiness
+FROM a
+"""
+
+QUERIES5["interarrival_burstiness"] = q_interarrival_burstiness
+ORACLES5["interarrival_burstiness"] = INTERARRIVAL_BURSTINESS_SQL
+
+
+# ---------------------------------------------------------------------------
+# RFM scores (quantized-metric strict-rank quintiles)
+# ---------------------------------------------------------------------------
+
+
+def _strict_rank_score(values: np.ndarray, counts: np.ndarray, n: int,
+                       better_desc: bool) -> dict:
+    """Score LUT for one metric: value -> 1 + (5 * #strictly-worse) // n.
+    values must be sorted ascending with their user counts; better_desc
+    means HIGHER values are better (worse = lower)."""
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    lut = {}
+    for i, v in enumerate(values):
+        worse = int(cum[i]) if better_desc else int(n - cum[i + 1])
+        lut[int(v)] = 1 + (5 * worse) // n
+    return lut
+
+
+def q_rfm_scores(sf_dir: str):
+    """RFM (recency / frequency / monetary) customer scoring, the classic
+    segmentation behind lifecycle marketing: per user, days since last
+    event, total events, and whole-dollar spend, each scored 1-5 by
+    strict-rank quintile — score = 1 + (5 * #users strictly worse) // n,
+    so ties share a score and the result is deterministic (SQL NTILE is
+    NOT deterministic under ties; strict-rank quintiles are).
+
+    Scale: metrics are QUANTIZED (day-granularity recency, dollar
+    spend, event counts) so each score LUT is bounded by the metric's
+    value cardinality — retention-window days, dollar range — never user
+    count; the LUTs broadcast once via ray.put (the
+    doc_length_percentile histogram pattern) and the scoring pass is a
+    stateless vectorized map. Integer-only output.
+    """
+    import ray
+
+    ev = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype(np.int64),
+                "ts_us": _ts_us(batch["ts"]),
+                "cents": _cents(batch["value"]),
+            }
+        )
+
+    per_user = hash_bucket_aggregate(
+        ev.map_batches(prep, batch_format="pandas"),
+        ["user_id"],
+        [("ts_us", "max"), ("cents", "sum")],
+        count_alias="freq",
+    ).materialize()  # one row per user, consumed three times below
+    gmax = int(per_user.max("ts_us_max"))
+
+    def metrics(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype(np.int64),
+                "recency_day": (gmax - batch["ts_us_max"].to_numpy(np.int64))
+                // DAY_US,
+                "freq": batch["freq"].astype(np.int64),
+                "dollars": batch["cents_sum"].to_numpy(np.int64) // 100,
+            }
+        )
+
+    m = per_user.map_batches(metrics, batch_format="pandas").materialize()
+
+    # bounded-cardinality histograms -> score LUTs (driver state is the
+    # number of DISTINCT quantized values, not users)
+    luts = {}
+    n_users = m.count()
+    for col, better_desc in [("recency_day", False), ("freq", True),
+                             ("dollars", True)]:
+        hist = (
+            hash_bucket_aggregate(
+                m.map_batches(
+                    lambda b, c=col: pd.DataFrame({c: b[c].astype(np.int64)}),
+                    batch_format="pandas",
+                ),
+                [col],
+                [],
+                count_alias="cnt",
+            )
+            .to_pandas()
+            .sort_values(col)
+        )
+        luts[col] = _strict_rank_score(
+            hist[col].to_numpy(np.int64), hist["cnt"].to_numpy(np.int64),
+            n_users, better_desc
+        )
+    lut_ref = ray.put(luts)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        tabs = ray.get(lut_ref)
+        out = batch.copy()
+        out["r_score"] = np.array(
+            [tabs["recency_day"][int(v)] for v in batch["recency_day"]], np.int64
+        )
+        out["f_score"] = np.array(
+            [tabs["freq"][int(v)] for v in batch["freq"]], np.int64
+        )
+        out["m_score"] = np.array(
+            [tabs["dollars"][int(v)] for v in batch["dollars"]], np.int64
+        )
+        return out
+
+    return m.map_batches(score, batch_format="pandas")
+
+
+RFM_SCORES_SQL = """
+WITH u AS (
+  SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS freq,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+g AS (SELECT MAX(last_ts) AS gmax FROM u),
+m AS (
+  SELECT u.user_id,
+         (epoch_us(g.gmax) - epoch_us(u.last_ts)) // 86400000000 AS recency_day,
+         u.freq, u.cents // 100 AS dollars
+  FROM u, g
+),
+r AS (
+  SELECT user_id, recency_day, freq, dollars,
+         RANK() OVER (ORDER BY recency_day DESC) - 1 AS worse_r,
+         RANK() OVER (ORDER BY freq ASC) - 1 AS worse_f,
+         RANK() OVER (ORDER BY dollars ASC) - 1 AS worse_m,
+         COUNT(*) OVER () AS n
+  FROM m
+)
+SELECT user_id, recency_day, freq, dollars,
+       1 + (5 * worse_r) // n AS r_score,
+       1 + (5 * worse_f) // n AS f_score,
+       1 + (5 * worse_m) // n AS m_score
+FROM r
+"""
+
+QUERIES5["rfm_scores"] = q_rfm_scores
+ORACLES5["rfm_scores"] = RFM_SCORES_SQL
+
+
+# ---------------------------------------------------------------------------
+# Revenue by part type (broadcast dimension join)
+# ---------------------------------------------------------------------------
+
+
+def q_part_type_revenue(sf_dir: str):
+    """Gross revenue (sum of extendedprice) and item count per part TYPE —
+    the product-mix rollup. Plan shaped for 100 TB: `part` is a dimension
+    table (bounded by catalog size, not fact volume), so its
+    partkey -> type mapping broadcasts ONCE via ray.put and every
+    lineitem batch probes it vectorized (pandas map on int64 keys) — no
+    shuffle touches the fact table; per-type cents partials sum exactly
+    through the tiny final exchange.
+    """
+    import ray
+    import ray.data as rd
+
+    part = (
+        rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+        .to_pandas()
+    )
+    lut_ref = ray.put(
+        pd.Series(part["p_type"].to_numpy(), index=part["p_partkey"].to_numpy())
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(lut_ref)
+        df = pd.DataFrame(
+            {
+                "p_type": batch["l_partkey"].astype(np.int64).map(lut),
+                "cents": _cents(batch["l_extendedprice"]),
+            }
+        )
+        g = df.groupby("p_type", sort=False).agg(
+            cents=("cents", "sum"), n_items=("cents", "size")
+        )
+        return g.reset_index()
+
+    agg = hash_bucket_aggregate(
+        li.map_batches(partial, batch_format="pandas"),
+        ["p_type"],
+        [("cents", "sum"), ("n_items", "sum")],
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_type": batch["p_type"].astype(str),
+                "revenue": _r6away(
+                    batch["cents_sum"].to_numpy(np.float64) / 100.0
+                ),
+                "n_items": batch["n_items_sum"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+PART_TYPE_REVENUE_SQL = """
+SELECT p.p_type,
+       ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 6) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1
+"""
+
+QUERIES5["part_type_revenue"] = q_part_type_revenue
+ORACLES5["part_type_revenue"] = PART_TYPE_REVENUE_SQL

@@ -208,6 +208,116 @@ def test_lttb_grid_selects_n_out_and_keeps_endpoints():
     assert out["idx"].is_monotonic_increasing
 
 
+def test_gini_uniform_is_zero():
+    from signalsharp_ray.pipelines.queries5 import gini_type_kernel
+
+    df = pd.DataFrame(
+        {
+            "event_type": ["a"] * 10,
+            "user_id": np.arange(10, dtype=np.int64),
+            "cnt": np.full(10, 7, dtype=np.int64),
+        }
+    )
+    assert gini_type_kernel(df)["gini"].iloc[0] == 0.0
+
+
+def test_gini_concentration_approaches_one():
+    from signalsharp_ray.pipelines.queries5 import gini_type_kernel
+
+    # one user holds ~all traffic -> G near (n-1)/n
+    df = pd.DataFrame(
+        {
+            "event_type": ["a"] * 100,
+            "user_id": np.arange(100, dtype=np.int64),
+            "cnt": np.array([1] * 99 + [100_000], dtype=np.int64),
+        }
+    )
+    assert gini_type_kernel(df)["gini"].iloc[0] > 0.97
+
+
+def test_burstiness_metronome_is_minus_one():
+    from signalsharp_ray.pipelines.queries5 import burstiness_kernel
+
+    df = pd.DataFrame(
+        {
+            "event_type": ["a"] * 20,
+            "ts_us": np.arange(20, dtype=np.int64) * 1_000_000,
+            "event_id": np.arange(20, dtype=np.int64),
+        }
+    )
+    out = burstiness_kernel(df)
+    assert out["burstiness"].iloc[0] == -1.0
+    assert out["mean_gap_us"].iloc[0] == 1_000_000.0
+
+
+def test_burstiness_single_event_emits_nothing():
+    from signalsharp_ray.pipelines.queries5 import burstiness_kernel
+
+    df = pd.DataFrame({"event_type": ["a"], "ts_us": [0], "event_id": [0]})
+    assert len(burstiness_kernel(df)) == 0
+
+
+def test_strict_rank_score_quintiles():
+    from signalsharp_ray.pipelines.queries5 import _strict_rank_score
+
+    # 10 users, distinct values 0..9 (one each), higher better
+    lut = _strict_rank_score(
+        np.arange(10, dtype=np.int64), np.ones(10, dtype=np.int64), 10, True
+    )
+    assert lut[0] == 1 and lut[9] == 5
+    assert [lut[v] for v in range(10)] == [1, 1, 2, 2, 3, 3, 4, 4, 5, 5]
+    # lower better flips the order
+    lut2 = _strict_rank_score(
+        np.arange(10, dtype=np.int64), np.ones(10, dtype=np.int64), 10, False
+    )
+    assert lut2[0] == 5 and lut2[9] == 1
+
+
+def test_strict_rank_score_ties_share():
+    from signalsharp_ray.pipelines.queries5 import _strict_rank_score
+
+    # all users tie -> everyone scores 1 (zero strictly worse)
+    lut = _strict_rank_score(
+        np.array([42], dtype=np.int64), np.array([10], dtype=np.int64), 10, True
+    )
+    assert lut[42] == 1
+
+
+def test_lsh_identical_docs_pair_on_both_bands():
+    from signalsharp_ray.pipelines.queries5 import lsh_band_batch, lsh_bucket_pairs
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    bands = lsh_band_batch(pd.DataFrame({"doc_id": [1, 2], "text": [text, text]}))
+    assert len(bands) == 4  # 2 docs x 2 bands
+    pairs = pd.concat(
+        [
+            lsh_bucket_pairs(g)
+            for _, g in bands.groupby(["band", "s_lo", "s_hi"], sort=False)
+        ],
+        ignore_index=True,
+    )
+    agg = pairs.groupby(["doc_a", "doc_b"])["n"].sum()
+    assert agg.loc[(1, 2)] == 2
+
+
+def test_lsh_unrelated_docs_do_not_pair():
+    from signalsharp_ray.pipelines.queries5 import lsh_band_batch
+
+    bands = lsh_band_batch(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "completely different content about databases",
+                    "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss",
+                ],
+            }
+        )
+    )
+    keys = bands.groupby(["band", "s_lo", "s_hi"]).size()
+    assert (keys == 1).all()
+
+
 def test_lttb_grid_keeps_spike():
     # a huge spike mid-series must survive downsampling
     from signalsharp_ray.pipelines.queries5 import lttb_grid_kernel
