@@ -1381,3 +1381,233 @@ GROUP BY 1
 
 QUERIES5["part_type_revenue"] = q_part_type_revenue
 ORACLES5["part_type_revenue"] = PART_TYPE_REVENUE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Nation-to-nation trade flows (TPC-H Q7 shape, 5-table plan)
+# ---------------------------------------------------------------------------
+
+
+def q_nation_trade_flows(sf_dir: str):
+    """TPC-H-Q7-shaped trade-flow matrix: discounted revenue and item
+    count for every (supplier nation -> customer nation) pair — the
+    full-star exercise touching lineitem, orders, customer, supplier and
+    nation in one plan.
+
+    Plan shaped for 100 TB: the two FACT-side joins co-partition through
+    bucketed exchanges (customer<->orders on custkey, then that result
+    <->lineitem on orderkey — the shipping_priority pattern); the two
+    DIMENSION sides (supplier -> nation name, 10^4-ish rows; nation, 25
+    rows) broadcast once via ray.put and resolve vectorized inside each
+    batch. Revenue partials are exact int64 cents x (100 - disc) so the
+    final tiny (|nations|^2) merge is order-free.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..common.raytools import bucketed_join
+
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat_name = pd.Series(
+        nation["n_name"].to_numpy(), index=nation["n_nationkey"].to_numpy()
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp_nat_ref = ray.put(
+        pd.Series(
+            nat_name.loc[supp["s_nationkey"]].to_numpy(),
+            index=supp["s_suppkey"].to_numpy(),
+        )
+    )
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "custkey": b["c_custkey"].astype(np.int64),
+                "cust_nation": nat_name.loc[b["c_nationkey"]].to_numpy(),
+            }
+        ),
+        batch_format="pandas",
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "orderkey": b["o_orderkey"].astype(np.int64),
+                "custkey": b["o_custkey"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    ord_nat = bucketed_join(orders, cust, on=["custkey"]).select_columns(
+        ["orderkey", "cust_nation"]
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "orderkey": b["l_orderkey"].astype(np.int64),
+                "suppkey": b["l_suppkey"].astype(np.int64),
+                "rev": _cents(b["l_extendedprice"])
+                * np.rint(
+                    (1.0 - b["l_discount"].to_numpy(np.float64)) * 100
+                ).astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    joined = bucketed_join(li, ord_nat, on=["orderkey"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(supp_nat_ref)
+        df = pd.DataFrame(
+            {
+                "supp_nation": batch["suppkey"].map(lut),
+                "cust_nation": batch["cust_nation"],
+                "rev": batch["rev"].astype(np.int64),
+            }
+        )
+        g = df.groupby(["supp_nation", "cust_nation"], sort=False).agg(
+            rev=("rev", "sum"), n_items=("rev", "size")
+        )
+        return g.reset_index()
+
+    agg = hash_bucket_aggregate(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["supp_nation", "cust_nation"],
+        [("rev", "sum"), ("n_items", "sum")],
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "supp_nation": batch["supp_nation"].astype(str),
+                "cust_nation": batch["cust_nation"].astype(str),
+                "revenue": _r6away(
+                    batch["rev_sum"].to_numpy(np.float64) / 10000.0
+                ),
+                "n_items": batch["n_items_sum"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+NATION_TRADE_FLOWS_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND((1.0 - l.l_discount) * 100) AS BIGINT))
+                  AS DOUBLE) / 10000.0, 6) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+GROUP BY 1, 2
+"""
+
+QUERIES5["nation_trade_flows"] = q_nation_trade_flows
+ORACLES5["nation_trade_flows"] = NATION_TRADE_FLOWS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Revenue by REGION (snowflake dimension chain customer -> nation -> region)
+# ---------------------------------------------------------------------------
+
+
+def q_region_revenue(sf_dir: str):
+    """Order revenue rolled up to sales REGION through the full snowflake
+    chain customer -> nation -> region — the last dimension table in the
+    star, closing whole-schema coverage. The three dimension levels
+    COLLAPSE on the driver into one custkey -> region name map (composing
+    broadcast joins of bounded tables costs nothing extra), broadcast
+    once via ray.put; the fact table never shuffles and cents partials
+    are exact int64 (the revenue_by_nation pattern, one level deeper).
+    """
+    import ray
+    import ray.data as rd
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    region = rd.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    nat_to_reg = dict(
+        zip(
+            nation["n_nationkey"],
+            nation["n_regionkey"].map(
+                dict(zip(region["r_regionkey"], region["r_name"]))
+            ),
+        )
+    )
+    cust_to_region = dict(
+        zip(
+            cust["c_custkey"].astype(np.int64),
+            cust["c_nationkey"].map(nat_to_reg).astype(str),
+        )
+    )
+    dim_ref = ray.put(cust_to_region)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        dim = ray.get(dim_ref)
+        df = pd.DataFrame(
+            {
+                "r_name": batch["o_custkey"].astype(np.int64).map(dim),
+                "cents": _cents(batch["o_totalprice"]),
+            }
+        )
+        g = df.groupby("r_name", sort=False).agg(
+            cents=("cents", "sum"), n_orders=("cents", "size")
+        )
+        return g.reset_index()
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    agg = hash_bucket_aggregate(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["r_name"],
+        [("cents", "sum"), ("n_orders", "sum")],
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "r_name": batch["r_name"].astype(str),
+                "revenue": _r6away(batch["cents_sum"].to_numpy(np.float64) / 100.0),
+                "n_orders": batch["n_orders_sum"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+REGION_REVENUE_SQL = """
+SELECT r.r_name,
+       ROUND(CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 6) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY 1
+"""
+
+QUERIES5["region_revenue"] = q_region_revenue
+ORACLES5["region_revenue"] = REGION_REVENUE_SQL
