@@ -62,6 +62,26 @@ def markov_user_kernel(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def markov_bucket_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-BUCKET kernel, vectorized across every user in the bucket:
+    one sort by (user_id, ts_us, event_id), one shift, a boundary mask —
+    pair-for-pair identical to mapping markov_user_kernel over each user
+    (the per-user contract stays unit-tested), without per-key Python."""
+    d = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+    uid = d["user_id"].to_numpy()
+    et = d["event_type"].to_numpy()
+    if uid.size < 2:
+        return pd.DataFrame(
+            {"from_type": [], "to_type": [], "n": np.array([], dtype=np.int64)}
+        )
+    same = uid[:-1] == uid[1:]
+    pairs = pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]})
+    g = pairs.groupby(["from_type", "to_type"], sort=False).size()
+    out = g.reset_index(name="n")
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
 def q_markov_transitions(sf_dir: str):
     """First-order Markov transition matrix of user behaviour: for every
     (from_type, to_type) pair of CONSECUTIVE events of the same user
@@ -69,10 +89,11 @@ def q_markov_transitions(sf_dir: str):
     the conditional probability P(to | from) — the session-flow model
     behind next-action prediction and funnel-anomaly alerts.
 
-    Scale: one bucketed exchange on user_id; per-key state is one user's
-    events. Per-user pair counts are exact int64 partials, so the second
-    (tiny: |types|^2 rows) exchange merges order-free; the only float is
-    the shared probability division, rounded once on both sides.
+    Scale: one bucketed exchange on user_id; the bucket kernel is
+    vectorized across users (sort + shift + boundary mask, no per-key
+    Python). Per-bucket pair counts are exact int64 partials, so the
+    second (tiny: |types|^2 rows) exchange merges order-free; the only
+    float is the shared probability division, rounded once on both sides.
     """
     ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
 
@@ -87,7 +108,10 @@ def q_markov_transitions(sf_dir: str):
         )
 
     pairs = bucketed_map_groups(
-        ev.map_batches(prep, batch_format="pandas"), ["user_id"], markov_user_kernel
+        ev.map_batches(prep, batch_format="pandas"),
+        ["user_id"],
+        None,
+        whole_bucket_fn=markov_bucket_kernel,
     )
     agg = hash_bucket_aggregate(pairs, ["from_type", "to_type"], [("n", "sum")])
     out = agg.to_pandas()  # |event_types|^2 rows — tiny

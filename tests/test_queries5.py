@@ -66,6 +66,46 @@ def test_markov_single_event_user_emits_nothing():
     assert len(markov_user_kernel(_user_df(["a"]))) == 0
 
 
+def test_markov_bucket_kernel_matches_per_user_map():
+    from signalsharp_ray.pipelines.queries5 import markov_bucket_kernel
+
+    rng = np.random.default_rng(13)
+    frames = []
+    for uid in range(5):
+        df = _user_df(list(rng.choice(["a", "b", "c", "d"], 40)))
+        df["user_id"] = np.int64(uid)
+        frames.append(df)
+    bucket = pd.concat(frames, ignore_index=True).sample(frac=1.0, random_state=1)
+    whole = (
+        markov_bucket_kernel(bucket)
+        .groupby(["from_type", "to_type"])["n"]
+        .sum()
+        .sort_index()
+    )
+    per_user = (
+        pd.concat([markov_user_kernel(f) for f in frames], ignore_index=True)
+        .groupby(["from_type", "to_type"])["n"]
+        .sum()
+        .sort_index()
+    )
+    pd.testing.assert_series_equal(whole, per_user)
+
+
+def test_markov_bucket_kernel_no_cross_user_pairs():
+    from signalsharp_ray.pipelines.queries5 import markov_bucket_kernel
+
+    # two single-event users -> no pairs at all
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([1, 2], dtype=np.int64),
+            "ts_us": np.array([0, 1], dtype=np.int64),
+            "event_id": np.array([0, 1], dtype=np.int64),
+            "event_type": ["a", "b"],
+        }
+    )
+    assert len(markov_bucket_kernel(df)) == 0
+
+
 def test_token_entropy_uniform_and_degenerate():
     batch = pd.DataFrame(
         {
