@@ -1286,15 +1286,9 @@ def q_rfm_scores(sf_dir: str):
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         tabs = ray.get(lut_ref)
         out = batch.copy()
-        out["r_score"] = np.array(
-            [tabs["recency_day"][int(v)] for v in batch["recency_day"]], np.int64
-        )
-        out["f_score"] = np.array(
-            [tabs["freq"][int(v)] for v in batch["freq"]], np.int64
-        )
-        out["m_score"] = np.array(
-            [tabs["dollars"][int(v)] for v in batch["dollars"]], np.int64
-        )
+        out["r_score"] = batch["recency_day"].map(tabs["recency_day"]).astype(np.int64)
+        out["f_score"] = batch["freq"].map(tabs["freq"]).astype(np.int64)
+        out["m_score"] = batch["dollars"].map(tabs["dollars"]).astype(np.int64)
         return out
 
     return m.map_batches(score, batch_format="pandas")
@@ -1635,3 +1629,85 @@ GROUP BY 1
 
 QUERIES5["region_revenue"] = q_region_revenue
 ORACLES5["region_revenue"] = REGION_REVENUE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Customer distribution by order count (TPC-H Q13 shape, zero-inclusive)
+# ---------------------------------------------------------------------------
+
+
+def q_custdist(sf_dir: str):
+    """TPC-H-Q13-shaped customer distribution: how many customers placed
+    exactly k orders, INCLUDING k = 0 — the left-join histogram whose
+    zero bucket (customers with no orders at all) is the part a naive
+    fact-side groupby silently drops (customers_without_orders lists
+    them; this query counts the whole distribution).
+
+    Plan: per-customer order counts reduce through one bucketed exchange
+    on custkey; the customer table LEFT-joins those counts through the
+    same co-partitioned exchange (missing -> 0); the final histogram over
+    k is a tiny integer aggregate. All counts int64 end-to-end.
+    """
+    import ray.data as rd
+
+    from ..common.raytools import bucketed_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).map_batches(
+        lambda b: (
+            b.groupby("o_custkey", sort=False)
+            .size()
+            .reset_index(name="n")
+            .astype({"o_custkey": np.int64, "n": np.int64})
+            .rename(columns={"o_custkey": "custkey"})
+        ),
+        batch_format="pandas",
+    )
+    per_cust = hash_bucket_aggregate(orders, ["custkey"], [("n", "sum")])
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(
+        lambda b: pd.DataFrame({"custkey": b["c_custkey"].astype(np.int64)}),
+        batch_format="pandas",
+    )
+    joined = bucketed_join(cust, per_cust, on=["custkey"], how="left")
+
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["n_sum"].fillna(0).astype(np.int64)
+        g = k.value_counts()
+        return pd.DataFrame(
+            {
+                "n_orders": g.index.to_numpy(np.int64),
+                "n_customers": g.to_numpy(np.int64),
+            }
+        )
+
+    agg = hash_bucket_aggregate(
+        joined.map_batches(hist_partial, batch_format="pandas"),
+        ["n_orders"],
+        [("n_customers", "sum")],
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "n_orders": b["n_orders"].astype(np.int64),
+                "n_customers": b["n_customers_sum"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+CUSTDIST_SQL = """
+WITH pc AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT n_orders, COUNT(*) AS n_customers
+FROM pc GROUP BY 1
+"""
+
+QUERIES5["custdist"] = q_custdist
+ORACLES5["custdist"] = CUSTDIST_SQL
