@@ -1711,3 +1711,347 @@ FROM pc GROUP BY 1
 
 QUERIES5["custdist"] = q_custdist
 ORACLES5["custdist"] = CUSTDIST_SQL
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov distribution drift (first half vs second half)
+# ---------------------------------------------------------------------------
+
+
+def ks_drift_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-group kernel for ONE event_type: two-sample KS statistic
+    between the first and second time-half of the series' value
+    distribution. The D statistic is computed as an exact INTEGER
+    numerator max|c1*n2 - c2*n1| over the merged support (centivalue
+    ECDFs share the denominator n1*n2), so the only float is the final
+    shared division."""
+    t = df["ts_us"].to_numpy(np.int64)
+    mid = (int(t.min()) + int(t.max())) // 2
+    c = df["cents"].to_numpy(np.int64)
+    s1 = np.sort(c[t <= mid])
+    s2 = np.sort(c[t > mid])
+    n1, n2 = int(s1.size), int(s2.size)
+    if n1 == 0 or n2 == 0:
+        return pd.DataFrame(
+            {
+                "event_type": [],
+                "n1": np.array([], dtype=np.int64),
+                "n2": np.array([], dtype=np.int64),
+                "d_num": np.array([], dtype=np.int64),
+                "ks_d": np.array([], dtype=np.float64),
+            }
+        )
+    support = np.unique(np.concatenate([s1, s2]))
+    c1 = np.searchsorted(s1, support, side="right").astype(np.int64)
+    c2 = np.searchsorted(s2, support, side="right").astype(np.int64)
+    d_num = int(np.max(np.abs(c1 * n2 - c2 * n1)))
+    return pd.DataFrame(
+        {
+            "event_type": [df["event_type"].iloc[0]],
+            "n1": np.array([n1], dtype=np.int64),
+            "n2": np.array([n2], dtype=np.int64),
+            "d_num": np.array([d_num], dtype=np.int64),
+            "ks_d": _r6away(float(d_num) / (float(n1) * float(n2))),
+        }
+    )
+
+
+def q_ks_drift(sf_dir: str):
+    """Data-drift detector: the two-sample Kolmogorov-Smirnov statistic
+    between each event_type's value distribution in the FIRST and SECOND
+    half of its time range — the standard "did the input distribution
+    shift under me" gate a production scoring/training pipeline runs
+    before trusting a window of data. The D statistic is exact: both
+    ECDFs are put over the common n1*n2 denominator so the max runs over
+    integers (no float ECDF subtraction), then ONE shared division. One
+    bucketed exchange on event_type; whole-series kernel (the two-pass
+    streaming alternative — min/max then merge-count — shares the same
+    exchange shape).
+    """
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "ts_us": _ts_us(batch["ts"]),
+                "cents": _cents(batch["value"]),
+            }
+        )
+
+    return bucketed_map_groups(
+        ev.map_batches(prep, batch_format="pandas"), ["event_type"], ks_drift_kernel
+    )
+
+
+KS_DRIFT_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS t,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events
+),
+b AS (SELECT event_type, (MIN(t) + MAX(t)) // 2 AS mid FROM e GROUP BY 1),
+s AS (
+  SELECT e.event_type, e.c,
+         CASE WHEN e.t <= b.mid THEN 1 ELSE 2 END AS half
+  FROM e JOIN b USING (event_type)
+),
+n AS (
+  SELECT event_type,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS n2
+  FROM s GROUP BY 1
+),
+cv AS (
+  SELECT event_type, c,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS a1,
+         SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS a2
+  FROM s GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, c,
+         SUM(a1) OVER (PARTITION BY event_type ORDER BY c) AS c1,
+         SUM(a2) OVER (PARTITION BY event_type ORDER BY c) AS c2
+  FROM cv
+),
+d AS (
+  SELECT cum.event_type,
+         MAX(ABS(cum.c1 * n.n2 - cum.c2 * n.n1)) AS d_num
+  FROM cum JOIN n USING (event_type)
+  GROUP BY 1
+)
+SELECT d.event_type,
+       CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+       CAST(d.d_num AS BIGINT) AS d_num,
+       ROUND(CAST(d.d_num AS DOUBLE)
+             / (CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)), 6) AS ks_d
+FROM d JOIN n USING (event_type)
+WHERE n.n1 > 0 AND n.n2 > 0
+"""
+
+QUERIES5["ks_drift"] = q_ks_drift
+ORACLES5["ks_drift"] = KS_DRIFT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+
+def q_benford_digits(sf_dir: str):
+    """Benford's-law first-digit audit of `value` per event_type: the
+    observed count and share of each leading digit 1-9 (of the exact
+    centivalue integer — string leading digit, identical extraction in
+    both engines) next to the Benford expectation log10(1 + 1/d) — the
+    classic fabricated-data / instrumentation-bug screen. Per-digit rows
+    keep the output float surface to two SHARED expressions per row (no
+    cross-row float sums at all). In-batch integer partials, one tiny
+    exchange.
+    """
+    ev = _events(sf_dir, ["event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(batch["value"])
+        keep = cents > 0
+        if not keep.any():
+            return pd.DataFrame(
+                {
+                    "event_type": [],
+                    "digit": np.array([], dtype=np.int64),
+                    "n": np.array([], dtype=np.int64),
+                }
+            )
+        digit = (
+            pd.Series(cents[keep]).astype(str).str.slice(0, 1).astype(np.int64)
+        )
+        df = pd.DataFrame(
+            {"event_type": batch["event_type"].to_numpy()[keep], "digit": digit}
+        )
+        g = df.groupby(["event_type", "digit"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    agg = hash_bucket_aggregate(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type", "digit"],
+        [("n", "sum")],
+    ).to_pandas()  # |types| x 9 rows — tiny
+    tot = agg.groupby("event_type")["n_sum"].transform("sum")
+    d = agg["digit"].to_numpy(np.float64)
+    return pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "digit": agg["digit"].astype(np.int64),
+            "n": agg["n_sum"].astype(np.int64),
+            "share": _r6away(agg["n_sum"].to_numpy(np.float64) / tot.to_numpy(np.float64)),
+            "benford_expected": _r6away(np.log10(1.0 + 1.0 / d)),
+        }
+    )
+
+
+BENFORD_DIGITS_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+),
+d AS (
+  SELECT event_type,
+         CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         COUNT(*) AS n
+  FROM e WHERE c > 0 GROUP BY 1, 2
+)
+SELECT event_type, digit, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS share,
+       ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_expected
+FROM d
+"""
+
+QUERIES5["benford_digits"] = q_benford_digits
+ORACLES5["benford_digits"] = BENFORD_DIGITS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Pareto share (top-decile users' share of traffic)
+# ---------------------------------------------------------------------------
+
+
+def pareto_type_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-group kernel for ONE event_type: share of events produced by
+    the top 10% of users (by count DESC, user_id ASC — a total order, so
+    the decile cut is deterministic). k = max(1, n_users // 10)."""
+    d = df.sort_values(["cnt", "user_id"], ascending=[False, True], kind="mergesort")
+    c = d["cnt"].to_numpy(np.int64)
+    n_users = int(c.size)
+    k = max(1, n_users // 10)
+    top = int(c[:k].sum())
+    tot = int(c.sum())
+    return pd.DataFrame(
+        {
+            "event_type": [df["event_type"].iloc[0]],
+            "n_users": np.array([n_users], dtype=np.int64),
+            "k_top": np.array([k], dtype=np.int64),
+            "top_events": np.array([top], dtype=np.int64),
+            "total_events": np.array([tot], dtype=np.int64),
+            "top_decile_share": _r6away(float(top) / float(tot)),
+        }
+    )
+
+
+def q_pareto_share(sf_dir: str):
+    """The 80/20 check: what share of each event_type's traffic comes
+    from its top 10% of users — the concentration companion to
+    gini_traffic that answers the operational question directly ("how
+    hot are the hot keys"). Same plan as gini: one exchange for
+    per-(type, user) counts, whole-group decile cut; exact integer sums,
+    one shared division.
+    """
+    ev = _events(sf_dir, ["user_id", "event_type"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["event_type", "user_id"], sort=False).size()
+        out = g.reset_index(name="cnt")
+        out["cnt"] = out["cnt"].astype(np.int64)
+        out["user_id"] = out["user_id"].astype(np.int64)
+        return out
+
+    counts = hash_bucket_aggregate(
+        ev.map_batches(prep, batch_format="pandas"),
+        ["event_type", "user_id"],
+        [("cnt", "sum")],
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "user_id": b["user_id"].astype(np.int64),
+                "cnt": b["cnt_sum"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return bucketed_map_groups(counts, ["event_type"], pareto_type_kernel)
+
+
+PARETO_SHARE_SQL = """
+WITH u AS (
+  SELECT event_type, user_id, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, cnt,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, user_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_users
+  FROM u
+)
+SELECT event_type,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(GREATEST(1, n_users // 10) AS BIGINT) AS k_top,
+       CAST(SUM(CASE WHEN rn <= GREATEST(1, n_users // 10)
+                     THEN cnt ELSE 0 END) AS BIGINT) AS top_events,
+       CAST(SUM(cnt) AS BIGINT) AS total_events,
+       ROUND(CAST(SUM(CASE WHEN rn <= GREATEST(1, n_users // 10)
+                           THEN cnt ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(cnt) AS DOUBLE), 6) AS top_decile_share
+FROM r GROUP BY 1, n_users
+"""
+
+QUERIES5["pareto_share"] = q_pareto_share
+ORACLES5["pareto_share"] = PARETO_SHARE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Cumulative order backlog (daily running totals)
+# ---------------------------------------------------------------------------
+
+
+def q_cumulative_orders(sf_dir: str):
+    """Daily new-order counts with the running cumulative total — the
+    backlog/growth curve every ops dashboard draws. Daily counts reduce
+    through one exchange to a table bounded by the calendar (one row per
+    day); the prefix sum over that tiny sorted table is a driver-side
+    cumsum (at any scale the day table stays thousands of rows).
+    Integer-only output.
+    """
+    import ray.data as rd
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = batch["o_orderdate"].astype("datetime64[us]").dt.floor("D")
+        g = day.value_counts()
+        return pd.DataFrame(
+            {"day": g.index, "n": g.to_numpy(np.int64)}
+        )
+
+    agg = (
+        hash_bucket_aggregate(
+            orders.map_batches(partial, batch_format="pandas"),
+            ["day"],
+            [("n", "sum")],
+        )
+        .to_pandas()  # one row per calendar day — tiny
+        .sort_values("day")
+    )
+    return pd.DataFrame(
+        {
+            "day": agg["day"].astype("datetime64[us]"),
+            "n_orders": agg["n_sum"].astype(np.int64),
+            "cum_orders": agg["n_sum"].astype(np.int64).cumsum(),
+        }
+    )
+
+
+CUMULATIVE_ORDERS_SQL = """
+WITH d AS (
+  SELECT date_trunc('day', o_orderdate) AS day, COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT day, CAST(n AS BIGINT) AS n_orders,
+       CAST(SUM(n) OVER (ORDER BY day) AS BIGINT) AS cum_orders
+FROM d
+"""
+
+QUERIES5["cumulative_orders"] = q_cumulative_orders
+ORACLES5["cumulative_orders"] = CUMULATIVE_ORDERS_SQL

@@ -358,6 +358,95 @@ def test_lsh_unrelated_docs_do_not_pair():
     assert (keys == 1).all()
 
 
+def test_ks_drift_identical_halves_is_zero():
+    from signalsharp_ray.pipelines.queries5 import ks_drift_kernel
+
+    # same distribution both halves -> D = 0
+    cents = np.tile(np.array([100, 200, 300, 400], dtype=np.int64), 10)
+    df = pd.DataFrame(
+        {
+            "event_type": ["a"] * 40,
+            "ts_us": np.arange(40, dtype=np.int64),
+            "cents": cents,
+        }
+    )
+    out = ks_drift_kernel(df)
+    assert out["d_num"].iloc[0] == 0 and out["ks_d"].iloc[0] == 0.0
+
+
+def test_ks_drift_disjoint_halves_is_one():
+    from signalsharp_ray.pipelines.queries5 import ks_drift_kernel
+
+    # first half all 100s, second half all 900s -> D = 1
+    df = pd.DataFrame(
+        {
+            "event_type": ["a"] * 20,
+            "ts_us": np.arange(20, dtype=np.int64),
+            "cents": np.array([100] * 10 + [900] * 10, dtype=np.int64),
+        }
+    )
+    out = ks_drift_kernel(df)
+    assert out["ks_d"].iloc[0] == 1.0
+    assert out["n1"].iloc[0] == 10 and out["n2"].iloc[0] == 10
+
+
+def test_ks_drift_matches_scipy_formula():
+    from signalsharp_ray.pipelines.queries5 import ks_drift_kernel
+
+    rng = np.random.default_rng(3)
+    n = 200
+    cents = rng.integers(0, 50, n).astype(np.int64)
+    df = pd.DataFrame(
+        {
+            "event_type": ["a"] * n,
+            "ts_us": np.arange(n, dtype=np.int64),
+            "cents": cents,
+        }
+    )
+    out = ks_drift_kernel(df)
+    s1, s2 = np.sort(cents[:100]), np.sort(cents[100:])
+    sup = np.unique(cents)
+    d_ref = np.max(
+        np.abs(
+            np.searchsorted(s1, sup, side="right") / 100.0
+            - np.searchsorted(s2, sup, side="right") / 100.0
+        )
+    )
+    assert abs(out["d_num"].iloc[0] / (100.0 * 100.0) - d_ref) < 1e-12
+
+
+def test_pareto_top_decile():
+    from signalsharp_ray.pipelines.queries5 import pareto_type_kernel
+
+    # 20 users: one with 1000 events, rest with 1 -> k=2, top share
+    df = pd.DataFrame(
+        {
+            "event_type": ["a"] * 20,
+            "user_id": np.arange(20, dtype=np.int64),
+            "cnt": np.array([1000] + [1] * 19, dtype=np.int64),
+        }
+    )
+    out = pareto_type_kernel(df)
+    assert out["k_top"].iloc[0] == 2
+    assert out["top_events"].iloc[0] == 1001
+    assert out["total_events"].iloc[0] == 1019
+
+
+def test_pareto_small_group_keeps_one_user():
+    from signalsharp_ray.pipelines.queries5 import pareto_type_kernel
+
+    df = pd.DataFrame(
+        {
+            "event_type": ["a"] * 3,
+            "user_id": np.array([5, 6, 7], dtype=np.int64),
+            "cnt": np.array([4, 2, 2], dtype=np.int64),
+        }
+    )
+    out = pareto_type_kernel(df)
+    assert out["k_top"].iloc[0] == 1
+    assert out["top_events"].iloc[0] == 4
+
+
 def test_lttb_grid_keeps_spike():
     # a huge spike mid-series must survive downsampling
     from signalsharp_ray.pipelines.queries5 import lttb_grid_kernel
