@@ -2055,3 +2055,303 @@ FROM d
 
 QUERIES5["cumulative_orders"] = q_cumulative_orders
 ORACLES5["cumulative_orders"] = CUMULATIVE_ORDERS_SQL
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 temporal snapshot (validity intervals per key)
+# ---------------------------------------------------------------------------
+
+_SCD2_OPEN_US = 253_370_764_800_000_000  # TIMESTAMP '9999-01-01' in us
+
+
+def scd2_bucket_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-BUCKET kernel, vectorized across keys: each observation of
+    (user_id, event_type) becomes a validity interval [ts, next ts) with
+    the key's last observation open-ended at the 9999-01-01 sentinel —
+    the standard slowly-changing-dimension Type-2 build."""
+    d = df.sort_values(
+        ["user_id", "event_type", "ts_us", "event_id"], kind="mergesort"
+    )
+    uid = d["user_id"].to_numpy()
+    et = d["event_type"].to_numpy()
+    ts = d["ts_us"].to_numpy()
+    nxt = np.empty_like(ts)
+    if ts.size:
+        nxt[:-1] = ts[1:]
+        nxt[-1] = _SCD2_OPEN_US
+        boundary = np.ones(ts.size, dtype=bool)
+        boundary[:-1] = (uid[:-1] != uid[1:]) | (et[:-1] != et[1:])
+        nxt[boundary] = _SCD2_OPEN_US
+    # year-9999 sentinel only fits a datetime64[us] column (ns overflows)
+    return pd.DataFrame(
+        {
+            "user_id": d["user_id"].to_numpy(np.int64),
+            "event_type": et,
+            "value": d["value"].to_numpy(np.float64),
+            "valid_from": ts.astype("datetime64[us]"),
+            "valid_to": nxt.astype("datetime64[us]"),
+            "is_current": (nxt == _SCD2_OPEN_US).astype(np.int64),
+        }
+    )
+
+
+def q_scd2_snapshot(sf_dir: str):
+    """Slowly-changing-dimension Type-2 build: each (user_id, event_type)
+    observation becomes a row with [valid_from, valid_to) validity and an
+    is_current flag (open rows end at the 9999-01-01 sentinel) — the
+    temporal-table construction a warehouse derives so point-in-time
+    joins ("what was the value AS OF t") become range lookups; the asof
+    join consumes exactly this shape. One bucketed exchange on user_id;
+    the bucket kernel is vectorized across keys (sort + shift + boundary
+    mask, the markov pattern). Values pass through as raw parquet doubles
+    (bit-identical on both sides); everything else is integer/timestamp.
+    """
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype(np.int64),
+                "event_type": batch["event_type"],
+                "ts_us": _ts_us(batch["ts"]),
+                "event_id": batch["event_id"].astype(np.int64),
+                "value": batch["value"].astype(np.float64),
+            }
+        )
+
+    return bucketed_map_groups(
+        ev.map_batches(prep, batch_format="pandas"),
+        ["user_id"],
+        None,
+        whole_bucket_fn=scd2_bucket_kernel,
+    )
+
+
+SCD2_SNAPSHOT_SQL = """
+SELECT user_id, event_type, value,
+       ts AS valid_from,
+       COALESCE(LEAD(ts) OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id),
+                TIMESTAMP '9999-01-01') AS valid_to,
+       CAST(CASE WHEN LEAD(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM events
+"""
+
+QUERIES5["scd2_snapshot"] = q_scd2_snapshot
+ORACLES5["scd2_snapshot"] = SCD2_SNAPSHOT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance pairs (prefix-blocked fuzzy dedup verification)
+# ---------------------------------------------------------------------------
+
+_ED_PREFIX = 16
+_ED_CMP = 64
+
+
+def levenshtein_int(a: str, b: str) -> int:
+    """Standard integer Levenshtein DP (insert/delete/substitute, unit
+    costs) — semantics verified identical to DuckDB's levenshtein()."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[-1]
+
+
+def edit_pairs_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-group kernel for ONE 16-char-prefix block: exact edit
+    distance over the 64-char comparison window for every ordered doc
+    pair in the block. Block sizes are bounded by the duplicate-cluster
+    size (same contract as lsh_bucket_pairs); the DP is O(64^2) per
+    pair."""
+    d = df.sort_values("doc_id", kind="mergesort")
+    ids = d["doc_id"].to_numpy(np.int64)
+    txt = d["cmp"].tolist()
+    out_a, out_b, out_d = [], [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            out_a.append(ids[i])
+            out_b.append(ids[j])
+            out_d.append(levenshtein_int(txt[i], txt[j]))
+    return pd.DataFrame(
+        {
+            "doc_a": np.asarray(out_a, dtype=np.int64),
+            "doc_b": np.asarray(out_b, dtype=np.int64),
+            "edit_distance": np.asarray(out_d, dtype=np.int64),
+        }
+    )
+
+
+def q_edit_distance_pairs(sf_dir: str):
+    """Fuzzy near-dup verification by exact edit distance: documents
+    sharing a 16-char text prefix (the dedup_keep_longest blocking key,
+    shorter so variants with late edits still collide) are compared over
+    their first 64 chars with the full Levenshtein DP — the
+    character-level confirmation pass a dedup pipeline runs on its
+    cheap-blocking candidates, complementing set-based Jaccard (word
+    shingles) with order-sensitive edit similarity. Integer-only output;
+    one bucketed exchange on the prefix; per-block pair count bounded by
+    the variant-cluster size.
+    """
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "prefix": t.str.slice(0, _ED_PREFIX),
+                "cmp": t.str.slice(0, _ED_CMP),
+                "doc_id": batch["doc_id"].astype(np.int64),
+            }
+        )
+
+    docs = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        prep, batch_format="pandas"
+    )
+    return bucketed_map_groups(docs, ["prefix"], edit_pairs_kernel)
+
+
+EDIT_DISTANCE_PAIRS_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         substr(COALESCE(text, ''), 1, {_ED_PREFIX}) AS prefix,
+         substr(COALESCE(text, ''), 1, {_ED_CMP}) AS cmp
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.cmp, b.cmp) AS BIGINT) AS edit_distance
+FROM d a JOIN d b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+"""
+
+QUERIES5["edit_distance_pairs"] = q_edit_distance_pairs
+ORACLES5["edit_distance_pairs"] = EDIT_DISTANCE_PAIRS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation matrix of daily count series
+# ---------------------------------------------------------------------------
+
+
+def q_type_correlation_matrix(sf_dir: str):
+    """Pearson correlation matrix of the event types' DAILY count series
+    over the global zero-filled day grid — "which streams move together",
+    the dependence summary behind composite alerting and capacity
+    models (cross_correlation studies one pair at lags; this covers all
+    pairs contemporaneously). Every sum in r's numerator and both
+    variance terms is exact int64 over the shared grid, so r is a single
+    shared float expression per pair; pairs with a zero-variance side
+    are omitted on both sides.
+
+    Scale: daily counts reduce through one exchange to |types| x |days|
+    rows (bounded by catalog x retention, never event volume); the pair
+    matrix is computed from that tiny table.
+    """
+    ev = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (_ts_us(batch["ts"]) // DAY_US) * DAY_US
+        g = (
+            pd.DataFrame({"event_type": batch["event_type"], "day_us": day})
+            .groupby(["event_type", "day_us"], sort=False)
+            .size()
+        )
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    agg = (
+        hash_bucket_aggregate(
+            ev.map_batches(partial, batch_format="pandas"),
+            ["event_type", "day_us"],
+            [("n", "sum")],
+        ).to_pandas()  # |types| x |days| — tiny
+    )
+    lo, hi = int(agg["day_us"].min()), int(agg["day_us"].max())
+    grid = np.arange(lo, hi + DAY_US, DAY_US, dtype=np.int64)
+    types = sorted(agg["event_type"].unique())
+    dense = {}
+    for t in types:
+        g = agg[agg["event_type"] == t]
+        v = np.zeros(grid.size, dtype=np.int64)
+        v[(g["day_us"].to_numpy(np.int64) - lo) // DAY_US] = g["n_sum"].to_numpy(
+            np.int64
+        )
+        dense[t] = v
+    n = int(grid.size)
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            x, y = dense[a], dense[b]
+            sx, sy = int(x.sum()), int(y.sum())
+            sxx, syy = int(np.sum(x * x)), int(np.sum(y * y))
+            sxy = int(np.sum(x * y))
+            denx = n * sxx - sx * sx
+            deny = n * syy - sy * sy
+            if denx <= 0 or deny <= 0:
+                continue
+            r = float(n * sxy - sx * sy) / (
+                math.sqrt(float(denx)) * math.sqrt(float(deny))
+            )
+            rows.append((a, b, n, r))
+    return pd.DataFrame(
+        {
+            "type_a": [r[0] for r in rows],
+            "type_b": [r[1] for r in rows],
+            "n_days": np.array([r[2] for r in rows], dtype=np.int64),
+            "pearson_r": _r6away(np.array([r[3] for r in rows])),
+        }
+    )
+
+
+TYPE_CORRELATION_MATRIX_SQL = """
+WITH c AS (
+  SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c),
+days AS (
+  SELECT UNNEST(generate_series(bo.lo, bo.hi, INTERVAL 1 DAY)) AS d
+  FROM bounds bo
+),
+types AS (SELECT DISTINCT event_type FROM c),
+g AS (
+  SELECT t.event_type, dy.d, COALESCE(c.x, 0) AS x
+  FROM types t CROSS JOIN days dy
+  LEFT JOIN c ON c.event_type = t.event_type AND c.d = dy.d
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM g GROUP BY 1
+),
+xy AS (
+  SELECT ga.event_type AS type_a, gb.event_type AS type_b,
+         CAST(SUM(ga.x * gb.x) AS BIGINT) AS sxy
+  FROM g ga JOIN g gb ON ga.d = gb.d AND ga.event_type < gb.event_type
+  GROUP BY 1, 2
+)
+SELECT xy.type_a, xy.type_b, sa.n AS n_days,
+       ROUND(CAST(sa.n * xy.sxy - sa.sx * sb.sx AS DOUBLE)
+             / (sqrt(CAST(sa.n * sa.sxx - sa.sx * sa.sx AS DOUBLE))
+                * sqrt(CAST(sb.n * sb.sxx - sb.sx * sb.sx AS DOUBLE))), 6)
+         AS pearson_r
+FROM xy
+JOIN s sa ON sa.event_type = xy.type_a
+JOIN s sb ON sb.event_type = xy.type_b
+WHERE sa.n * sa.sxx - sa.sx * sa.sx > 0
+  AND sb.n * sb.sxx - sb.sx * sb.sx > 0
+"""
+
+QUERIES5["type_correlation_matrix"] = q_type_correlation_matrix
+ORACLES5["type_correlation_matrix"] = TYPE_CORRELATION_MATRIX_SQL

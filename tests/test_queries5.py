@@ -447,6 +447,59 @@ def test_pareto_small_group_keeps_one_user():
     assert out["top_events"].iloc[0] == 4
 
 
+def test_levenshtein_known_values():
+    from signalsharp_ray.pipelines.queries5 import levenshtein_int
+
+    assert levenshtein_int("kitten", "sitting") == 3
+    assert levenshtein_int("", "abc") == 3
+    assert levenshtein_int("abc", "") == 3
+    assert levenshtein_int("abc", "abc") == 0
+    assert levenshtein_int("flaw", "lawn") == 2
+
+
+def test_scd2_intervals_and_current_flag():
+    from signalsharp_ray.pipelines.queries5 import _SCD2_OPEN_US, scd2_bucket_kernel
+
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 1, 2], dtype=np.int64),
+            "event_type": ["a", "a", "b", "a"],
+            "ts_us": np.array([100, 200, 150, 300], dtype=np.int64),
+            "event_id": np.array([0, 1, 2, 3], dtype=np.int64),
+            "value": np.array([1.0, 2.0, 3.0, 4.0]),
+        }
+    )
+    out = scd2_bucket_kernel(df)
+    # (1, a): first row closes at 200, second open; (1, b) and (2, a) open
+    u1a = out[(out["user_id"] == 1) & (out["event_type"] == "a")].sort_values(
+        "valid_from"
+    )
+    assert u1a["valid_to"].iloc[0] == np.datetime64(200, "us")
+    assert u1a["is_current"].tolist() == [0, 1]
+    assert u1a["valid_to"].iloc[1] == np.datetime64(_SCD2_OPEN_US, "us")
+    assert out["is_current"].sum() == 3  # one open row per key
+
+
+def test_scd2_row_order_invariant():
+    from signalsharp_ray.pipelines.queries5 import scd2_bucket_kernel
+
+    rng = np.random.default_rng(21)
+    n = 60
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 4, n).astype(np.int64),
+            "event_type": rng.choice(["a", "b"], n),
+            "ts_us": rng.choice(np.arange(10_000), n, replace=False).astype(np.int64),
+            "event_id": np.arange(n, dtype=np.int64),
+            "value": rng.normal(size=n),
+        }
+    )
+    shuffled = df.sample(frac=1.0, random_state=2).reset_index(drop=True)
+    a = scd2_bucket_kernel(df).reset_index(drop=True)
+    b = scd2_bucket_kernel(shuffled).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_lttb_grid_keeps_spike():
     # a huge spike mid-series must survive downsampling
     from signalsharp_ray.pipelines.queries5 import lttb_grid_kernel
