@@ -2355,3 +2355,145 @@ WHERE sa.n * sa.sxx - sa.sx * sa.sx > 0
 
 QUERIES5["type_correlation_matrix"] = q_type_correlation_matrix
 ORACLES5["type_correlation_matrix"] = TYPE_CORRELATION_MATRIX_SQL
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership probe (verified sketch with exact FP accounting)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096  # bits
+_BLOOM_K = 3  # salted md5 hash functions
+
+
+def _bloom_positions(texts: pd.Series) -> list[np.ndarray]:
+    """k salted-md5 bit positions per text — the md5_number_upper parity
+    construction (little-endian u64 of the first 8 md5 bytes, mod m)."""
+    from .queries2 import _md5_u64
+
+    t = texts.fillna("").tolist()
+    return [
+        (_md5_u64([f"b{i}:{s}" for s in t]) % np.uint64(_BLOOM_M)).astype(np.int64)
+        for i in range(_BLOOM_K)
+    ]
+
+
+def q_bloom_dedup_probe(sf_dir: str):
+    """Bloom-filter dedup pre-screen, verified end-to-end with EXACT
+    false-positive accounting: even-doc_id documents build a 4096-bit /
+    3-hash Bloom filter over content md5 positions; every odd-doc_id
+    document probes it. Output per probe doc: the bloom verdict
+    (all k bits set) and the exact truth (content match against any even
+    doc), so the driver-verified result pins both the filter construction
+    AND its false positives — the sketch contract ("no false negatives,
+    quantified false positives") becomes a checkable table instead of a
+    claim.
+
+    Scale: the built filter is BOUNDED state (m bits regardless of corpus
+    size) — it reduces through one exchange to <= m distinct positions
+    and broadcasts via ray.put; the exact-truth side co-partitions
+    content hashes through a bucketed exchange (never the driver). At
+    10^12 docs you'd size m up and shard the build the same way.
+    """
+    import ray
+
+    from ..common.raytools import bucketed_join
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def build_positions(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["doc_id"].astype(np.int64) % 2 == 0]
+        if not len(b):
+            return pd.DataFrame({"pos": np.array([], dtype=np.int64)})
+        pos = np.unique(np.concatenate(_bloom_positions(b["text"])))
+        return pd.DataFrame({"pos": pos})
+
+    bits_df = (
+        hash_bucket_aggregate(
+            docs.map_batches(build_positions, batch_format="pandas"),
+            ["pos"],
+            [],
+            count_alias="n",
+        ).to_pandas()  # <= m rows — bounded by filter size, not corpus
+    )
+    bitset_ref = ray.put(frozenset(bits_df["pos"].astype(np.int64).tolist()))
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        from .queries2 import _md5_u64
+
+        bits = ray.get(bitset_ref)
+        b = batch[batch["doc_id"].astype(np.int64) % 2 == 1]
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "doc_id": np.array([], dtype=np.int64),
+                    "h": np.array([], dtype=np.int64),
+                    "bloom_hit": np.array([], dtype=np.int64),
+                }
+            )
+        pos = _bloom_positions(b["text"])
+        hit = np.ones(len(b), dtype=bool)
+        for p in pos:
+            hit &= np.array([int(x) in bits for x in p])
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "h": _md5_u64(b["text"].fillna("").tolist()).view(np.int64),
+                "bloom_hit": hit.astype(np.int64),
+            }
+        )
+
+    def even_hashes(batch: pd.DataFrame) -> pd.DataFrame:
+        from .queries2 import _md5_u64
+
+        b = batch[batch["doc_id"].astype(np.int64) % 2 == 0]
+        h = np.unique(_md5_u64(b["text"].fillna("").tolist()).view(np.int64))
+        return pd.DataFrame({"h": h, "present": np.ones(h.size, dtype=np.int64)})
+
+    probes = docs.map_batches(probe, batch_format="pandas")
+    evens = hash_bucket_aggregate(
+        docs.map_batches(even_hashes, batch_format="pandas"),
+        ["h"],
+        [("present", "max")],
+    )
+    joined = bucketed_join(probes, evens, on=["h"], how="left")
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "bloom_hit": batch["bloom_hit"].astype(np.int64),
+                "true_dup": batch["present_max"].fillna(0).astype(np.int64),
+            }
+        )
+
+    return joined.map_batches(fmt, batch_format="pandas")
+
+
+BLOOM_DEDUP_PROBE_SQL = f"""
+WITH evens AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM documents WHERE doc_id % 2 = 0
+),
+odds AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM documents WHERE doc_id % 2 = 1
+),
+bits AS (
+  SELECT DISTINCT md5_number_upper('b0:' || t) % {_BLOOM_M} AS pos FROM evens
+  UNION
+  SELECT DISTINCT md5_number_upper('b1:' || t) % {_BLOOM_M} FROM evens
+  UNION
+  SELECT DISTINCT md5_number_upper('b2:' || t) % {_BLOOM_M} FROM evens
+),
+eh AS (SELECT DISTINCT md5_number_upper(t) AS h FROM evens)
+SELECT o.doc_id,
+       CAST(CASE WHEN md5_number_upper('b0:' || o.t) % {_BLOOM_M} IN (SELECT pos FROM bits)
+                  AND md5_number_upper('b1:' || o.t) % {_BLOOM_M} IN (SELECT pos FROM bits)
+                  AND md5_number_upper('b2:' || o.t) % {_BLOOM_M} IN (SELECT pos FROM bits)
+                 THEN 1 ELSE 0 END AS BIGINT) AS bloom_hit,
+       CAST(CASE WHEN EXISTS (SELECT 1 FROM eh
+                              WHERE eh.h = md5_number_upper(o.t))
+                 THEN 1 ELSE 0 END AS BIGINT) AS true_dup
+FROM odds o
+"""
+
+QUERIES5["bloom_dedup_probe"] = q_bloom_dedup_probe
+ORACLES5["bloom_dedup_probe"] = BLOOM_DEDUP_PROBE_SQL

@@ -500,6 +500,38 @@ def test_scd2_row_order_invariant():
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_bloom_positions_match_md5_reference():
+    import hashlib
+
+    from signalsharp_ray.pipelines.queries5 import _BLOOM_M, _bloom_positions
+
+    texts = pd.Series(["hello", "world", ""])
+    pos = _bloom_positions(texts)
+    assert len(pos) == 3
+    for i, p in enumerate(pos):
+        for t, got in zip(texts, p):
+            ref = (
+                int.from_bytes(
+                    hashlib.md5(f"b{i}:{t}".encode()).digest()[:8], "little"
+                )
+                % _BLOOM_M
+            )
+            assert int(got) == ref
+
+
+def test_bloom_no_false_negatives_construction():
+    # any text's own positions are, by construction, a subset of the
+    # filter built from a set containing it
+    from signalsharp_ray.pipelines.queries5 import _bloom_positions
+
+    corpus = pd.Series(["doc one text", "doc two text", "third document"])
+    bits = set()
+    for p in _bloom_positions(corpus):
+        bits.update(int(x) for x in p)
+    probe = _bloom_positions(pd.Series(["doc two text"]))
+    assert all(int(p[0]) in bits for p in probe)
+
+
 def test_lttb_grid_keeps_spike():
     # a huge spike mid-series must survive downsampling
     from signalsharp_ray.pipelines.queries5 import lttb_grid_kernel
