@@ -2497,3 +2497,230 @@ FROM odds o
 
 QUERIES5["bloom_dedup_probe"] = q_bloom_dedup_probe
 ORACLES5["bloom_dedup_probe"] = BLOOM_DEDUP_PROBE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Session entry/exit flow matrix (landing -> exit analysis)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 1_800_000_000
+
+
+def session_entry_exit_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-group kernel for ONE user: gap-sessionize (the session_stats
+    contract), then each session's first and last event_type — per-user
+    (entry, exit) pair counts as int64 partials."""
+    d = df.sort_values(["ts_us", "event_id"], kind="mergesort")
+    ts = d["ts_us"].to_numpy()
+    gaps = np.diff(ts, prepend=ts[0])
+    sid = np.cumsum(gaps > _SESSION_GAP_US)
+    et = d["event_type"].to_numpy()
+    first = np.concatenate([[True], sid[1:] != sid[:-1]])
+    last = np.concatenate([sid[1:] != sid[:-1], [True]])
+    pairs = pd.DataFrame({"entry_type": et[first], "exit_type": et[last]})
+    g = pairs.groupby(["entry_type", "exit_type"], sort=False).size()
+    out = g.reset_index(name="n")
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+def q_session_entry_exit(sf_dir: str):
+    """Landing/exit flow matrix: for every session (30-minute-gap
+    sessionization, the session_stats contract), the (first event_type,
+    last event_type) pair, counted over all sessions — "what do visits
+    start and end with", the session-flow summary product analytics reads
+    next to funnel_conversion. One bucketed exchange on user_id; per-user
+    int64 pair partials merge order-free through a tiny second exchange.
+    """
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype(np.int64),
+                "ts_us": _ts_us(batch["ts"]),
+                "event_id": batch["event_id"].astype(np.int64),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    pairs = bucketed_map_groups(
+        ev.map_batches(prep, batch_format="pandas"),
+        ["user_id"],
+        session_entry_exit_kernel,
+    )
+    agg = hash_bucket_aggregate(pairs, ["entry_type", "exit_type"], [("n", "sum")])
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "entry_type": b["entry_type"],
+                "exit_type": b["exit_type"],
+                "n_sessions": b["n_sum"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+SESSION_ENTRY_EXIT_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM g
+),
+r AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn_f,
+         row_number() OVER (PARTITION BY user_id, sid ORDER BY ts DESC, event_id DESC) AS rn_l
+  FROM s
+),
+p AS (
+  SELECT f.user_id, f.sid,
+         f.event_type AS entry_type, l.event_type AS exit_type
+  FROM r f JOIN r l ON f.user_id = l.user_id AND f.sid = l.sid
+  WHERE f.rn_f = 1 AND l.rn_l = 1
+)
+SELECT entry_type, exit_type, COUNT(*) AS n_sessions
+FROM p GROUP BY 1, 2
+"""
+
+QUERIES5["session_entry_exit"] = q_session_entry_exit
+ORACLES5["session_entry_exit"] = SESSION_ENTRY_EXIT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Croston intermittent-demand forecast (per-user daily activity)
+# ---------------------------------------------------------------------------
+
+_CROSTON_ALPHA = 0.2
+
+
+def croston_user_kernel(df: pd.DataFrame, alpha: float = _CROSTON_ALPHA):
+    """Whole-group kernel for ONE user: Croston's method over the user's
+    daily event-count series on the shared [0, n_days) grid. Demand size
+    z and inter-demand interval p follow twin SES recursions updated only
+    on demand days (gap measured from the virtual day -1, so the first
+    demand initializes p = its day index + 1); forecast = z / p."""
+    idx = df["day_idx"].to_numpy(np.int64)
+    cnt = df["n"].to_numpy(np.int64)
+    order = np.argsort(idx, kind="stable")
+    idx, cnt = idx[order], cnt[order]
+    last_t = -1
+    started = False
+    z = 0.0
+    p = 0.0
+    for t, d in zip(idx, cnt):
+        gap = float(t - last_t)
+        dd = float(d)
+        if started:
+            z = z + alpha * (dd - z)
+            p = p + alpha * (gap - p)
+        else:
+            z = dd
+            p = gap
+            started = True
+        last_t = int(t)
+    return pd.DataFrame(
+        {
+            "user_id": [np.int64(df["user_id"].iloc[0])],
+            "n_demand_days": np.array([idx.size], dtype=np.int64),
+            "z_level": _r6away(z),
+            "p_interval": _r6away(p),
+            "croston_forecast": _r6away(z / p),
+        }
+    )
+
+
+def q_croston_forecast(sf_dir: str):
+    """Croston's intermittent-demand forecast of each user's daily
+    activity: most users are inactive most days, which breaks plain SES
+    (it decays toward zero between demands) — Croston instead smooths
+    demand SIZE and demand INTERVAL separately and forecasts their ratio,
+    the standard method for sparse/spiky demand (spare parts, long-tail
+    users). Extends the forecast family (linear/SES/Holt/Holt-Winters/
+    seasonal-naive) with the sparse regime; the oracle replays both SES
+    recursions in one multi-state recursive CTE over demand days only.
+
+    Scale: daily counts reduce through one exchange to (user, day) rows
+    bounded by users x retention days; the per-user recursion state is
+    O(1).
+    """
+    ev = _events(sf_dir, ["ts", "user_id"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (_ts_us(batch["ts"]) // DAY_US) * DAY_US
+        g = (
+            pd.DataFrame({"user_id": batch["user_id"].astype(np.int64), "day_us": day})
+            .groupby(["user_id", "day_us"], sort=False)
+            .size()
+        )
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    daily = hash_bucket_aggregate(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["user_id", "day_us"],
+        [("n", "sum")],
+    ).materialize()  # (user, day) rows — bounded; consumed twice below
+    lo = int(daily.min("day_us"))
+
+    def add_idx(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype(np.int64),
+                "day_idx": (batch["day_us"].to_numpy(np.int64) - lo) // DAY_US,
+                "n": batch["n_sum"].astype(np.int64),
+            }
+        )
+
+    return bucketed_map_groups(
+        daily.map_batches(add_idx, batch_format="pandas"),
+        ["user_id"],
+        croston_user_kernel,
+    )
+
+
+CROSTON_FORECAST_SQL = f"""
+WITH RECURSIVE
+d AS (
+  SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT MIN(day) AS lo FROM d),
+i AS (
+  SELECT d.user_id,
+         CAST((epoch_us(d.day) - epoch_us(b.lo)) // 86400000000 AS BIGINT) AS t,
+         CAST(d.n AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY d.user_id ORDER BY d.day) AS rn,
+         COUNT(*) OVER (PARTITION BY d.user_id) AS n_demand
+  FROM d, b
+),
+rec AS (
+  SELECT user_id, rn, n_demand,
+         CAST(n AS DOUBLE) AS z,
+         CAST(t + 1 AS DOUBLE) AS p,
+         t AS last_t
+  FROM i WHERE rn = 1
+  UNION ALL
+  SELECT i.user_id, i.rn, i.n_demand,
+         r.z + {_CROSTON_ALPHA} * (CAST(i.n AS DOUBLE) - r.z) AS z,
+         r.p + {_CROSTON_ALPHA} * (CAST(i.t - r.last_t AS DOUBLE) - r.p) AS p,
+         i.t AS last_t
+  FROM rec r JOIN i ON i.user_id = r.user_id AND i.rn = r.rn + 1
+)
+SELECT user_id, CAST(n_demand AS BIGINT) AS n_demand_days,
+       ROUND(z, 6) AS z_level,
+       ROUND(p, 6) AS p_interval,
+       ROUND(z / p, 6) AS croston_forecast
+FROM rec WHERE rn = n_demand
+"""
+
+QUERIES5["croston_forecast"] = q_croston_forecast
+ORACLES5["croston_forecast"] = CROSTON_FORECAST_SQL

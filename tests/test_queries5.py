@@ -532,6 +532,74 @@ def test_bloom_no_false_negatives_construction():
     assert all(int(p[0]) in bits for p in probe)
 
 
+def test_croston_known_answer():
+    from signalsharp_ray.pipelines.queries5 import croston_user_kernel
+
+    # demands 2 at day 0 and 4 at day 2, alpha=0.2:
+    # init z=2, p=1; then z=2+.2*(4-2)=2.4, p=1+.2*(2-1)=1.2 -> f=2.0
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([7, 7], dtype=np.int64),
+            "day_idx": np.array([0, 2], dtype=np.int64),
+            "n": np.array([2, 4], dtype=np.int64),
+        }
+    )
+    out = croston_user_kernel(df)
+    assert out["z_level"].iloc[0] == 2.4
+    assert out["p_interval"].iloc[0] == 1.2
+    assert out["croston_forecast"].iloc[0] == 2.0
+    assert out["n_demand_days"].iloc[0] == 2
+
+
+def test_croston_single_demand_day():
+    from signalsharp_ray.pipelines.queries5 import croston_user_kernel
+
+    # one demand at day 4 -> z = d, p = 5 (interval from virtual day -1)
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([1], dtype=np.int64),
+            "day_idx": np.array([4], dtype=np.int64),
+            "n": np.array([3], dtype=np.int64),
+        }
+    )
+    out = croston_user_kernel(df)
+    assert out["z_level"].iloc[0] == 3.0
+    assert out["p_interval"].iloc[0] == 5.0
+
+
+def test_croston_row_order_invariant():
+    from signalsharp_ray.pipelines.queries5 import croston_user_kernel
+
+    df = pd.DataFrame(
+        {
+            "user_id": np.full(5, 1, dtype=np.int64),
+            "day_idx": np.array([0, 3, 7, 12, 20], dtype=np.int64),
+            "n": np.array([1, 5, 2, 8, 3], dtype=np.int64),
+        }
+    )
+    shuffled = df.sample(frac=1.0, random_state=4).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        croston_user_kernel(df), croston_user_kernel(shuffled)
+    )
+
+
+def test_session_entry_exit_pairs():
+    from signalsharp_ray.pipelines.queries5 import session_entry_exit_kernel
+
+    HOUR = 3_600_000_000
+    # two sessions: [view, click, purchase] then (2h later) [error]
+    df = pd.DataFrame(
+        {
+            "user_id": np.full(4, 1, dtype=np.int64),
+            "ts_us": np.array([0, 60_000_000, 120_000_000, 2 * HOUR], dtype=np.int64),
+            "event_id": np.arange(4, dtype=np.int64),
+            "event_type": ["view", "click", "purchase", "error"],
+        }
+    )
+    out = session_entry_exit_kernel(df).set_index(["entry_type", "exit_type"])["n"]
+    assert out.to_dict() == {("view", "purchase"): 1, ("error", "error"): 1}
+
+
 def test_lttb_grid_keeps_spike():
     # a huge spike mid-series must survive downsampling
     from signalsharp_ray.pipelines.queries5 import lttb_grid_kernel
