@@ -2415,7 +2415,9 @@ def q_bloom_dedup_probe(sf_dir: str):
             count_alias="n",
         ).to_pandas()  # <= m rows — bounded by filter size, not corpus
     )
-    bitset_ref = ray.put(frozenset(bits_df["pos"].astype(np.int64).tolist()))
+    bitarr = np.zeros(_BLOOM_M, dtype=bool)
+    bitarr[bits_df["pos"].to_numpy(np.int64)] = True
+    bitset_ref = ray.put(bitarr)
 
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
         from .queries2 import _md5_u64
@@ -2433,7 +2435,7 @@ def q_bloom_dedup_probe(sf_dir: str):
         pos = _bloom_positions(b["text"])
         hit = np.ones(len(b), dtype=bool)
         for p in pos:
-            hit &= np.array([int(x) in bits for x in p])
+            hit &= bits[p]
         return pd.DataFrame(
             {
                 "doc_id": b["doc_id"].to_numpy(np.int64),
