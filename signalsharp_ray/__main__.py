@@ -63,6 +63,11 @@ def main(argv: list[str] | None = None) -> int:
         try:
             ray.init(address=args.address, include_dashboard=False)
         except ConnectionError:
+            # fall back to a local session only for the implicit default —
+            # an explicit --address that cannot be reached is a
+            # misconfiguration the user must see, not a silent local run
+            if args.address != "auto":
+                raise
             ray.init(address="local", include_dashboard=False)
 
     from signalsharp_ray.pipelines.flagship import (
@@ -78,8 +83,22 @@ def main(argv: list[str] | None = None) -> int:
         import ray.data as rd
 
         path = args.input
-        stat = os.stat(path)
-        fingerprint = f"parquet:{os.path.abspath(path)}:{stat.st_mtime_ns}"
+        # fingerprint the contained files, not the directory: overwriting
+        # a parquet file in place does not touch the parent dir's mtime,
+        # and a stale fingerprint would silently resume over old outputs
+        parts = []
+        if os.path.isdir(path):
+            for root, _, files in sorted(os.walk(path)):
+                for f in sorted(files):
+                    st = os.stat(os.path.join(root, f))
+                    parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+        else:
+            st = os.stat(path)
+            parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+        import hashlib
+
+        digest = hashlib.md5("|".join(parts).encode()).hexdigest()
+        fingerprint = f"parquet:{os.path.abspath(path)}:{digest}"
         res = run_flagship(lambda: rd.read_parquet(path), fingerprint, cfg)
     else:
         from signalsharp_ray.sources.synth import WebPagesSpec

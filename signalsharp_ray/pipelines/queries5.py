@@ -416,12 +416,14 @@ ORACLES5["sax_symbols"] = SAX_SYMBOLS_SQL
 
 
 def iqr_outliers_kernel(df: pd.DataFrame) -> pd.DataFrame:
-    """Whole-group kernel: exact q1/q3 (np.quantile linear ==
-    quantile_cont bitwise), Tukey 1.5*IQR fences as shared float
-    expressions, integer outlier count."""
+    """Whole-group kernel: q1/q3 quantiles ROUNDED to 6 dp before use —
+    numpy lerps a+(b-a)*t while DuckDB lerps a*(1-t)+b*t, which can
+    differ by 1 ulp, so the rounded quantiles are the shared anchor
+    (the anomaly_zscore boundary-membership rule) and the Tukey fences
+    and outlier count derive from them identically on both sides."""
     v = df["value"].to_numpy(np.float64)
-    q1 = float(np.quantile(v, 0.25))
-    q3 = float(np.quantile(v, 0.75))
+    q1 = float(_r6away(np.quantile(v, 0.25)))
+    q3 = float(_r6away(np.quantile(v, 0.75)))
     lo = q1 - 1.5 * (q3 - q1)
     hi = q3 + 1.5 * (q3 - q1)
     n_out = int(np.sum((v < lo) | (v > hi)))
@@ -453,8 +455,8 @@ def q_iqr_outliers(sf_dir: str):
 IQR_OUTLIERS_SQL = """
 WITH q AS (
   SELECT event_type,
-         quantile_cont(value, 0.25) AS q1,
-         quantile_cont(value, 0.75) AS q3
+         ROUND(quantile_cont(value, 0.25), 6) AS q1,
+         ROUND(quantile_cont(value, 0.75), 6) AS q3
   FROM events GROUP BY 1
 )
 SELECT e.event_type, q.q1, q.q3,
@@ -576,8 +578,6 @@ def q_bigram_vocabulary(sf_dir: str, k: int = _BIGRAM_K):
     one hash bucket) -> per-bucket top-K -> tiny driver merge of
     K x n_buckets rows; ties break (count DESC, bigram ASC).
     """
-    from ..common.raytools import bucketed_map_groups as bmg
-
     parts = _documents(sf_dir, ["text"]).map_batches(
         bigram_partial, batch_format="pandas"
     )
@@ -586,7 +586,7 @@ def q_bigram_vocabulary(sf_dir: str, k: int = _BIGRAM_K):
     def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["n_sum", "bigram"], ascending=[False, True]).head(k)
 
-    tops = bmg(agg, ["bigram"], None, whole_bucket_fn=bucket_topk)
+    tops = bucketed_map_groups(agg, ["bigram"], None, whole_bucket_fn=bucket_topk)
     out = tops.to_pandas()  # K x n_buckets rows — tiny
     out = out.sort_values(["n_sum", "bigram"], ascending=[False, True]).head(k)
     return pd.DataFrame(
@@ -661,12 +661,16 @@ FROM events GROUP BY 1, 2
 
 
 def _interchange_roundtrip(sf_dir: str, fmt: str):
+    import os
     import shutil
-    import uuid
 
     import ray.data as rd
 
-    out_dir = f"/tmp/signalsharp_ray/{fmt}_roundtrip_{uuid.uuid4().hex[:8]}"
+    # fixed per-(format, input) path, cleared before each run: repeated
+    # verification runs overwrite instead of accumulating /tmp copies
+    out_dir = (
+        f"/tmp/signalsharp_ray/{fmt}_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
     shutil.rmtree(out_dir, ignore_errors=True)
     tier = _hourly_cents_tier(sf_dir)
     if fmt == "csv":
@@ -1023,19 +1027,10 @@ def gini_type_kernel(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def q_gini_traffic(sf_dir: str):
-    """Gini coefficient of per-user event counts within each event_type —
-    the standard 0 (uniform) .. 1 (one user is all the traffic)
-    concentration index, quantifying exactly the key skew this engine's
-    salting docs plan for (user_activity_histogram shows the shape; Gini
-    reduces it to one comparable number per type).
-
-    Scale: per-(type, user) counts reduce through one bucketed exchange;
-    the rank-weighted sum needs the type's user counts sorted in one
-    kernel (same whole-group contract as winsorize — the bounded-memory
-    path at extreme cardinality is the value-histogram rank formula,
-    since counts are small ints).
-    """
+def _type_user_counts(sf_dir: str):
+    """Shared first stage of the concentration diagnostics (gini_traffic,
+    pareto_share): per-(event_type, user) event counts as exact int64,
+    reduced through one bucketed exchange."""
     ev = _events(sf_dir, ["user_id", "event_type"])
 
     def prep(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1045,7 +1040,7 @@ def q_gini_traffic(sf_dir: str):
         out["user_id"] = out["user_id"].astype(np.int64)
         return out
 
-    counts = hash_bucket_aggregate(
+    return hash_bucket_aggregate(
         ev.map_batches(prep, batch_format="pandas"),
         ["event_type", "user_id"],
         [("cnt", "sum")],
@@ -1059,7 +1054,24 @@ def q_gini_traffic(sf_dir: str):
         ),
         batch_format="pandas",
     )
-    return bucketed_map_groups(counts, ["event_type"], gini_type_kernel)
+
+
+def q_gini_traffic(sf_dir: str):
+    """Gini coefficient of per-user event counts within each event_type —
+    the standard 0 (uniform) .. 1 (one user is all the traffic)
+    concentration index, quantifying exactly the key skew this engine's
+    salting docs plan for (user_activity_histogram shows the shape; Gini
+    reduces it to one comparable number per type).
+
+    Scale: per-(type, user) counts reduce through one bucketed exchange;
+    the rank-weighted sum needs the type's user counts sorted in one
+    kernel (same whole-group contract as winsorize — the bounded-memory
+    path at extreme cardinality is the value-histogram rank formula,
+    since counts are small ints).
+    """
+    return bucketed_map_groups(
+        _type_user_counts(sf_dir), ["event_type"], gini_type_kernel
+    )
 
 
 GINI_TRAFFIC_SQL = """
@@ -1112,6 +1124,17 @@ def burstiness_kernel(df: pd.DataFrame) -> pd.DataFrame:
     gaps = np.diff(ts)
     n = int(gaps.size)
     s = int(gaps.sum())
+    if s == 0:
+        # all events share one timestamp: B = 0/0; the oracle drops the
+        # row (WHERE s > 0) and so do we
+        return pd.DataFrame(
+            {
+                "event_type": [],
+                "n_gaps": np.array([], dtype=np.int64),
+                "mean_gap_us": np.array([], dtype=np.float64),
+                "burstiness": np.array([], dtype=np.float64),
+            }
+        )
     q = sum(int(g) * int(g) for g in gaps)
     mean = float(s) / float(n)
     msq = float(q) / float(n)
@@ -1165,6 +1188,7 @@ a AS (
          CAST(SUM(gap) AS BIGINT) AS s,
          SUM(gap::HUGEINT * gap::HUGEINT) AS q
   FROM g GROUP BY 1
+  HAVING CAST(SUM(gap) AS BIGINT) > 0
 )
 SELECT event_type, n AS n_gaps,
        ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_gap_us,
@@ -1942,34 +1966,13 @@ def q_pareto_share(sf_dir: str):
     """The 80/20 check: what share of each event_type's traffic comes
     from its top 10% of users — the concentration companion to
     gini_traffic that answers the operational question directly ("how
-    hot are the hot keys"). Same plan as gini: one exchange for
-    per-(type, user) counts, whole-group decile cut; exact integer sums,
-    one shared division.
+    hot are the hot keys"). Same plan as gini (the shared
+    _type_user_counts stage): one exchange for per-(type, user) counts,
+    whole-group decile cut; exact integer sums, one shared division.
     """
-    ev = _events(sf_dir, ["user_id", "event_type"])
-
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby(["event_type", "user_id"], sort=False).size()
-        out = g.reset_index(name="cnt")
-        out["cnt"] = out["cnt"].astype(np.int64)
-        out["user_id"] = out["user_id"].astype(np.int64)
-        return out
-
-    counts = hash_bucket_aggregate(
-        ev.map_batches(prep, batch_format="pandas"),
-        ["event_type", "user_id"],
-        [("cnt", "sum")],
-    ).map_batches(
-        lambda b: pd.DataFrame(
-            {
-                "event_type": b["event_type"],
-                "user_id": b["user_id"].astype(np.int64),
-                "cnt": b["cnt_sum"].astype(np.int64),
-            }
-        ),
-        batch_format="pandas",
+    return bucketed_map_groups(
+        _type_user_counts(sf_dir), ["event_type"], pareto_type_kernel
     )
-    return bucketed_map_groups(counts, ["event_type"], pareto_type_kernel)
 
 
 PARETO_SHARE_SQL = """

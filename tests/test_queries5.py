@@ -290,6 +290,21 @@ def test_burstiness_metronome_is_minus_one():
     assert out["mean_gap_us"].iloc[0] == 1_000_000.0
 
 
+def test_burstiness_all_same_timestamp_emits_nothing():
+    # every gap zero -> B = 0/0; must drop the row (like the oracle's
+    # HAVING s > 0), not raise ZeroDivisionError
+    from signalsharp_ray.pipelines.queries5 import burstiness_kernel
+
+    df = pd.DataFrame(
+        {
+            "event_type": ["a"] * 5,
+            "ts_us": np.full(5, 42, dtype=np.int64),
+            "event_id": np.arange(5, dtype=np.int64),
+        }
+    )
+    assert len(burstiness_kernel(df)) == 0
+
+
 def test_burstiness_single_event_emits_nothing():
     from signalsharp_ray.pipelines.queries5 import burstiness_kernel
 
