@@ -26,6 +26,8 @@ def hash_bucket_aggregate(
     count_alias: str | None = None,
     bucket_cols: list[str] | None = None,
     keep_bucket: bool = False,
+    salt: int = 1,
+    _subsplit: int = 1,
 ):
     """Exact grouped aggregation that scales with HIGH key cardinality.
 
@@ -41,10 +43,44 @@ def hash_bucket_aggregate(
     bucket_cols: columns to derive the shuffle bucket from (must be a
     function of the keys — e.g. a precomputed integer url_hash — so every
     key still lands in exactly one bucket); defaults to the keys.
+
+    salt: hot-key skew mitigation. With salt = S > 1, each key's rows are
+    SPLIT round-robin across S sub-buckets (so one hot key — a viral url,
+    a bot user — cannot make a single aggregation task hold its entire
+    row set), partial-aggregated there, and the <= S partials per key
+    merge through a second tiny exchange. Exact for the same associative
+    ops; costs one extra exchange over partial rows, so use it where a
+    per-batch combiner cannot run first (raw-row exchanges). Results are
+    identical for any salt (unit-tested over adversarially skewed keys).
     """
     if n_buckets is None:
         n_buckets = default_buckets()
     bcols = bucket_cols or keys
+
+    if salt > 1:
+        if keep_bucket:
+            raise ValueError("keep_bucket is not supported with salt > 1")
+        partials = hash_bucket_aggregate(
+            ds, keys, aggs,
+            n_buckets=n_buckets, count_alias=count_alias,
+            bucket_cols=bcols, _subsplit=salt,
+        )
+        merge_aggs = [
+            (f"{c}_{op}", op if op in ("min", "max") else "sum") for c, op in aggs
+        ]
+        if count_alias is not None:
+            merge_aggs = merge_aggs + [(count_alias, "sum")]
+        merged = hash_bucket_aggregate(
+            partials, keys, merge_aggs, n_buckets=n_buckets
+        )
+        renames = {
+            f"{c}_{op}_{'min' if op == 'min' else 'max' if op == 'max' else 'sum'}":
+                f"{c}_{op}"
+            for c, op in aggs
+        }
+        if count_alias is not None:
+            renames[f"{count_alias}_sum"] = count_alias
+        return merged.rename_columns(renames)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         h = np.zeros(batch.num_rows, dtype=np.uint64)
@@ -59,9 +95,14 @@ def hash_bucket_aggregate(
                     else col,
                     categorize=False,
                 )
-        return batch.append_column(
-            "__bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
-        )
+        b = (h % np.uint64(n_buckets)).astype(np.int64)
+        if _subsplit > 1:
+            # salted phase 1: spread each key's rows round-robin across
+            # _subsplit sub-buckets so a hot key never concentrates
+            b = b * np.int64(_subsplit) + (
+                np.arange(batch.num_rows, dtype=np.int64) % np.int64(_subsplit)
+            )
+        return batch.append_column("__bucket", pa.array(b))
 
     agg_specs = [(c, op) for c, op in aggs]
     if count_alias is not None:

@@ -285,6 +285,57 @@ class TestEngineExactness:
         np.testing.assert_array_equal(got["v_max"], want["v_max"])
         np.testing.assert_array_equal(got["n"], want["n"])
 
+    def test_salted_aggregate_identical_on_skewed_keys(self):
+        # one hot key holds ~90% of rows: salt=4 must split it across
+        # sub-buckets yet produce EXACTLY the salt=1 result (int sums
+        # so the merge is order-free and comparison exact)
+        import ray.data as rd
+
+        from signalsharp_ray.common.raytools import hash_bucket_aggregate
+
+        rng = np.random.default_rng(17)
+        n = 20_000
+        hot = rng.random(n) < 0.9
+        df = pd.DataFrame(
+            {
+                "k": np.where(hot, 7, rng.integers(0, 50, n)).astype(np.int64),
+                "v": rng.integers(-1000, 1000, n).astype(np.int64),
+            }
+        )
+        ds = rd.from_pandas(df).repartition(11)
+        kwargs = dict(
+            aggs=[("v", "sum"), ("v", "min"), ("v", "max")],
+            count_alias="n",
+            n_buckets=5,
+        )
+        plain = (
+            hash_bucket_aggregate(ds, ["k"], **kwargs)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        salted = (
+            hash_bucket_aggregate(ds, ["k"], salt=4, **kwargs)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            plain, salted[plain.columns.tolist()], check_dtype=False
+        )
+
+    def test_salted_aggregate_rejects_keep_bucket(self):
+        import pytest
+        import ray.data as rd
+
+        from signalsharp_ray.common.raytools import hash_bucket_aggregate
+
+        ds = rd.from_pandas(pd.DataFrame({"k": [1], "v": [1]}))
+        with pytest.raises(ValueError):
+            hash_bucket_aggregate(
+                ds, ["k"], [("v", "sum")], salt=2, keep_bucket=True
+            )
+
     def test_hash_exchange_partitions_completely_and_exactly(self):
         import pyarrow as pa
         import ray.data as rd
