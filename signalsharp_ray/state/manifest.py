@@ -30,6 +30,11 @@ class StageRecord:
     wall_s: float
     lineage: list[str] = field(default_factory=list)
     completed_at: float = 0.0
+    # per-partition lineage: hive partition dir -> {rows, bytes}; lets an
+    # operator audit exactly which key ranges a stage produced and a
+    # downstream consumer skip finished partitions by name (north rule:
+    # per-partition lineage + row-count/byte metrics)
+    partitions: dict = field(default_factory=dict)
 
 
 class PipelineManifest:
@@ -95,6 +100,7 @@ class PipelineManifest:
                 bytes=nbytes,
                 wall_s=time.time() - t0,
                 lineage=lineage,
+                partitions=_partition_stats(out_dir),
             )
         )
         return out_dir, False
@@ -112,3 +118,24 @@ def _parquet_stats(directory: str) -> tuple[int, int]:
                 rows += pq.ParquetFile(p).metadata.num_rows
                 nbytes += os.path.getsize(p)
     return rows, nbytes
+
+
+def _partition_stats(directory: str) -> dict:
+    """Per-hive-partition (first-level `key=value` dir) rows/bytes from the
+    parquet footers — the per-partition lineage record. Flat outputs (no
+    hive dirs) record a single '.' partition."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for dirpath, _, files in os.walk(directory):
+        pq_files = [f for f in files if f.endswith(".parquet")]
+        if not pq_files:
+            continue
+        rel = os.path.relpath(dirpath, directory)
+        part = "." if rel == "." else rel.split(os.sep)[0]
+        slot = out.setdefault(part, {"rows": 0, "bytes": 0})
+        for fn in pq_files:
+            p = os.path.join(dirpath, fn)
+            slot["rows"] += pq.ParquetFile(p).metadata.num_rows
+            slot["bytes"] += os.path.getsize(p)
+    return out

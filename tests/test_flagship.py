@@ -38,6 +38,15 @@ def test_flagship_end_to_end_and_resume(out_root):
         )
         assert has_parquet, stage
 
+    # per-partition lineage: every stage records hive-partition rows/bytes
+    # that sum to the stage totals
+    for stage in ["tier_1m", "tier_1h", "tier_1d"]:
+        rec = res["manifest"][stage]
+        assert rec["partitions"], stage
+        assert all(k.startswith("series_bucket=") for k in rec["partitions"])
+        assert sum(p["rows"] for p in rec["partitions"].values()) == rec["rows"]
+        assert sum(p["bytes"] for p in rec["partitions"].values()) == rec["bytes"]
+
     pts = pd.read_parquet(outs["points"])
     t1m = pd.read_parquet(outs["tier_1m"])
     t1h = pd.read_parquet(outs["tier_1h"])
