@@ -2729,3 +2729,223 @@ FROM rec WHERE rn = n_demand
 
 QUERIES5["croston_forecast"] = q_croston_forecast
 ORACLES5["croston_forecast"] = CROSTON_FORECAST_SQL
+
+
+# ---------------------------------------------------------------------------
+# Bigram PMI collocations
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_N = 5
+
+
+def q_bigram_pmi(sf_dir: str, min_n: int = _PMI_MIN_N):
+    """Collocation mining: pointwise mutual information of adjacent-token
+    bigrams, PMI = ln(N * c_ab / (c_a * c_b)) with N = total token count
+    — the statistic that separates true phrases ("exhaust manifold") from
+    merely-frequent pairs ("of the"), standard preprocessing for
+    phrase-aware tokenizers. Bigrams below min_n occurrences are dropped
+    (PMI is noise at tiny counts).
+
+    All four counts are exact int64 corpus aggregates (the vocabulary /
+    bigram_vocabulary combiners); the PMI is ONE shared float expression
+    per surviving bigram. Unigram counts broadcast once via ray.put
+    (bounded by vocabulary, documented; the co-partitioned alternative is
+    token_rarity's join) — here the min_n-filtered bigram table is small
+    enough that the scoring pass is driver-side over a tiny frame.
+    """
+    import re as _re
+
+    word_re = _re.compile(r"\w+")
+
+    def unigram_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.lower().str.findall(word_re)
+        ex = words.explode().dropna()
+        vc = ex.value_counts()
+        return pd.DataFrame({"tok": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
+
+    docs = _documents(sf_dir, ["text"])
+    uni = (
+        hash_bucket_aggregate(
+            docs.map_batches(unigram_partial, batch_format="pandas"),
+            ["tok"],
+            [("n", "sum")],
+        ).to_pandas()  # corpus vocabulary — bounded
+    )
+    n_total = int(uni["n_sum"].sum())
+    uni_map = pd.Series(uni["n_sum"].to_numpy(np.int64), index=uni["tok"].to_numpy())
+
+    big = (
+        hash_bucket_aggregate(
+            docs.map_batches(bigram_partial, batch_format="pandas"),
+            ["bigram"],
+            [("n", "sum")],
+        ).to_pandas()
+    )
+    big = big[big["n_sum"] >= min_n].copy()
+    parts = big["bigram"].str.split(" ", n=1, expand=True)
+    c_a = parts[0].map(uni_map).to_numpy(np.int64)
+    c_b = parts[1].map(uni_map).to_numpy(np.int64)
+    c_ab = big["n_sum"].to_numpy(np.int64)
+    ratio = (float(n_total) * c_ab.astype(np.float64)) / (
+        c_a.astype(np.float64) * c_b.astype(np.float64)
+    )
+    # math.log, not np.log: numpy's SIMD log diverges from libm (== DuckDB
+    # ln) in the last ulp; the table is min_n-filtered and tiny
+    pmi = np.array([math.log(x) for x in ratio], dtype=np.float64)
+    return pd.DataFrame(
+        {
+            "bigram": big["bigram"].to_numpy(),
+            "n_ab": c_ab,
+            "n_a": c_a,
+            "n_b": c_b,
+            "pmi": _r6away(pmi),
+        }
+    )
+
+
+BIGRAM_PMI_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[\\p{{L}}\\p{{N}}_]+') AS toks
+  FROM documents
+),
+u AS (
+  SELECT doc_id, UNNEST(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t
+),
+uni AS (SELECT tok, COUNT(*) AS n FROM u GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM uni),
+b AS (
+  SELECT doc_id, tok,
+         LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM u
+),
+big AS (
+  SELECT tok AS w_a, nxt AS w_b, COUNT(*) AS n_ab
+  FROM b WHERE nxt IS NOT NULL GROUP BY 1, 2
+  HAVING COUNT(*) >= {_PMI_MIN_N}
+)
+SELECT big.w_a || ' ' || big.w_b AS bigram,
+       CAST(big.n_ab AS BIGINT) AS n_ab,
+       CAST(ua.n AS BIGINT) AS n_a,
+       CAST(ub.n AS BIGINT) AS n_b,
+       ROUND(ln((CAST(tot.n_total AS DOUBLE) * CAST(big.n_ab AS DOUBLE))
+                / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE))), 6) AS pmi
+FROM big
+CROSS JOIN tot
+JOIN uni ua ON ua.tok = big.w_a
+JOIN uni ub ON ub.tok = big.w_b
+"""
+
+QUERIES5["bigram_pmi"] = q_bigram_pmi
+ORACLES5["bigram_pmi"] = BIGRAM_PMI_SQL
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap (per-type user-set Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def q_audience_overlap(sf_dir: str):
+    """Audience overlap matrix: for every pair of event types, the exact
+    distinct-user counts of each, of their intersection, and the Jaccard
+    overlap — "do purchasers and error-reporters come from the same
+    users", the segmentation question behind cross-feature targeting.
+
+    Exact at scale without an all-pairs self-join of users: the distinct
+    (user, type) pairs reduce through one exchange; each user's type SET
+    then compresses to a BITMASK (|types| bits), whose histogram is at
+    most 2^|types| rows — pair intersections are integer sums over that
+    tiny histogram, never a second pass over users. Jaccard is the one
+    shared float per pair.
+    """
+    import ray
+
+    ev = _events(sf_dir, ["user_id", "event_type"])
+
+    def distinct_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["user_id", "event_type"]].drop_duplicates()
+
+    pairs = hash_bucket_aggregate(
+        ev.map_batches(distinct_partial, batch_format="pandas"),
+        ["user_id", "event_type"],
+        [],
+        count_alias="n",
+    )
+    # the type catalog is tiny; fix the bit assignment once and broadcast
+    types = sorted(
+        hash_bucket_aggregate(pairs, ["event_type"], [], count_alias="n")
+        .to_pandas()["event_type"]
+        .tolist()
+    )
+    bit = {t: 1 << i for i, t in enumerate(types)}
+    bit_ref = ray.put(bit)
+
+    def user_mask_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bit_ref)
+        m = (
+            df.assign(bb=df["event_type"].map(b))
+            .groupby("user_id", sort=False)["bb"]
+            .sum()
+        )
+        vc = m.value_counts()
+        return pd.DataFrame(
+            {"mask": vc.index.to_numpy(np.int64), "n": vc.to_numpy(np.int64)}
+        )
+
+    # distributed: per-user masks inside user-bucketed kernels, then the
+    # tiny (<= 2^|types| rows) mask histogram merges exactly
+    hist = (
+        hash_bucket_aggregate(
+            bucketed_map_groups(pairs, ["user_id"], None,
+                                whole_bucket_fn=user_mask_bucket),
+            ["mask"],
+            [("n", "sum")],
+        ).to_pandas()
+    )
+    masks = hist["mask"].to_numpy(np.int64)
+    counts = hist["n_sum"].to_numpy(np.int64)
+    rows = []
+    for i, a in enumerate(types):
+        for b_t in types[i + 1 :]:
+            ba, bb = bit[a], bit[b_t]
+            n_a = int(counts[(masks & ba) > 0].sum())
+            n_b = int(counts[(masks & bb) > 0].sum())
+            n_both = int(counts[((masks & ba) > 0) & ((masks & bb) > 0)].sum())
+            union = n_a + n_b - n_both
+            rows.append(
+                (a, b_t, n_a, n_b, n_both, float(n_both) / float(union))
+            )
+    return pd.DataFrame(
+        {
+            "type_a": [r[0] for r in rows],
+            "type_b": [r[1] for r in rows],
+            "n_users_a": np.array([r[2] for r in rows], dtype=np.int64),
+            "n_users_b": np.array([r[3] for r in rows], dtype=np.int64),
+            "n_both": np.array([r[4] for r in rows], dtype=np.int64),
+            "jaccard": _r6away(np.array([r[5] for r in rows])),
+        }
+    )
+
+
+AUDIENCE_OVERLAP_SQL = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT event_type, COUNT(*) AS n_users FROM d GROUP BY 1),
+x AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT na.event_type AS type_a, nb.event_type AS type_b,
+       CAST(na.n_users AS BIGINT) AS n_users_a,
+       CAST(nb.n_users AS BIGINT) AS n_users_b,
+       CAST(COALESCE(x.n_both, 0) AS BIGINT) AS n_both,
+       ROUND(CAST(COALESCE(x.n_both, 0) AS DOUBLE)
+             / CAST(na.n_users + nb.n_users - COALESCE(x.n_both, 0) AS DOUBLE),
+             6) AS jaccard
+FROM n na
+JOIN n nb ON na.event_type < nb.event_type
+LEFT JOIN x ON x.type_a = na.event_type AND x.type_b = nb.event_type
+"""
+
+QUERIES5["audience_overlap"] = q_audience_overlap
+ORACLES5["audience_overlap"] = AUDIENCE_OVERLAP_SQL
