@@ -2949,3 +2949,200 @@ LEFT JOIN x ON x.type_a = na.event_type AND x.type_b = nb.event_type
 
 QUERIES5["audience_overlap"] = q_audience_overlap
 ORACLES5["audience_overlap"] = AUDIENCE_OVERLAP_SQL
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-purchase pairs (same-order part pairs)
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_K = 100
+
+
+def copurchase_bucket_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-BUCKET kernel, vectorized across every order in the bucket:
+    distinct (order, part) rows self-merge on orderkey (C-level pandas
+    hash join) and keep part_a < part_b — identical pairs to a per-order
+    triu loop without 10^5 Python kernel invocations. Pairs per order are
+    C(lines, 2) with lines bounded by the order's line count."""
+    d = df[["orderkey", "partkey"]].drop_duplicates()
+    m = d.merge(d, on="orderkey", suffixes=("_a", "_b"))
+    m = m[m["partkey_a"] < m["partkey_b"]]
+    g = m.groupby(["partkey_a", "partkey_b"], sort=False).size()
+    out = g.reset_index(name="n")
+    return pd.DataFrame(
+        {
+            "part_a": out["partkey_a"].to_numpy(np.int64),
+            "part_b": out["partkey_b"].to_numpy(np.int64),
+            "n": out["n"].to_numpy(np.int64),
+        }
+    )
+
+
+def q_copurchase_pairs(sf_dir: str, k: int = _COPURCHASE_K):
+    """Market-basket analysis: the top-K part pairs bought together in
+    the same order ("customers who bought A also bought B"), ranked by
+    co-occurrence count with (count DESC, part_a, part_b) determinism —
+    the co-purchase graph edge list recommendation systems start from.
+
+    Scale: one bucketed exchange on orderkey; per-order pair generation
+    is bounded by the order's line count; pair counts merge as int sums
+    through a second exchange, and the top-K uses the associative
+    per-bucket-topK + tiny-driver-merge shape (vocabulary pattern).
+    """
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "orderkey": b["l_orderkey"].astype(np.int64),
+                "partkey": b["l_partkey"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    pairs = bucketed_map_groups(
+        li, ["orderkey"], None, whole_bucket_fn=copurchase_bucket_kernel
+    )
+    agg = hash_bucket_aggregate(pairs, ["part_a", "part_b"], [("n", "sum")])
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n_sum", "part_a", "part_b"], ascending=[False, True, True]
+        ).head(k)
+
+    tops = bucketed_map_groups(
+        agg, ["part_a", "part_b"], None, whole_bucket_fn=bucket_topk
+    )
+    out = tops.to_pandas()  # K x n_buckets rows — tiny
+    out = out.sort_values(
+        ["n_sum", "part_a", "part_b"], ascending=[False, True, True]
+    ).head(k)
+    return pd.DataFrame(
+        {
+            "part_a": out["part_a"].to_numpy(np.int64),
+            "part_b": out["part_b"].to_numpy(np.int64),
+            "n_orders": out["n_sum"].to_numpy(np.int64),
+        }
+    )
+
+
+COPURCHASE_PAIRS_SQL = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT {_COPURCHASE_K}
+"""
+
+QUERIES5["copurchase_pairs"] = q_copurchase_pairs
+ORACLES5["copurchase_pairs"] = COPURCHASE_PAIRS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Bounce rate per landing type
+# ---------------------------------------------------------------------------
+
+
+def bounce_user_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-group kernel for ONE user: sessionize (session_stats
+    contract) and emit per-(entry_type) session/bounce counts."""
+    d = df.sort_values(["ts_us", "event_id"], kind="mergesort")
+    ts = d["ts_us"].to_numpy()
+    gaps = np.diff(ts, prepend=ts[0])
+    sid = np.cumsum(gaps > _SESSION_GAP_US)
+    et = d["event_type"].to_numpy()
+    first = np.concatenate([[True], sid[1:] != sid[:-1]])
+    sizes = np.bincount(sid)
+    entry = et[first]
+    bounce = (sizes == 1).astype(np.int64)
+    g = (
+        pd.DataFrame({"entry_type": entry, "n_sessions": 1, "n_bounces": bounce})
+        .groupby("entry_type", sort=False)
+        .sum()
+    )
+    out = g.reset_index()
+    out["n_sessions"] = out["n_sessions"].astype(np.int64)
+    out["n_bounces"] = out["n_bounces"].astype(np.int64)
+    return out
+
+
+def q_bounce_rate(sf_dir: str):
+    """Bounce rate per landing event type: the share of sessions that
+    contain exactly ONE event, grouped by what the session started with —
+    the engagement metric read next to session_entry_exit (which shows
+    where sessions go; this shows which landings go nowhere). Same
+    single-exchange sessionization contract; integer partials, one
+    shared division.
+    """
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype(np.int64),
+                "ts_us": _ts_us(batch["ts"]),
+                "event_id": batch["event_id"].astype(np.int64),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    partials = bucketed_map_groups(
+        ev.map_batches(prep, batch_format="pandas"), ["user_id"], bounce_user_kernel
+    )
+    agg = hash_bucket_aggregate(
+        partials, ["entry_type"], [("n_sessions", "sum"), ("n_bounces", "sum")]
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "entry_type": b["entry_type"],
+                "n_sessions": b["n_sessions_sum"].astype(np.int64),
+                "n_bounces": b["n_bounces_sum"].astype(np.int64),
+                "bounce_rate": _r6away(
+                    b["n_bounces_sum"].to_numpy(np.float64)
+                    / b["n_sessions_sum"].to_numpy(np.float64)
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+BOUNCE_RATE_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM g
+),
+sess AS (
+  SELECT user_id, sid,
+         MIN(ts) AS t0, COUNT(*) AS n_ev
+  FROM s GROUP BY 1, 2
+),
+entry AS (
+  SELECT se.user_id, se.sid, se.n_ev, s.event_type AS entry_type
+  FROM sess se
+  JOIN s ON s.user_id = se.user_id AND s.sid = se.sid AND s.ts = se.t0
+  QUALIFY row_number() OVER (PARTITION BY se.user_id, se.sid
+                             ORDER BY s.event_id) = 1
+)
+SELECT entry_type,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       ROUND(CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+FROM entry GROUP BY 1
+"""
+
+QUERIES5["bounce_rate"] = q_bounce_rate
+ORACLES5["bounce_rate"] = BOUNCE_RATE_SQL

@@ -615,6 +615,62 @@ def test_session_entry_exit_pairs():
     assert out.to_dict() == {("view", "purchase"): 1, ("error", "error"): 1}
 
 
+def test_copurchase_pairs_distinct_and_cross_order():
+    from signalsharp_ray.pipelines.queries5 import copurchase_bucket_kernel
+
+    df = pd.DataFrame(
+        {
+            "orderkey": np.array([1, 1, 1, 2, 2, 3], dtype=np.int64),
+            # order 1 has a duplicate part 10 (two lines) -> counted once
+            "partkey": np.array([10, 10, 20, 10, 20, 30], dtype=np.int64),
+        }
+    )
+    out = copurchase_bucket_kernel(df).set_index(["part_a", "part_b"])["n"]
+    assert out.to_dict() == {(10, 20): 2}  # orders 1 and 2; order 3 has 1 part
+
+
+def test_copurchase_matches_per_order_triu():
+    from signalsharp_ray.pipelines.queries5 import copurchase_bucket_kernel
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for ok in range(200):
+        for pk in rng.choice(50, rng.integers(1, 8), replace=False):
+            rows.append((ok, int(pk)))
+    df = pd.DataFrame(rows, columns=["orderkey", "partkey"]).astype(np.int64)
+    got = (
+        copurchase_bucket_kernel(df)
+        .groupby(["part_a", "part_b"])["n"]
+        .sum()
+        .sort_index()
+    )
+    want: dict = {}
+    for _, g in df.groupby("orderkey"):
+        ps = np.unique(g["partkey"].to_numpy())
+        for i in range(ps.size):
+            for j in range(i + 1, ps.size):
+                want[(ps[i], ps[j])] = want.get((ps[i], ps[j]), 0) + 1
+    assert got.to_dict() == want
+
+
+def test_bounce_rate_kernel():
+    from signalsharp_ray.pipelines.queries5 import bounce_user_kernel
+
+    HOUR = 3_600_000_000
+    # session 1: [view, click] (no bounce); session 2: [view] (bounce)
+    df = pd.DataFrame(
+        {
+            "user_id": np.full(3, 1, dtype=np.int64),
+            "ts_us": np.array([0, 60_000_000, 2 * HOUR], dtype=np.int64),
+            "event_id": np.arange(3, dtype=np.int64),
+            "event_type": ["view", "click", "view"],
+        }
+    )
+    out = bounce_user_kernel(df).set_index("entry_type")
+    assert out.loc["view", "n_sessions"] == 2
+    assert out.loc["view", "n_bounces"] == 1
+
+
 def test_lttb_grid_keeps_spike():
     # a huge spike mid-series must survive downsampling
     from signalsharp_ray.pipelines.queries5 import lttb_grid_kernel
