@@ -3146,3 +3146,106 @@ FROM entry GROUP BY 1
 
 QUERIES5["bounce_rate"] = q_bounce_rate
 ORACLES5["bounce_rate"] = BOUNCE_RATE_SQL
+
+
+# ---------------------------------------------------------------------------
+# DAU / MAU stickiness (exact windowed distinct users)
+# ---------------------------------------------------------------------------
+
+_MAU_WINDOW_DAYS = 30
+
+
+def q_dau_mau_stickiness(sf_dir: str, window: int = _MAU_WINDOW_DAYS):
+    """Growth accounting: per calendar day, DAU (distinct users active
+    that day), MAU (distinct users active in the trailing 30-day window
+    ending that day), and stickiness = DAU/MAU — the engagement ratio
+    every consumer product reports. Days before a full window has
+    elapsed still report (the window clips at the data's start), matching
+    how dashboards chart a young product.
+
+    Exact windowed DISTINCT without per-day rescans: each distinct
+    (user, active day) pair EXPANDS to the <= 30 window-days it keeps the
+    user counted in; deduping (user, window_day) and counting per day is
+    then a plain exact distinct count. Row expansion is bounded by
+    30 x active-pairs (documented); both legs reduce through bucketed
+    exchanges, and days themselves are calendar-bounded.
+    """
+    ev = _events(sf_dir, ["ts", "user_id"])
+
+    def day_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (_ts_us(batch["ts"]) // DAY_US) * DAY_US
+        return pd.DataFrame(
+            {"user_id": batch["user_id"].astype(np.int64), "day_us": day}
+        ).drop_duplicates()
+
+    active = hash_bucket_aggregate(
+        ev.map_batches(day_pairs, batch_format="pandas"),
+        ["user_id", "day_us"],
+        [],
+        count_alias="n",
+    ).materialize()  # distinct (user, active-day) — bounded; consumed twice
+    hi = int(active.max("day_us"))
+
+    dau = hash_bucket_aggregate(active, ["day_us"], [], count_alias="dau")
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        day = batch["day_us"].to_numpy(np.int64)
+        uid = batch["user_id"].to_numpy(np.int64)
+        offs = np.arange(window, dtype=np.int64) * DAY_US
+        wday = (day[:, None] + offs[None, :]).ravel()
+        wuid = np.repeat(uid, window)
+        keep = wday <= hi
+        return pd.DataFrame(
+            {"user_id": wuid[keep], "day_us": wday[keep]}
+        ).drop_duplicates()
+
+    mau = hash_bucket_aggregate(
+        hash_bucket_aggregate(
+            active.map_batches(expand, batch_format="pandas"),
+            ["user_id", "day_us"],
+            [],
+            count_alias="n",
+        ),
+        ["day_us"],
+        [],
+        count_alias="mau",
+    )
+
+    from ..common.raytools import bucketed_join
+
+    joined = bucketed_join(dau, mau, on=["day_us"])
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": pd.to_datetime(batch["day_us"].astype(np.int64), unit="us"),
+                "dau": batch["dau"].astype(np.int64),
+                "mau": batch["mau"].astype(np.int64),
+                "stickiness": _r6away(
+                    batch["dau"].to_numpy(np.float64)
+                    / batch["mau"].to_numpy(np.float64)
+                ),
+            }
+        )
+
+    return joined.map_batches(fmt, batch_format="pandas")
+
+
+DAU_MAU_STICKINESS_SQL = f"""
+WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+days AS (SELECT DISTINCT day FROM a),
+dau AS (SELECT day, COUNT(*) AS dau FROM a GROUP BY 1),
+mau AS (
+  SELECT d.day, COUNT(DISTINCT a.user_id) AS mau
+  FROM days d
+  JOIN a ON a.day <= d.day
+        AND a.day > d.day - INTERVAL {_MAU_WINDOW_DAYS} DAY
+  GROUP BY 1
+)
+SELECT d.day, CAST(dau.dau AS BIGINT) AS dau, CAST(mau.mau AS BIGINT) AS mau,
+       ROUND(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE), 6) AS stickiness
+FROM days d JOIN dau USING (day) JOIN mau USING (day)
+"""
+
+QUERIES5["dau_mau_stickiness"] = q_dau_mau_stickiness
+ORACLES5["dau_mau_stickiness"] = DAU_MAU_STICKINESS_SQL
