@@ -3249,3 +3249,342 @@ FROM days d JOIN dau USING (day) JOIN mau USING (day)
 
 QUERIES5["dau_mau_stickiness"] = q_dau_mau_stickiness
 ORACLES5["dau_mau_stickiness"] = DAU_MAU_STICKINESS_SQL
+
+
+# ---------------------------------------------------------------------------
+# First-touch attribution (acquisition channel -> purchases)
+# ---------------------------------------------------------------------------
+
+
+def first_touch_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-group kernel for ONE user: the first event_type ever seen
+    (ts, event_id order) and the user's lifetime purchase count."""
+    d = df.sort_values(["ts_us", "event_id"], kind="mergesort")
+    return pd.DataFrame(
+        {
+            "channel": [d["event_type"].iloc[0]],
+            "n_users": np.array([1], dtype=np.int64),
+            "n_purchases": np.array(
+                [int((d["event_type"] == "purchase").sum())], dtype=np.int64
+            ),
+        }
+    )
+
+
+def q_first_touch_attribution(sf_dir: str):
+    """First-touch attribution: users grouped by the very first event
+    type they ever produced (their acquisition channel), with the
+    channel's user count, total lifetime purchases, and purchases per
+    user — the marketing-attribution rollup that answers "which entry
+    point produces buyers". One bucketed exchange on user_id; per-user
+    kernel state is one user's events; channel partials are exact int64.
+    """
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype(np.int64),
+                "ts_us": _ts_us(batch["ts"]),
+                "event_id": batch["event_id"].astype(np.int64),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    per_user = bucketed_map_groups(
+        ev.map_batches(prep, batch_format="pandas"), ["user_id"], first_touch_kernel
+    )
+    agg = hash_bucket_aggregate(
+        per_user, ["channel"], [("n_users", "sum"), ("n_purchases", "sum")]
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "channel": b["channel"],
+                "n_users": b["n_users_sum"].astype(np.int64),
+                "n_purchases": b["n_purchases_sum"].astype(np.int64),
+                "purchases_per_user": _r6away(
+                    b["n_purchases_sum"].to_numpy(np.float64)
+                    / b["n_users_sum"].to_numpy(np.float64)
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+FIRST_TOUCH_ATTRIBUTION_SQL = """
+WITH f AS (
+  SELECT user_id, event_type AS channel
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+),
+p AS (
+  SELECT user_id, COUNT(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT f.channel,
+       COUNT(*) AS n_users,
+       CAST(SUM(COALESCE(p.n_purchases, 0)) AS BIGINT) AS n_purchases,
+       ROUND(CAST(SUM(COALESCE(p.n_purchases, 0)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS purchases_per_user
+FROM f LEFT JOIN p USING (user_id)
+GROUP BY 1
+"""
+
+QUERIES5["first_touch_attribution"] = q_first_touch_attribution
+ORACLES5["first_touch_attribution"] = FIRST_TOUCH_ATTRIBUTION_SQL
+
+
+# ---------------------------------------------------------------------------
+# Shipping SLA by order priority
+# ---------------------------------------------------------------------------
+
+_SLA_DAYS = 90
+
+
+def q_shipping_sla(sf_dir: str, sla_days: int = _SLA_DAYS):
+    """Fulfilment SLA report: per order priority, how many orders had
+    ANY line item shipped more than 90 days after the order date (the
+    late flag an ops dashboard pages on), with the late share. The
+    order-level flag is an OR across the order's lines, computed as a
+    max-reduction partial per batch — so the orderkey exchange moves one
+    row per (batch, order), then priorities reduce to a tiny table.
+    Day arithmetic is exact integer microseconds.
+    """
+    import ray.data as rd
+
+    from ..common.raytools import bucketed_join
+
+    sla_us = sla_days * DAY_US
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "orderkey": b["l_orderkey"].astype(np.int64),
+                "ship_us": _ts_us(b["l_shipdate"]),
+            }
+        )
+        .groupby("orderkey", sort=False)
+        .agg(max_ship_us=("ship_us", "max"))
+        .reset_index(),
+        batch_format="pandas",
+    )
+    max_ship = hash_bucket_aggregate(li, ["orderkey"], [("max_ship_us", "max")])
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "orderkey": b["o_orderkey"].astype(np.int64),
+                "order_us": _ts_us(b["o_orderdate"]),
+                "priority": b["o_orderpriority"].astype(str),
+            }
+        ),
+        batch_format="pandas",
+    )
+    joined = bucketed_join(orders, max_ship, on=["orderkey"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        late = (
+            batch["max_ship_us_max"].to_numpy(np.int64)
+            - batch["order_us"].to_numpy(np.int64)
+            > sla_us
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame({"priority": batch["priority"], "late": late})
+            .groupby("priority", sort=False)
+            .agg(n_orders=("late", "size"), n_late=("late", "sum"))
+        )
+        return g.reset_index().astype({"n_orders": np.int64, "n_late": np.int64})
+
+    agg = hash_bucket_aggregate(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["priority"],
+        [("n_orders", "sum"), ("n_late", "sum")],
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "priority": b["priority"].astype(str),
+                "n_orders": b["n_orders_sum"].astype(np.int64),
+                "n_late": b["n_late_sum"].astype(np.int64),
+                "late_share": _r6away(
+                    b["n_late_sum"].to_numpy(np.float64)
+                    / b["n_orders_sum"].to_numpy(np.float64)
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+SHIPPING_SLA_SQL = f"""
+WITH m AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS max_ship FROM lineitem GROUP BY 1
+)
+SELECT o.o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN epoch_us(m.max_ship) - epoch_us(o.o_orderdate)
+                          > {_SLA_DAYS} * 86400000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       ROUND(CAST(SUM(CASE WHEN epoch_us(m.max_ship) - epoch_us(o.o_orderdate)
+                                > {_SLA_DAYS} * 86400000000
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS late_share
+FROM orders o JOIN m ON m.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+QUERIES5["shipping_sla"] = q_shipping_sla
+ORACLES5["shipping_sla"] = SHIPPING_SLA_SQL
+
+
+# ---------------------------------------------------------------------------
+# Weekend effect (Welch t statistic from exact integer sums)
+# ---------------------------------------------------------------------------
+
+
+def q_weekend_effect(sf_dir: str):
+    """Does the metric move on weekends? Per event_type: weekday vs
+    weekend mean of `value` and Welch's t statistic — the two-sample
+    location test run entirely from exact int64 centivalue sums (n, sum,
+    sum-of-squares per side; cents^2 sums ride in Python ints / HUGEINT,
+    the burstiness pattern), so the t expression is the only float and is
+    transcribed op-for-op. Sample variances use the n-1 denominator.
+    Types lacking either side (or with n <= 1 on a side) are omitted on
+    both engines.
+    """
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = _ts_us(batch["ts"])
+        # 1970-01-01 was a Thursday: dow 0=Mon convention -> (d + 3) % 7
+        dow = ((ts // DAY_US) + 3) % 7
+        wk = (dow >= 5).astype(np.int64)
+        cents = _cents(batch["value"])
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "is_weekend": wk,
+                "cents": cents,
+            }
+        )
+        out = []
+        for (et, w), grp in df.groupby(["event_type", "is_weekend"], sort=False):
+            c = grp["cents"].to_numpy()
+            q = sum(int(x) * int(x) for x in c)
+            # split the (possibly > int64) cents^2 sum into 2^40-base
+            # limbs: each limb < 2^40, so limb SUMS across any number of
+            # partials stay far inside int64 and the exchange is integer
+            out.append(
+                (
+                    et,
+                    int(w),
+                    int(c.size),
+                    int(c.sum()),
+                    q >> 40,
+                    q & ((1 << 40) - 1),
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["event_type", "is_weekend", "n", "s", "q_hi", "q_lo"]
+        ).astype(
+            {
+                "is_weekend": np.int64,
+                "n": np.int64,
+                "s": np.int64,
+                "q_hi": np.int64,
+                "q_lo": np.int64,
+            }
+        )
+
+    agg = (
+        hash_bucket_aggregate(
+            ev.map_batches(partial, batch_format="pandas"),
+            ["event_type", "is_weekend"],
+            [("n", "sum"), ("s", "sum"), ("q_hi", "sum"), ("q_lo", "sum")],
+        ).to_pandas()  # |types| x 2 rows — tiny
+    )
+    agg["q"] = [
+        (int(h) << 40) + int(l) for h, l in zip(agg["q_hi_sum"], agg["q_lo_sum"])
+    ]
+    wide = agg.pivot(
+        index="event_type", columns="is_weekend", values=["n_sum", "s_sum", "q"]
+    )
+    rows = []
+    for et in wide.index:
+        try:
+            n0, n1 = int(wide[("n_sum", 0)][et]), int(wide[("n_sum", 1)][et])
+        except (KeyError, ValueError):
+            continue
+        if not (n0 > 1 and n1 > 1):
+            continue
+        s0, s1 = int(wide[("s_sum", 0)][et]), int(wide[("s_sum", 1)][et])
+        q0, q1 = int(wide[("q", 0)][et]), int(wide[("q", 1)][et])
+        m0 = float(s0) / float(n0) / 100.0
+        m1 = float(s1) / float(n1) / 100.0
+        # sample variance in dollars^2 from exact cent sums
+        v0 = (float(q0) - float(s0) * float(s0) / float(n0)) / float(n0 - 1) / 10000.0
+        v1 = (float(q1) - float(s1) * float(s1) / float(n1)) / float(n1 - 1) / 10000.0
+        t = (m1 - m0) / math.sqrt(v0 / float(n0) + v1 / float(n1))
+        rows.append((et, n0, n1, m0, m1, t))
+    return pd.DataFrame(
+        {
+            "event_type": [r[0] for r in rows],
+            "n_weekday": np.array([r[1] for r in rows], dtype=np.int64),
+            "n_weekend": np.array([r[2] for r in rows], dtype=np.int64),
+            "mean_weekday": _r6away(np.array([r[3] for r in rows])),
+            "mean_weekend": _r6away(np.array([r[4] for r in rows])),
+            "welch_t": _r6away(np.array([r[5] for r in rows])),
+        }
+    )
+
+
+WEEKEND_EFFECT_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN ((epoch_us(ts) // 86400000000) + 3) % 7 >= 5
+              THEN 1 ELSE 0 END AS is_weekend,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events
+),
+a AS (
+  SELECT event_type, is_weekend, COUNT(*) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         SUM(c::HUGEINT * c::HUGEINT) AS q
+  FROM e GROUP BY 1, 2
+),
+w AS (
+  SELECT a0.event_type,
+         a0.n AS n0, a1.n AS n1,
+         a0.s AS s0, a1.s AS s1,
+         a0.q AS q0, a1.q AS q1
+  FROM a a0 JOIN a a1
+    ON a0.event_type = a1.event_type AND a0.is_weekend = 0 AND a1.is_weekend = 1
+  WHERE a0.n > 1 AND a1.n > 1
+)
+SELECT event_type,
+       CAST(n0 AS BIGINT) AS n_weekday, CAST(n1 AS BIGINT) AS n_weekend,
+       ROUND(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100, 6) AS mean_weekday,
+       ROUND(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100, 6) AS mean_weekend,
+       ROUND(
+         (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100
+          - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100)
+         / sqrt(
+             ((CAST(q0 AS DOUBLE)
+               - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+              / CAST(n0 - 1 AS DOUBLE) / 10000.0) / CAST(n0 AS DOUBLE)
+           + ((CAST(q1 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+              / CAST(n1 - 1 AS DOUBLE) / 10000.0) / CAST(n1 AS DOUBLE)),
+         6) AS welch_t
+FROM w
+"""
+
+QUERIES5["weekend_effect"] = q_weekend_effect
+ORACLES5["weekend_effect"] = WEEKEND_EFFECT_SQL
