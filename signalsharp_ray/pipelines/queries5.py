@@ -3588,3 +3588,47 @@ FROM w
 
 QUERIES5["weekend_effect"] = q_weekend_effect
 ORACLES5["weekend_effect"] = WEEKEND_EFFECT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Weekly retention tier (1m -> 1h -> 1d -> 1w exact cascade)
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_1w_cascade(sf_dir: str):
+    """The weekly retention tier, cascaded EXACTLY through the full
+    ladder 1m -> 1h -> 1d -> 1w without ever touching raw points again —
+    the coarsest continuous aggregate in the retention policy (keep 1m
+    for a week, 1h for a month, 1d for a year, 1w forever). Weekly
+    buckets are epoch-aligned 7-day multiples (integer arithmetic, no
+    ISO-week calendar dependence), and the cascade stays exact because
+    count/sum/min/max merge associatively over int64 centivalues with
+    the mean reconstructed once at the end.
+    """
+    from .queries import _events_v100, _finish_rollup
+    from ..stages.rollup import cascade_tier
+
+    t1m = rollup_tier(_events_v100(sf_dir), "1m", key_cols=["event_type"])
+    t1h = cascade_tier(t1m, "1h", key_cols=["event_type"])
+    t1d = cascade_tier(t1h, "1d", key_cols=["event_type"])
+    return _finish_rollup(cascade_tier(t1d, "1w", key_cols=["event_type"]))
+
+
+ROLLUP_1W_CASCADE_SQL = """
+WITH v AS (
+  SELECT event_type,
+         make_timestamp(epoch_us(ts) // 604800000000 * 604800000000) AS bucket_ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS v100
+  FROM events
+)
+SELECT event_type, bucket_ts,
+       COUNT(*) AS cnt,
+       ROUND(CAST(SUM(v100) AS DOUBLE) / 100, 6) AS sum_value,
+       ROUND(CAST(MIN(v100) AS DOUBLE) / 100, 6) AS min_value,
+       ROUND(CAST(MAX(v100) AS DOUBLE) / 100, 6) AS max_value,
+       ROUND(CAST(SUM(v100) AS DOUBLE) / 100 / COUNT(*), 6) AS mean_value
+FROM v GROUP BY 1, 2
+"""
+
+QUERIES5["rollup_1w_cascade"] = q_rollup_1w_cascade
+ORACLES5["rollup_1w_cascade"] = ROLLUP_1W_CASCADE_SQL

@@ -32,6 +32,10 @@ TIERS_US = {
     "1m": 60_000_000,
     "1h": 3_600_000_000,
     "1d": 86_400_000_000,
+    # epoch-aligned 7-day buckets (NOT ISO weeks: multiples of 7 days from
+    # 1970-01-01, so the bucket function stays pure integer arithmetic on
+    # both the engine and any SQL consumer)
+    "1w": 604_800_000_000,
 }
 
 ROLLUP_KEY = ["host", "url", "bucket_ts"]
