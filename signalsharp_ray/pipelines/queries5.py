@@ -3632,3 +3632,250 @@ FROM v GROUP BY 1, 2
 
 QUERIES5["rollup_1w_cascade"] = q_rollup_1w_cascade
 ORACLES5["rollup_1w_cascade"] = ROLLUP_1W_CASCADE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index drift (first vs second time-half)
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+
+
+def q_psi_drift(sf_dir: str, n_bins: int = _PSI_BINS):
+    """Population Stability Index per event_type between the value
+    distributions of the first and second time-half: PSI =
+    sum_i (q_i - p_i) * ln(q_i / p_i) over equal-width bins of the
+    type's [min, max] centivalue range — the model-monitoring drift score
+    read next to ks_drift (KS finds the largest local gap; PSI scores the
+    whole reshape, and its 0.1/0.25 thresholds are industry convention).
+
+    Exactness: bin edges are integer centivalues (width = range // bins,
+    remainder absorbed by the last bin), so bin membership and all counts
+    are exact ints; empty bins use the standard 1e-6 floor. The PSI sum
+    runs as a strict ascending-bin left-fold on both sides (DuckDB
+    list_sum(list(term ORDER BY bin)) == Python loop, the token_entropy
+    parity tool). One exchange for (type, half, bin) counts; everything
+    after is a tiny per-type reduction.
+    """
+    def prep_ds():
+        # two full STREAMING scans (bounds, then binning) instead of one
+        # materialized copy of the event table — the input is re-read, the
+        # object store never holds it whole
+        return _events(sf_dir, ["ts", "event_type", "value"]).map_batches(
+            lambda batch: pd.DataFrame(
+                {
+                    "event_type": batch["event_type"],
+                    "ts_us": _ts_us(batch["ts"]),
+                    "cents": _cents(batch["value"]),
+                }
+            ),
+            batch_format="pandas",
+        )
+
+    # per-type integer bounds + time midpoint (tiny aggregate)
+    b = (
+        hash_bucket_aggregate(
+            prep_ds(),
+            ["event_type"],
+            [("cents", "min"), ("cents", "max"), ("ts_us", "min"), ("ts_us", "max")],
+        ).to_pandas()
+    )
+    import ray
+
+    meta = {
+        r["event_type"]: (
+            int(r["cents_min"]),
+            max(1, (int(r["cents_max"]) - int(r["cents_min"])) // n_bins),
+            (int(r["ts_us_min"]) + int(r["ts_us_max"])) // 2,
+        )
+        for _, r in b.iterrows()
+    }
+    meta_ref = ray.put(meta)
+
+    def bin_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(meta_ref)
+        lo = batch["event_type"].map({k: v[0] for k, v in m.items()}).to_numpy(np.int64)
+        w = batch["event_type"].map({k: v[1] for k, v in m.items()}).to_numpy(np.int64)
+        mid = batch["event_type"].map({k: v[2] for k, v in m.items()}).to_numpy(np.int64)
+        bin_ = np.minimum(
+            (batch["cents"].to_numpy(np.int64) - lo) // w, n_bins - 1
+        )
+        half = (batch["ts_us"].to_numpy(np.int64) > mid).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {"event_type": batch["event_type"], "half": half, "bin": bin_}
+            )
+            .groupby(["event_type", "half", "bin"], sort=False)
+            .size()
+        )
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = (
+        hash_bucket_aggregate(
+            prep_ds().map_batches(bin_partial, batch_format="pandas"),
+            ["event_type", "half", "bin"],
+            [("n", "sum")],
+        ).to_pandas()  # |types| x 2 x bins — tiny
+    )
+    out_rows = []
+    for et, g in counts.groupby("event_type", sort=False):
+        n0 = int(g[g["half"] == 0]["n_sum"].sum())
+        n1 = int(g[g["half"] == 1]["n_sum"].sum())
+        if n0 == 0 or n1 == 0:
+            continue
+        c0 = dict(zip(g[g["half"] == 0]["bin"], g[g["half"] == 0]["n_sum"]))
+        c1 = dict(zip(g[g["half"] == 1]["bin"], g[g["half"] == 1]["n_sum"]))
+        psi = 0.0
+        for i in range(n_bins):  # strict ascending-bin left-fold
+            p = float(int(c0.get(i, 0))) / float(n0)
+            q = float(int(c1.get(i, 0))) / float(n1)
+            if p < 1e-6:
+                p = 1e-6
+            if q < 1e-6:
+                q = 1e-6
+            psi = psi + (q - p) * math.log(q / p)
+        out_rows.append((et, n0, n1, psi))
+    return pd.DataFrame(
+        {
+            "event_type": [r[0] for r in out_rows],
+            "n_first": np.array([r[1] for r in out_rows], dtype=np.int64),
+            "n_second": np.array([r[2] for r in out_rows], dtype=np.int64),
+            "psi": _r6away(np.array([r[3] for r in out_rows])),
+        }
+    )
+
+
+PSI_DRIFT_SQL = f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS t,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events
+),
+m AS (
+  SELECT event_type, MIN(c) AS lo,
+         GREATEST(1, (MAX(c) - MIN(c)) // {_PSI_BINS}) AS w,
+         (MIN(t) + MAX(t)) // 2 AS mid
+  FROM e GROUP BY 1
+),
+binned AS (
+  SELECT e.event_type,
+         CASE WHEN e.t > m.mid THEN 1 ELSE 0 END AS half,
+         LEAST((e.c - m.lo) // m.w, {_PSI_BINS} - 1) AS bin
+  FROM e JOIN m USING (event_type)
+),
+n AS (
+  SELECT event_type,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n0,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1
+  FROM binned GROUP BY 1
+),
+grid AS (
+  SELECT n.event_type, t.bin
+  FROM n, UNNEST(range(0, {_PSI_BINS})) AS t(bin)
+),
+cb AS (
+  SELECT g.event_type, g.bin,
+         COALESCE(SUM(CASE WHEN b.half = 0 THEN 1 ELSE 0 END), 0) AS c0,
+         COALESCE(SUM(CASE WHEN b.half = 1 THEN 1 ELSE 0 END), 0) AS c1
+  FROM grid g
+  LEFT JOIN binned b ON b.event_type = g.event_type AND b.bin = g.bin
+  GROUP BY 1, 2
+),
+terms AS (
+  SELECT cb.event_type, cb.bin,
+         (GREATEST(CAST(cb.c1 AS DOUBLE) / CAST(n.n1 AS DOUBLE), 1e-6)
+          - GREATEST(CAST(cb.c0 AS DOUBLE) / CAST(n.n0 AS DOUBLE), 1e-6))
+         * ln(GREATEST(CAST(cb.c1 AS DOUBLE) / CAST(n.n1 AS DOUBLE), 1e-6)
+              / GREATEST(CAST(cb.c0 AS DOUBLE) / CAST(n.n0 AS DOUBLE), 1e-6))
+           AS term
+  FROM cb JOIN n USING (event_type)
+  WHERE n.n0 > 0 AND n.n1 > 0
+)
+SELECT t.event_type,
+       CAST(n.n0 AS BIGINT) AS n_first,
+       CAST(n.n1 AS BIGINT) AS n_second,
+       ROUND(list_sum(list(t.term ORDER BY t.bin)), 6) AS psi
+FROM terms t JOIN n USING (event_type)
+GROUP BY 1, n.n0, n.n1
+"""
+
+QUERIES5["psi_drift"] = q_psi_drift
+ORACLES5["psi_drift"] = PSI_DRIFT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Zipf-slope fit of the corpus frequency distribution
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP_K = 100
+
+
+def q_zipf_fit(sf_dir: str, k: int = _ZIPF_TOP_K):
+    """How Zipfian is the corpus? OLS slope of ln(frequency) on ln(rank)
+    over the top-100 vocabulary — natural text fits slope ~ -1; heavily
+    templated or synthetic corpora flatten. The fit consumes the already
+    -verified top-K machinery: ranks are the deterministic (count DESC,
+    word ASC) order, and all four OLS sums run as strict ascending-rank
+    left-folds (list_sum(list(x ORDER BY rank)) == Python loop) with
+    libm logs, so the slope/intercept are shared float expressions over
+    bitwise-identical sums. Output: one row (n_terms, slope, intercept).
+    """
+    from ..stages.text import vocabulary_topk
+
+    top = vocabulary_topk(_documents(sf_dir, ["doc_id", "text"]), k=k)
+    n = len(top)
+    sx = sy = sxy = sxx = 0.0
+    for i in range(n):  # ascending rank left-fold
+        x = math.log(float(i + 1))
+        y = math.log(float(int(top["n"].iloc[i])))
+        sx = sx + x
+        sy = sy + y
+        sxy = sxy + x * y
+        sxx = sxx + x * x
+    fn = float(n)
+    slope = (fn * sxy - sx * sy) / (fn * sxx - sx * sx)
+    intercept = (sy - slope * sx) / fn
+    return pd.DataFrame(
+        {
+            "n_terms": np.array([n], dtype=np.int64),
+            "zipf_slope": _r6away(slope),
+            "intercept": _r6away(intercept),
+        }
+    )
+
+
+ZIPF_FIT_SQL = f"""
+WITH vocab AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT UNNEST(regexp_extract_all(lower(COALESCE(text, '')),
+                                     '[\\p{{L}}\\p{{N}}_]+')) AS word
+    FROM documents
+  ) GROUP BY word ORDER BY n DESC, word ASC LIMIT {_ZIPF_TOP_K}
+),
+r AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, word ASC) AS rank FROM vocab
+),
+t AS (
+  SELECT rank, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y FROM r
+),
+s AS (
+  SELECT COUNT(*) AS k,
+         list_sum(list(x ORDER BY rank)) AS sx,
+         list_sum(list(y ORDER BY rank)) AS sy,
+         list_sum(list(x * y ORDER BY rank)) AS sxy,
+         list_sum(list(x * x ORDER BY rank)) AS sxx
+  FROM t
+)
+SELECT CAST(k AS BIGINT) AS n_terms,
+       ROUND((CAST(k AS DOUBLE) * sxy - sx * sy)
+             / (CAST(k AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((sy - ((CAST(k AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(k AS DOUBLE) * sxx - sx * sx)) * sx)
+             / CAST(k AS DOUBLE), 6) AS intercept
+FROM s
+"""
+
+QUERIES5["zipf_fit"] = q_zipf_fit
+ORACLES5["zipf_fit"] = ZIPF_FIT_SQL
