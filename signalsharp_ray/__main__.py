@@ -89,9 +89,13 @@ def main(argv: list[str] | None = None) -> int:
         parts = []
         if os.path.isdir(path):
             for root, _, files in sorted(os.walk(path)):
+                rel = os.path.relpath(root, path)
                 for f in sorted(files):
                     st = os.stat(os.path.join(root, f))
-                    parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+                    # relpath included: moving a file between partition
+                    # dirs must change the fingerprint even when
+                    # name/size/mtime survive the move
+                    parts.append(f"{rel}/{f}:{st.st_size}:{st.st_mtime_ns}")
         else:
             st = os.stat(path)
             parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")

@@ -663,15 +663,27 @@ FROM events GROUP BY 1, 2
 def _interchange_roundtrip(sf_dir: str, fmt: str):
     import os
     import shutil
+    import time
+    import uuid
 
     import ray.data as rd
 
-    # fixed per-(format, input) path, cleared before each run: repeated
-    # verification runs overwrite instead of accumulating /tmp copies
-    out_dir = (
-        f"/tmp/signalsharp_ray/{fmt}_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # unique path per run (concurrent runs can never collide), plus a
+    # stale-sibling sweep so repeated verification runs don't accumulate
+    # /tmp copies: siblings older than an hour cannot still be streaming
+    base = "/tmp/signalsharp_ray"
+    prefix = f"{fmt}_roundtrip_"
+    if os.path.isdir(base):
+        cutoff = time.time() - 3600
+        for d in os.listdir(base):
+            p = os.path.join(base, d)
+            if d.startswith(prefix) and os.path.isdir(p):
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
+    out_dir = f"{base}/{prefix}{uuid.uuid4().hex[:8]}"
     tier = _hourly_cents_tier(sf_dir)
     if fmt == "csv":
         tier.write_csv(out_dir)
@@ -2753,26 +2765,18 @@ def q_bigram_pmi(sf_dir: str, min_n: int = _PMI_MIN_N):
     token_rarity's join) — here the min_n-filtered bigram table is small
     enough that the scoring pass is driver-side over a tiny frame.
     """
-    import re as _re
-
-    word_re = _re.compile(r"\w+")
-
-    def unigram_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch["text"].fillna("").str.lower().str.findall(word_re)
-        ex = words.explode().dropna()
-        vc = ex.value_counts()
-        return pd.DataFrame({"tok": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
+    from ..stages.text import token_count_partial
 
     docs = _documents(sf_dir, ["text"])
     uni = (
         hash_bucket_aggregate(
-            docs.map_batches(unigram_partial, batch_format="pandas"),
-            ["tok"],
+            docs.map_batches(token_count_partial, batch_format="pandas"),
+            ["word"],
             [("n", "sum")],
         ).to_pandas()  # corpus vocabulary — bounded
     )
     n_total = int(uni["n_sum"].sum())
-    uni_map = pd.Series(uni["n_sum"].to_numpy(np.int64), index=uni["tok"].to_numpy())
+    uni_map = pd.Series(uni["n_sum"].to_numpy(np.int64), index=uni["word"].to_numpy())
 
     big = (
         hash_bucket_aggregate(
@@ -2782,6 +2786,17 @@ def q_bigram_pmi(sf_dir: str, min_n: int = _PMI_MIN_N):
         ).to_pandas()
     )
     big = big[big["n_sum"] >= min_n].copy()
+    if big.empty:
+        # str.split(expand=True) on an empty series yields zero columns
+        return pd.DataFrame(
+            {
+                "bigram": [],
+                "n_ab": np.array([], dtype=np.int64),
+                "n_a": np.array([], dtype=np.int64),
+                "n_b": np.array([], dtype=np.int64),
+                "pmi": np.array([], dtype=np.float64),
+            }
+        )
     parts = big["bigram"].str.split(" ", n=1, expand=True)
     c_a = parts[0].map(uni_map).to_numpy(np.int64)
     c_b = parts[1].map(uni_map).to_numpy(np.int64)
@@ -2870,7 +2885,7 @@ def q_audience_overlap(sf_dir: str):
         ["user_id", "event_type"],
         [],
         count_alias="n",
-    )
+    ).materialize()  # distinct (user, type) — bounded; consumed twice below
     # the type catalog is tiny; fix the bit assignment once and broadcast
     types = sorted(
         hash_bucket_aggregate(pairs, ["event_type"], [], count_alias="n")
@@ -3478,17 +3493,19 @@ def q_weekend_effect(sf_dir: str):
         for (et, w), grp in df.groupby(["event_type", "is_weekend"], sort=False):
             c = grp["cents"].to_numpy()
             q = sum(int(x) * int(x) for x in c)
-            # split the (possibly > int64) cents^2 sum into 2^40-base
-            # limbs: each limb < 2^40, so limb SUMS across any number of
-            # partials stay far inside int64 and the exchange is integer
+            # split the (possibly > int64) cents^2 sum into 2^32-base
+            # limbs: per-partial q_hi <= q/2^32 (~1e4 for 4096-row cents
+            # batches) and q_lo < 2^32, so the limb sums stay inside
+            # int64 up to ~2^31 partial rows per key — beyond that, add
+            # a third limb (the reconstruction below is base-agnostic)
             out.append(
                 (
                     et,
                     int(w),
                     int(c.size),
                     int(c.sum()),
-                    q >> 40,
-                    q & ((1 << 40) - 1),
+                    q >> 32,
+                    q & ((1 << 32) - 1),
                 )
             )
         return pd.DataFrame(
@@ -3511,7 +3528,7 @@ def q_weekend_effect(sf_dir: str):
         ).to_pandas()  # |types| x 2 rows — tiny
     )
     agg["q"] = [
-        (int(h) << 40) + int(l) for h, l in zip(agg["q_hi_sum"], agg["q_lo_sum"])
+        (int(h) << 32) + int(l) for h, l in zip(agg["q_hi_sum"], agg["q_lo_sum"])
     ]
     wide = agg.pivot(
         index="event_type", columns="is_weekend", values=["n_sum", "s_sum", "q"]
@@ -3683,20 +3700,25 @@ def q_psi_drift(sf_dir: str, n_bins: int = _PSI_BINS):
     import ray
 
     meta = {
-        r["event_type"]: (
-            int(r["cents_min"]),
-            max(1, (int(r["cents_max"]) - int(r["cents_min"])) // n_bins),
-            (int(r["ts_us_min"]) + int(r["ts_us_max"])) // 2,
-        )
-        for _, r in b.iterrows()
+        "lo": {r["event_type"]: int(r["cents_min"]) for _, r in b.iterrows()},
+        "w": {
+            r["event_type"]: max(
+                1, (int(r["cents_max"]) - int(r["cents_min"])) // n_bins
+            )
+            for _, r in b.iterrows()
+        },
+        "mid": {
+            r["event_type"]: (int(r["ts_us_min"]) + int(r["ts_us_max"])) // 2
+            for _, r in b.iterrows()
+        },
     }
     meta_ref = ray.put(meta)
 
     def bin_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(meta_ref)
-        lo = batch["event_type"].map({k: v[0] for k, v in m.items()}).to_numpy(np.int64)
-        w = batch["event_type"].map({k: v[1] for k, v in m.items()}).to_numpy(np.int64)
-        mid = batch["event_type"].map({k: v[2] for k, v in m.items()}).to_numpy(np.int64)
+        m = ray.get(meta_ref)  # prebuilt lo/w/mid dicts, no per-batch rebuild
+        lo = batch["event_type"].map(m["lo"]).to_numpy(np.int64)
+        w = batch["event_type"].map(m["w"]).to_numpy(np.int64)
+        mid = batch["event_type"].map(m["mid"]).to_numpy(np.int64)
         bin_ = np.minimum(
             (batch["cents"].to_numpy(np.int64) - lo) // w, n_bins - 1
         )

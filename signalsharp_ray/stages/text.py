@@ -190,6 +190,22 @@ def fingerprints(docs_ds):
 # -- corpus vocabulary ------------------------------------------------------
 
 
+_WORD_RE = re.compile(r"\w+")
+
+
+def token_count_partial(batch):
+    """Per-batch combiner: corpus token counts (fillna/lower/\\w+ findall,
+    C-level explode + value_counts). Shared by vocabulary_topk and the
+    PMI unigram leg (pipelines/queries5.q_bigram_pmi) so the tokenization
+    can never desynchronize between them."""
+    import pandas as pd
+
+    words = batch["text"].fillna("").str.lower().str.findall(_WORD_RE)
+    exploded = words.explode().dropna()
+    vc = exploded.value_counts()
+    return pd.DataFrame({"word": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
+
+
 def vocabulary_topk(docs_ds, k: int = 100):
     """Global top-K token frequencies.
 
@@ -203,16 +219,8 @@ def vocabulary_topk(docs_ds, k: int = 100):
 
     from ..common.raytools import hash_bucket_aggregate
 
-    word_re = re.compile(r"\w+")
-
-    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch["text"].fillna("").str.lower().str.findall(word_re)
-        exploded = words.explode().dropna()
-        vc = exploded.value_counts()
-        return pd.DataFrame({"word": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
-
     partials = docs_ds.select_columns(["text"]).map_batches(
-        partial_counts, batch_format="pandas"
+        token_count_partial, batch_format="pandas"
     )
     agg = hash_bucket_aggregate(partials, ["word"], [("n", "sum")])
 

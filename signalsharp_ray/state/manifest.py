@@ -91,33 +91,19 @@ class PipelineManifest:
         if os.path.isdir(out_dir):
             shutil.rmtree(out_dir)
         os.replace(tmp_dir, out_dir)
-        rows, nbytes = _parquet_stats(out_dir)
+        parts = _partition_stats(out_dir)  # one footer walk; totals derive
         self.record(
             StageRecord(
                 stage=stage,
                 fingerprint=fingerprint,
-                rows=rows,
-                bytes=nbytes,
+                rows=sum(p["rows"] for p in parts.values()),
+                bytes=sum(p["bytes"] for p in parts.values()),
                 wall_s=time.time() - t0,
                 lineage=lineage,
-                partitions=_partition_stats(out_dir),
+                partitions=parts,
             )
         )
         return out_dir, False
-
-
-def _parquet_stats(directory: str) -> tuple[int, int]:
-    import pyarrow.parquet as pq
-
-    rows = 0
-    nbytes = 0
-    for dirpath, _, files in os.walk(directory):
-        for fn in files:
-            if fn.endswith(".parquet"):
-                p = os.path.join(dirpath, fn)
-                rows += pq.ParquetFile(p).metadata.num_rows
-                nbytes += os.path.getsize(p)
-    return rows, nbytes
 
 
 def _partition_stats(directory: str) -> dict:
