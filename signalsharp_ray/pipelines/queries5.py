@@ -3901,3 +3901,170 @@ FROM s
 
 QUERIES5["zipf_fit"] = q_zipf_fit
 ORACLES5["zipf_fit"] = ZIPF_FIT_SQL
+
+
+# ---------------------------------------------------------------------------
+# ABC inventory classification (cumulative revenue share)
+# ---------------------------------------------------------------------------
+
+
+def q_abc_analysis(sf_dir: str):
+    """ABC inventory classification: parts ranked by revenue (cents
+    DESC, partkey ASC), classified A while the cumulative share of
+    total revenue is < 80%, B while < 95%, C after — the Pareto cut
+    ops teams restock by. The cumulative-share comparisons run on exact
+    INTEGER cross-multiplication (cum_cents * 100 < 80 * total_cents),
+    so class boundaries cannot wobble with float rounding.
+
+    Scale: per-part cents reduce through one exchange to a
+    catalog-bounded table; the ranked cumulative pass runs over that
+    dimension-sized result (documented — catalog, never fact, volume).
+    """
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "partkey": b["l_partkey"].astype(np.int64),
+                "cents": _cents(b["l_extendedprice"]),
+            }
+        )
+        .groupby("partkey", sort=False)
+        .agg(cents=("cents", "sum"))
+        .reset_index(),
+        batch_format="pandas",
+    )
+    agg = (
+        hash_bucket_aggregate(li, ["partkey"], [("cents", "sum")])
+        .to_pandas()  # one row per catalog part — dimension-bounded
+        .sort_values(["cents_sum", "partkey"], ascending=[False, True])
+    )
+    cents = agg["cents_sum"].to_numpy(np.int64)
+    total = int(cents.sum())
+    cum = np.cumsum(cents)
+    # class by the share BEFORE including this part (strict Pareto cut):
+    prev = cum - cents
+    cls = np.where(
+        prev * 100 < 80 * total, "A", np.where(prev * 100 < 95 * total, "B", "C")
+    )
+    return pd.DataFrame(
+        {
+            "partkey": agg["partkey"].to_numpy(np.int64),
+            "revenue_cents": cents,
+            "abc_class": cls,
+        }
+    )
+
+
+ABC_ANALYSIS_SQL = """
+WITH p AS (
+  SELECT l_partkey AS partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM lineitem GROUP BY 1
+),
+r AS (
+  SELECT partkey, revenue_cents,
+         CAST(SUM(revenue_cents) OVER (ORDER BY revenue_cents DESC, partkey ASC)
+              - revenue_cents AS BIGINT) AS prev_cum,
+         CAST(SUM(revenue_cents) OVER () AS BIGINT) AS total
+  FROM p
+)
+SELECT partkey, revenue_cents,
+       CASE WHEN prev_cum * 100 < 80 * total THEN 'A'
+            WHEN prev_cum * 100 < 95 * total THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM r
+"""
+
+QUERIES5["abc_analysis"] = q_abc_analysis
+ORACLES5["abc_analysis"] = ABC_ANALYSIS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Exact-duplicate rate per source
+# ---------------------------------------------------------------------------
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Corpus triage: per ingestion source, how many documents are exact
+    content duplicates of some EARLIER document (min doc_id is the
+    canonical copy, the exact_dedup rule) — the first quality number a
+    crawl pipeline reports per feed, deciding which sources are worth
+    re-crawling. Content identity is the md5 fingerprint; the canonical
+    doc per hash resolves through one bucketed exchange (min-reduction),
+    then a stateless pass flags every non-canonical doc and per-source
+    integer partials reduce to a tiny table.
+    """
+    from .queries2 import _md5_u64
+
+    docs = _documents(sf_dir, ["doc_id", "source", "text"])
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "h": _md5_u64(batch["text"].fillna("").tolist()).view(np.int64),
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "source": batch["source"].astype(str),
+            }
+        )
+
+    hashed = docs.map_batches(fp, batch_format="pandas").materialize()
+    canon = hash_bucket_aggregate(hashed, ["h"], [("doc_id", "min")])
+
+    from ..common.raytools import bucketed_join
+
+    joined = bucketed_join(hashed, canon, on=["h"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        dup = (
+            batch["doc_id"].to_numpy(np.int64)
+            != batch["doc_id_min"].to_numpy(np.int64)
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame({"source": batch["source"], "dup": dup})
+            .groupby("source", sort=False)
+            .agg(n_docs=("dup", "size"), n_dups=("dup", "sum"))
+        )
+        return g.reset_index().astype({"n_docs": np.int64, "n_dups": np.int64})
+
+    agg = hash_bucket_aggregate(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["source"],
+        [("n_docs", "sum"), ("n_dups", "sum")],
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "source": b["source"].astype(str),
+                "n_docs": b["n_docs_sum"].astype(np.int64),
+                "n_dups": b["n_dups_sum"].astype(np.int64),
+                "dup_rate": _r6away(
+                    b["n_dups_sum"].to_numpy(np.float64)
+                    / b["n_docs_sum"].to_numpy(np.float64)
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+DUP_RATE_BY_SOURCE_SQL = """
+WITH h AS (
+  SELECT doc_id, source, md5_number_upper(COALESCE(text, '')) AS hh FROM documents
+),
+c AS (SELECT hh, MIN(doc_id) AS canon FROM h GROUP BY 1)
+SELECT h.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN h.doc_id <> c.canon THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dups,
+       ROUND(CAST(SUM(CASE WHEN h.doc_id <> c.canon THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+FROM h JOIN c USING (hh)
+GROUP BY 1
+"""
+
+QUERIES5["dup_rate_by_source"] = q_dup_rate_by_source
+ORACLES5["dup_rate_by_source"] = DUP_RATE_BY_SOURCE_SQL
