@@ -4068,3 +4068,158 @@ GROUP BY 1
 
 QUERIES5["dup_rate_by_source"] = q_dup_rate_by_source
 ORACLES5["dup_rate_by_source"] = DUP_RATE_BY_SOURCE_SQL
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate verification (exact Jaccard over the signature shingles)
+# ---------------------------------------------------------------------------
+
+_LSH_VERIFY_T = 0.5
+
+
+def q_lsh_verify(sf_dir: str, threshold: float = _LSH_VERIFY_T):
+    """The verify leg of the LSH pipeline, SQL-checked end-to-end: every
+    banded-LSH candidate pair (q_lsh_candidates) gets its EXACT Jaccard
+    over the same distinct char-5-gram prefix shingle sets the signatures
+    were built from, plus the >= 0.5 duplicate verdict — so the driver
+    verifies not just the banding but the candidate-verification stage a
+    production near-dup pipeline runs after it (precision is then just
+    AVG(is_dup); recall over all pairs is unknowable without an
+    all-pairs pass, which is the point of LSH).
+
+    Scale: candidate pairs are bounded by the banding (both 64-bit slots
+    agree); their shingle sets re-derive per pair inside the kernel from
+    the two texts, fetched through a co-partitioned join of the pair list
+    against the documents table on doc id — never a driver-side corpus
+    dict (the round-1 verify_jaccard lesson).
+    """
+    from ..common.raytools import bucketed_join
+    from .queries2 import _MH_K, _MH_PREFIX
+
+    cand = q_lsh_candidates(sf_dir)
+
+    def a_side(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_a"].astype(np.int64),
+                "doc_a": batch["doc_a"].astype(np.int64),
+                "doc_b": batch["doc_b"].astype(np.int64),
+                "n_shared_bands": batch["n_shared_bands"].astype(np.int64),
+            }
+        )
+
+    docs = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype(np.int64),
+                "prefix": b["text"].fillna("").str.slice(0, _MH_PREFIX),
+            }
+        ),
+        batch_format="pandas",
+    )
+    with_a = bucketed_join(
+        cand.map_batches(a_side, batch_format="pandas"), docs, on=["doc_id"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["doc_b"].astype(np.int64),  # rekey for the b side
+                "doc_a": b["doc_a"].astype(np.int64),
+                "doc_b": b["doc_b"].astype(np.int64),
+                "n_shared_bands": b["n_shared_bands"].astype(np.int64),
+                "prefix_a": b["prefix"].astype(str),
+            }
+        ),
+        batch_format="pandas",
+    )
+    with_both = bucketed_join(with_a, docs, on=["doc_id"])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        out_j = np.empty(len(batch), dtype=np.float64)
+        for i, (pa_, pb_) in enumerate(zip(batch["prefix_a"], batch["prefix"])):
+            sa = {pa_[j : j + _MH_K] for j in range(max(0, len(pa_) - _MH_K + 1))}
+            sb = {pb_[j : j + _MH_K] for j in range(max(0, len(pb_) - _MH_K + 1))}
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            out_j[i] = float(inter) / float(union) if union else 0.0
+        return pd.DataFrame(
+            {
+                "doc_a": batch["doc_a"].astype(np.int64),
+                "doc_b": batch["doc_b"].astype(np.int64),
+                "n_shared_bands": batch["n_shared_bands"].astype(np.int64),
+                "jaccard": _r6h_local(out_j),
+                "is_dup": (out_j >= threshold).astype(np.int64),
+            }
+        )
+
+    return with_both.map_batches(score, batch_format="pandas")
+
+
+def _r6h_local(x):
+    """Round-half-UP to 6 dp (SQL ROUND parity for non-negative rationals
+    like Jaccard — see queries.py _r6h)."""
+    v = np.asarray(x, dtype=np.float64)
+    return np.floor(v * 1e6 + 0.5) / 1e6
+
+
+LSH_VERIFY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, substr(COALESCE(text, ''), 1, 512) AS s FROM documents
+  WHERE length(substr(COALESCE(text, ''), 1, 512)) >= 5
+),
+idx AS (
+  SELECT doc_id, s, UNNEST(generate_series(1, length(s) - 4)) AS i FROM t
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(s, CAST(i AS INT), 5) AS g5 FROM idx
+),
+p AS (SELECT UNNEST([0, 1, 2, 3]) AS perm),
+m AS (
+  SELECT sh.doc_id, p.perm,
+         MIN(md5_number_upper('p' || p.perm || ':' || sh.g5)) AS sig_u
+  FROM sh, p GROUP BY 1, 2
+),
+wide AS (
+  SELECT doc_id,
+         MAX(CASE WHEN perm = 0 THEN sig_u END) AS s0,
+         MAX(CASE WHEN perm = 1 THEN sig_u END) AS s1,
+         MAX(CASE WHEN perm = 2 THEN sig_u END) AS s2,
+         MAX(CASE WHEN perm = 3 THEN sig_u END) AS s3
+  FROM m GROUP BY 1
+),
+bands AS (
+  SELECT doc_id, 0 AS band, s0 AS s_lo, s1 AS s_hi FROM wide
+  UNION ALL
+  SELECT doc_id, 1 AS band, s2 AS s_lo, s3 AS s_hi FROM wide
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.s_lo = b.s_lo AND a.s_hi = b.s_hi
+              AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.g5 = sa.g5
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1)
+SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+       ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / CAST(za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0) AS DOUBLE),
+             6) AS jaccard,
+       CAST(CASE WHEN CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                      / CAST(za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0) AS DOUBLE)
+                      >= {_LSH_VERIFY_T}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes za ON za.doc_id = c.doc_a
+JOIN sizes zb ON zb.doc_id = c.doc_b
+"""
+
+QUERIES5["lsh_verify"] = q_lsh_verify
+ORACLES5["lsh_verify"] = LSH_VERIFY_SQL
