@@ -4223,3 +4223,150 @@ JOIN sizes zb ON zb.doc_id = c.doc_b
 
 QUERIES5["lsh_verify"] = q_lsh_verify
 ORACLES5["lsh_verify"] = LSH_VERIFY_SQL
+
+
+# ---------------------------------------------------------------------------
+# SAX motif discovery (frequent 3-symbol subwords)
+# ---------------------------------------------------------------------------
+
+
+def q_sax_motifs(sf_dir: str):
+    """Motif discovery over the symbolic representation: every 3-symbol
+    sliding subword of each event_type's SAX word (q_sax_symbols), counted
+    across all series — the Lin/Keogh motif primitive ("which local
+    shapes recur") that symbolic discretization exists to enable. Counts
+    are exact ints over the already-verified symbols; subwords never
+    cross series boundaries.
+    """
+    sax = q_sax_symbols(sf_dir)
+
+    def motif_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out: dict = {}
+        for et, g in batch.groupby("event_type", sort=False):
+            s = "".join(g.sort_values("seg_idx")["sax"])
+            for i in range(len(s) - 2):
+                w = s[i : i + 3]
+                out[w] = out.get(w, 0) + 1
+        return pd.DataFrame(
+            {
+                "motif": list(out.keys()),
+                "n": np.array(list(out.values()), dtype=np.int64),
+            }
+        )
+
+    # one series' symbols always share a bucket (sax_symbols groups by
+    # event_type), so regroup per event_type before sliding the window
+    per_series = bucketed_map_groups(
+        sax, ["event_type"], None, whole_bucket_fn=motif_partial
+    )
+    agg = hash_bucket_aggregate(per_series, ["motif"], [("n", "sum")])
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {"motif": b["motif"].astype(str), "n": b["n_sum"].astype(np.int64)}
+        ),
+        batch_format="pandas",
+    )
+
+
+SAX_MOTIFS_SQL = f"""
+WITH z AS ({SAX_SYMBOLS_SQL.replace("SELECT event_type, seg_idx, seg_len,",
+                                    "SELECT event_type, seg_idx,")}),
+w AS (
+  SELECT event_type, seg_idx, sax,
+         LEAD(sax, 1) OVER (PARTITION BY event_type ORDER BY seg_idx) AS s1,
+         LEAD(sax, 2) OVER (PARTITION BY event_type ORDER BY seg_idx) AS s2
+  FROM z
+)
+SELECT sax || s1 || s2 AS motif, CAST(COUNT(*) AS BIGINT) AS n
+FROM w WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+GROUP BY 1
+"""
+
+QUERIES5["sax_motifs"] = q_sax_motifs
+ORACLES5["sax_motifs"] = SAX_MOTIFS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year order growth
+# ---------------------------------------------------------------------------
+
+
+def q_order_growth_yoy(sf_dir: str):
+    """Year-over-year growth report: orders and exact cents revenue per
+    calendar year with the YoY growth rate of each — the board-slide
+    number. Yearly partials reduce through one exchange to a handful of
+    rows; growth = (cur - prev) / prev is the shared float per year
+    (first year has no prior and is omitted from the growth columns'
+    domain by emitting only years with a predecessor).
+    """
+    import ray.data as rd
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        yr = batch["o_orderdate"].astype("datetime64[us]").dt.year.astype(np.int64)
+        g = (
+            pd.DataFrame({"year": yr, "cents": _cents(batch["o_totalprice"])})
+            .groupby("year", sort=False)
+            .agg(n=("cents", "size"), cents=("cents", "sum"))
+        )
+        return g.reset_index().astype({"n": np.int64, "cents": np.int64})
+
+    agg = (
+        hash_bucket_aggregate(
+            orders.map_batches(partial, batch_format="pandas"),
+            ["year"],
+            [("n", "sum"), ("cents", "sum")],
+        )
+        .to_pandas()  # one row per calendar year — tiny
+        .sort_values("year")
+    )
+    yrs = agg["year"].to_numpy(np.int64)
+    n = agg["n_sum"].to_numpy(np.int64)
+    c = agg["cents_sum"].to_numpy(np.int64)
+    rows = []
+    for i in range(1, len(yrs)):
+        if yrs[i] != yrs[i - 1] + 1:
+            continue  # only consecutive years form a YoY pair
+        rows.append(
+            (
+                int(yrs[i]),
+                int(n[i]),
+                float(int(n[i]) - int(n[i - 1])) / float(int(n[i - 1])),
+                float(int(c[i]) - int(c[i - 1])) / float(int(c[i - 1])),
+            )
+        )
+    return pd.DataFrame(
+        {
+            "year": np.array([r[0] for r in rows], dtype=np.int64),
+            "n_orders": np.array([r[1] for r in rows], dtype=np.int64),
+            "orders_yoy": _r6away(np.array([r[2] for r in rows])),
+            "revenue_yoy": _r6away(np.array([r[3] for r in rows])),
+        }
+    )
+
+
+ORDER_GROWTH_YOY_SQL = """
+WITH y AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+l AS (
+  SELECT year, n, cents,
+         LAG(year) OVER (ORDER BY year) AS py,
+         LAG(n) OVER (ORDER BY year) AS pn,
+         LAG(cents) OVER (ORDER BY year) AS pc
+  FROM y
+)
+SELECT year, CAST(n AS BIGINT) AS n_orders,
+       ROUND(CAST(n - pn AS DOUBLE) / CAST(pn AS DOUBLE), 6) AS orders_yoy,
+       ROUND(CAST(cents - pc AS DOUBLE) / CAST(pc AS DOUBLE), 6) AS revenue_yoy
+FROM l WHERE py = year - 1
+"""
+
+QUERIES5["order_growth_yoy"] = q_order_growth_yoy
+ORACLES5["order_growth_yoy"] = ORDER_GROWTH_YOY_SQL
