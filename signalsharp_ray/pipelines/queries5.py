@@ -4370,3 +4370,61 @@ FROM l WHERE py = year - 1
 
 QUERIES5["order_growth_yoy"] = q_order_growth_yoy
 ORACLES5["order_growth_yoy"] = ORDER_GROWTH_YOY_SQL
+
+
+# ---------------------------------------------------------------------------
+# Embedding L2 norms (ordered-fold parity over float32 vectors)
+# ---------------------------------------------------------------------------
+
+
+def embedding_norms_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch kernel: L2 norm of each embedding with the squared sum
+    accumulated as a strict ascending-dimension left-fold in float64
+    (list_sum(list(x*x ORDER BY i)) parity — a vectorized np.sum uses
+    pairwise blocking and drifts a ulp at dim 64)."""
+    norms = np.empty(len(batch), dtype=np.float64)
+    for r, vec in enumerate(batch["embedding"]):
+        s = 0.0
+        for v in vec:
+            x = float(v)
+            s = s + x * x
+        norms[r] = math.sqrt(s)
+    return pd.DataFrame(
+        {
+            "vec_id": batch["vec_id"].astype(np.int64),
+            "label": batch["label"],
+            "l2_norm": _r6away(norms),
+        }
+    )
+
+
+def q_embedding_norms(sf_dir: str):
+    """L2 norm of every embedding with its label — the first sanity table
+    a vector pipeline derives (unnormalized rows break cosine search;
+    norm outliers flag bad encoder batches). No shuffle; per-row state
+    only. Float32 components upcast to float64 exactly on both engines;
+    the squared sum is an ordered fold so parity is bitwise before the
+    single shared ROUND.
+    """
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    ).map_batches(embedding_norms_batch, batch_format="pandas")
+
+
+EMBEDDING_NORMS_SQL = """
+WITH u AS (
+  SELECT vec_id, label,
+         UNNEST(embedding) AS e,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+SELECT vec_id, label,
+       ROUND(sqrt(list_sum(list(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+                                ORDER BY i))), 6) AS l2_norm
+FROM u GROUP BY 1, 2
+"""
+
+QUERIES5["embedding_norms"] = q_embedding_norms
+ORACLES5["embedding_norms"] = EMBEDDING_NORMS_SQL
