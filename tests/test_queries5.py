@@ -671,6 +671,66 @@ def test_bounce_rate_kernel():
     assert out.loc["view", "n_bounces"] == 1
 
 
+def test_embedding_norms_known_values():
+    from signalsharp_ray.pipelines.queries5 import embedding_norms_batch
+
+    batch = pd.DataFrame(
+        {
+            "vec_id": np.array([1, 2], dtype=np.int64),
+            "embedding": [np.array([3.0, 4.0], np.float32),
+                          np.array([1.0, 0.0, 0.0], np.float32)],
+            "label": ["a", "b"],
+        }
+    )
+    out = embedding_norms_batch(batch)
+    assert out["l2_norm"].tolist() == [5.0, 1.0]
+
+
+def test_scd2_open_rows_one_per_key():
+    from signalsharp_ray.pipelines.queries5 import scd2_bucket_kernel
+
+    rng = np.random.default_rng(8)
+    n = 40
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 6, n).astype(np.int64),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "ts_us": rng.choice(np.arange(100_000), n, replace=False).astype(np.int64),
+            "event_id": np.arange(n, dtype=np.int64),
+            "value": rng.normal(size=n),
+        }
+    )
+    out = scd2_bucket_kernel(df)
+    n_keys = df.groupby(["user_id", "event_type"]).ngroups
+    assert out["is_current"].sum() == n_keys
+    # intervals within a key must chain: each valid_to equals the next
+    # valid_from (except the open row)
+    for _, g in out.groupby(["user_id", "event_type"]):
+        g = g.sort_values("valid_from")
+        closed = g.iloc[:-1]
+        nxt = g["valid_from"].iloc[1:].to_numpy()
+        assert (closed["valid_to"].to_numpy() == nxt).all()
+
+
+def test_weekend_limb_roundtrip_large():
+    # limb split/reconstruct must be exact for cents^2 sums beyond int64
+    q = 3 * (10**19) + 123456789  # > 2^63
+    hi, lo = q >> 32, q & ((1 << 32) - 1)
+    assert (hi << 32) + lo == q
+
+
+def test_abc_classes_monotone():
+    # classes must be non-increasing in revenue order: A..A B..B C..C
+    # (kernel-level check via the same integer cut logic)
+    total = 1000
+    prev_cum = np.array([0, 700, 801, 949, 951])
+    cls = np.where(
+        prev_cum * 100 < 80 * total, "A",
+        np.where(prev_cum * 100 < 95 * total, "B", "C"),
+    )
+    assert list(cls) == ["A", "A", "B", "B", "C"]
+
+
 def test_lttb_grid_keeps_spike():
     # a huge spike mid-series must survive downsampling
     from signalsharp_ray.pipelines.queries5 import lttb_grid_kernel
