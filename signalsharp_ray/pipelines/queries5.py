@@ -4428,3 +4428,133 @@ FROM u GROUP BY 1, 2
 
 QUERIES5["embedding_norms"] = q_embedding_norms
 ORACLES5["embedding_norms"] = EMBEDDING_NORMS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between two sources' unigram distributions
+# ---------------------------------------------------------------------------
+
+_JS_SRC_A = "src0"
+_JS_SRC_B = "src1"
+
+
+def q_js_divergence_sources(sf_dir: str, src_a: str = _JS_SRC_A,
+                            src_b: str = _JS_SRC_B):
+    """How different are two ingestion feeds' vocabularies? Jensen-Shannon
+    divergence (nats) between the unigram distributions of sources src0
+    and src1 — the symmetric, bounded corpus-mix distance used to decide
+    whether feeds can share a tokenizer/mixing weight (0 = identical,
+    ln 2 = disjoint). Per-source token counts reduce through one exchange
+    to a vocabulary-bounded table; the JS sum is a strict
+    lexicographic-token left-fold (list_sum(list(term ORDER BY tok))
+    parity) over shared per-token float expressions with the 0*ln(0)=0
+    convention.
+    """
+    from ..stages.text import token_count_partial
+
+    docs = _documents(sf_dir, ["source", "text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for src in (src_a, src_b):
+            sub = batch[batch["source"] == src]
+            if not len(sub):
+                continue
+            c = token_count_partial(sub)
+            c["source"] = src
+            out.append(c)
+        if not out:
+            return pd.DataFrame(
+                {"word": [], "n": np.array([], dtype=np.int64), "source": []}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    counts = (
+        hash_bucket_aggregate(
+            docs.map_batches(partial, batch_format="pandas"),
+            ["source", "word"],
+            [("n", "sum")],
+        ).to_pandas()  # two sources x vocabulary — bounded
+    )
+    ca = dict(
+        zip(
+            counts[counts["source"] == src_a]["word"],
+            counts[counts["source"] == src_a]["n_sum"].astype(int),
+        )
+    )
+    cb = dict(
+        zip(
+            counts[counts["source"] == src_b]["word"],
+            counts[counts["source"] == src_b]["n_sum"].astype(int),
+        )
+    )
+    na, nb = sum(ca.values()), sum(cb.values())
+    js = 0.0
+    vocab = sorted(set(ca) | set(cb))
+    for w in vocab:  # strict lexicographic left-fold
+        p = float(ca.get(w, 0)) / float(na)
+        q = float(cb.get(w, 0)) / float(nb)
+        m = (p + q) / 2.0
+        term = 0.0
+        if p > 0.0:
+            term = term + 0.5 * p * math.log(p / m)
+        if q > 0.0:
+            term = term + 0.5 * q * math.log(q / m)
+        js = js + term
+    return pd.DataFrame(
+        {
+            "n_tokens_union": np.array([len(vocab)], dtype=np.int64),
+            "n_src_a": np.array([na], dtype=np.int64),
+            "n_src_b": np.array([nb], dtype=np.int64),
+            "js_nats": _r6away(js),
+        }
+    )
+
+
+JS_DIVERGENCE_SOURCES_SQL = f"""
+WITH tk AS (
+  SELECT source,
+         UNNEST(regexp_extract_all(lower(COALESCE(text, '')),
+                                   '[\\p{{L}}\\p{{N}}_]+')) AS w
+  FROM documents WHERE source IN ('{_JS_SRC_A}', '{_JS_SRC_B}')
+),
+c AS (SELECT source, w, COUNT(*) AS n FROM tk GROUP BY 1, 2),
+tot AS (
+  SELECT
+    (SELECT CAST(SUM(n) AS BIGINT) FROM c WHERE source = '{_JS_SRC_A}') AS na,
+    (SELECT CAST(SUM(n) AS BIGINT) FROM c WHERE source = '{_JS_SRC_B}') AS nb
+),
+wide AS (
+  SELECT w,
+         CAST(COALESCE(SUM(CASE WHEN source = '{_JS_SRC_A}' THEN n END), 0)
+              AS BIGINT) AS cia,
+         CAST(COALESCE(SUM(CASE WHEN source = '{_JS_SRC_B}' THEN n END), 0)
+              AS BIGINT) AS cib
+  FROM c GROUP BY 1
+),
+terms AS (
+  SELECT wide.w,
+         (CASE WHEN wide.cia > 0
+               THEN 0.5 * (CAST(wide.cia AS DOUBLE) / CAST(tot.na AS DOUBLE))
+                    * ln((CAST(wide.cia AS DOUBLE) / CAST(tot.na AS DOUBLE))
+                         / ((CAST(wide.cia AS DOUBLE) / CAST(tot.na AS DOUBLE)
+                             + CAST(wide.cib AS DOUBLE) / CAST(tot.nb AS DOUBLE))
+                            / 2.0))
+               ELSE 0.0 END)
+         + (CASE WHEN wide.cib > 0
+                 THEN 0.5 * (CAST(wide.cib AS DOUBLE) / CAST(tot.nb AS DOUBLE))
+                      * ln((CAST(wide.cib AS DOUBLE) / CAST(tot.nb AS DOUBLE))
+                           / ((CAST(wide.cia AS DOUBLE) / CAST(tot.na AS DOUBLE)
+                               + CAST(wide.cib AS DOUBLE) / CAST(tot.nb AS DOUBLE))
+                              / 2.0))
+                 ELSE 0.0 END) AS term
+  FROM wide, tot
+)
+SELECT (SELECT COUNT(*) FROM wide) AS n_tokens_union,
+       tot.na AS n_src_a, tot.nb AS n_src_b,
+       ROUND((SELECT list_sum(list(term ORDER BY w)) FROM terms), 6) AS js_nats
+FROM tot
+"""
+
+QUERIES5["js_divergence_sources"] = q_js_divergence_sources
+ORACLES5["js_divergence_sources"] = JS_DIVERGENCE_SOURCES_SQL
