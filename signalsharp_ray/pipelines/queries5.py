@@ -4558,3 +4558,89 @@ FROM tot
 
 QUERIES5["js_divergence_sources"] = q_js_divergence_sources
 ORACLES5["js_divergence_sources"] = JS_DIVERGENCE_SOURCES_SQL
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown of the daily count series
+# ---------------------------------------------------------------------------
+
+
+def max_drawdown_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole-series kernel for ONE event_type: maximum drawdown of the
+    dense daily count series — the largest peak-to-trough drop
+    (running-max minus current, maximized), with the day it bottomed.
+    All-integer; ties resolve to the EARLIEST trough day; the percent is
+    the one shared division (drawdown / peak at that trough)."""
+    from ..kernels.seasonal import dense_counts
+
+    df = df.sort_values("bucket_ts", kind="mergesort")
+    grid, x = dense_counts(
+        _ts_us(df["bucket_ts"]), df["count"].to_numpy(np.int64), DAY_US
+    )
+    runmax = np.maximum.accumulate(x)
+    dd = runmax - x
+    i = int(np.argmax(dd))  # first maximal trough
+    drawdown = int(dd[i])
+    peak = int(runmax[i])
+    return pd.DataFrame(
+        {
+            "event_type": [df["event_type"].iloc[0]],
+            "peak": np.array([peak], dtype=np.int64),
+            "trough_day": pd.to_datetime([grid[i]], unit="us"),
+            "max_drawdown": np.array([drawdown], dtype=np.int64),
+            "drawdown_pct": _r6away(
+                float(drawdown) / float(peak) if peak > 0 else 0.0
+            ),
+        }
+    )
+
+
+def q_max_drawdown(sf_dir: str):
+    """Maximum drawdown of each event_type's dense daily count series:
+    the deepest peak-to-trough traffic collapse and the day it bottomed —
+    the worst-case-regression number an SLO review reads next to
+    record_highs' best case. Running max is a prefix scan over exact
+    ints; one bucketed exchange on event_type; earliest-trough tie rule
+    matches the oracle's (dd DESC, day ASC) pick.
+    """
+    t = rollup_tier(_events(sf_dir), "1d", key_cols=["event_type"]).select_columns(
+        ["event_type", "bucket_ts", "count"]
+    )
+    return bucketed_map_groups(t, ["event_type"], max_drawdown_kernel)
+
+
+MAX_DRAWDOWN_SQL = """
+WITH c AS (
+  SELECT event_type, date_trunc('day', ts) AS b, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM c GROUP BY 1),
+g AS (
+  SELECT bo.event_type,
+         UNNEST(generate_series(bo.lo, bo.hi, INTERVAL 1 DAY)) AS b
+  FROM bounds bo
+),
+d AS (
+  SELECT g.event_type, g.b, COALESCE(c.x, 0) AS x
+  FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.b = g.b
+),
+r AS (
+  SELECT event_type, b, x,
+         CAST(MAX(x) OVER (PARTITION BY event_type ORDER BY b) AS BIGINT)
+           AS runmax
+  FROM d
+)
+SELECT event_type,
+       CAST(runmax AS BIGINT) AS peak,
+       b AS trough_day,
+       CAST(runmax - x AS BIGINT) AS max_drawdown,
+       ROUND(CASE WHEN runmax > 0
+                  THEN CAST(runmax - x AS DOUBLE) / CAST(runmax AS DOUBLE)
+                  ELSE 0.0 END, 6) AS drawdown_pct
+FROM r
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY runmax - x DESC, b ASC) = 1
+"""
+
+QUERIES5["max_drawdown"] = q_max_drawdown
+ORACLES5["max_drawdown"] = MAX_DRAWDOWN_SQL

@@ -731,6 +731,42 @@ def test_abc_classes_monotone():
     assert list(cls) == ["A", "A", "B", "B", "C"]
 
 
+def test_max_drawdown_known_answer():
+    from signalsharp_ray.pipelines.queries5 import max_drawdown_kernel
+
+    DAY = 86_400_000_000
+    # counts 10, 50, 20, 5, 30: peak 50 -> trough 5 => drawdown 45
+    df = pd.DataFrame(
+        {
+            "event_type": ["a"] * 5,
+            "bucket_ts": pd.to_datetime(np.arange(5, dtype=np.int64) * DAY, unit="us"),
+            "count": np.array([10, 50, 20, 5, 30], dtype=np.int64),
+        }
+    )
+    out = max_drawdown_kernel(df)
+    assert out["max_drawdown"].iloc[0] == 45
+    assert out["peak"].iloc[0] == 50
+    assert out["trough_day"].iloc[0] == pd.Timestamp(3 * DAY, unit="us")
+    assert out["drawdown_pct"].iloc[0] == 0.9
+
+
+def test_max_drawdown_monotone_series_is_zero():
+    from signalsharp_ray.pipelines.queries5 import max_drawdown_kernel
+
+    DAY = 86_400_000_000
+    df = pd.DataFrame(
+        {
+            "event_type": ["a"] * 4,
+            "bucket_ts": pd.to_datetime(np.arange(4, dtype=np.int64) * DAY, unit="us"),
+            "count": np.array([1, 2, 3, 4], dtype=np.int64),
+        }
+    )
+    out = max_drawdown_kernel(df)
+    assert out["max_drawdown"].iloc[0] == 0
+    # earliest tie: day 0
+    assert out["trough_day"].iloc[0] == pd.Timestamp(0, unit="us")
+
+
 def test_lttb_grid_keeps_spike():
     # a huge spike mid-series must survive downsampling
     from signalsharp_ray.pipelines.queries5 import lttb_grid_kernel
