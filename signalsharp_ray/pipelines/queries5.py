@@ -4644,3 +4644,118 @@ QUALIFY row_number() OVER (PARTITION BY event_type
 
 QUERIES5["max_drawdown"] = q_max_drawdown
 ORACLES5["max_drawdown"] = MAX_DRAWDOWN_SQL
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU ratio (7-day window of the stickiness machinery)
+# ---------------------------------------------------------------------------
+
+
+def q_dau_wau_ratio(sf_dir: str):
+    """DAU over trailing-7-day WAU per day — the weekly engagement ratio
+    tracked beside the monthly one (dau_mau_stickiness, whose exact
+    window-day-expansion machinery this reuses at window=7: each distinct
+    (user, active day) pair covers the 7 report days it keeps the user
+    counted in)."""
+    out = q_dau_mau_stickiness(sf_dir, window=7)
+
+    def rename(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": batch["day"],
+                "dau": batch["dau"].astype(np.int64),
+                "wau": batch["mau"].astype(np.int64),
+                "dau_wau": batch["stickiness"],
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pandas")
+
+
+DAU_WAU_RATIO_SQL = """
+WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+days AS (SELECT DISTINCT day FROM a),
+dau AS (SELECT day, COUNT(*) AS dau FROM a GROUP BY 1),
+wau AS (
+  SELECT d.day, COUNT(DISTINCT a.user_id) AS wau
+  FROM days d
+  JOIN a ON a.day <= d.day AND a.day > d.day - INTERVAL 7 DAY
+  GROUP BY 1
+)
+SELECT d.day, CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+       ROUND(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6) AS dau_wau
+FROM days d JOIN dau USING (day) JOIN wau USING (day)
+"""
+
+QUERIES5["dau_wau_ratio"] = q_dau_wau_ratio
+ORACLES5["dau_wau_ratio"] = DAU_WAU_RATIO_SQL
+
+
+# ---------------------------------------------------------------------------
+# Brand price index (catalog dimension rollup)
+# ---------------------------------------------------------------------------
+
+
+def q_brand_price_index(sf_dir: str):
+    """Catalog pricing posture: per brand, part count, mean retail price,
+    and the price index vs the whole catalog's mean (1.0 = priced at
+    market) — the assortment-analysis table a pricing team opens with.
+    Integer cents sums; the index is the ratio of the two shared means.
+    Dimension-table volume (part catalog), one tiny exchange.
+    """
+    import ray.data as rd
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_brand", "p_retailprice"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "brand": b["p_brand"].astype(str),
+                "cents": _cents(b["p_retailprice"]),
+            }
+        )
+        .groupby("brand", sort=False)
+        .agg(n=("cents", "size"), cents=("cents", "sum"))
+        .reset_index()
+        .astype({"n": np.int64, "cents": np.int64}),
+        batch_format="pandas",
+    )
+    agg = (
+        hash_bucket_aggregate(part, ["brand"], [("n", "sum"), ("cents", "sum")])
+        .to_pandas()  # one row per brand — tiny
+    )
+    tot_n = int(agg["n_sum"].sum())
+    tot_c = int(agg["cents_sum"].sum())
+    mean_all = float(tot_c) / float(tot_n) / 100.0
+    mean_b = (
+        agg["cents_sum"].to_numpy(np.float64)
+        / agg["n_sum"].to_numpy(np.float64)
+        / 100.0
+    )
+    return pd.DataFrame(
+        {
+            "brand": agg["brand"].astype(str),
+            "n_parts": agg["n_sum"].astype(np.int64),
+            "mean_price": _r6away(mean_b),
+            "price_index": _r6away(mean_b / mean_all),
+        }
+    )
+
+
+BRAND_PRICE_INDEX_SQL = """
+WITH b AS (
+  SELECT p_brand AS brand, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM part GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(cents) AS BIGINT) AS tc FROM b)
+SELECT b.brand, CAST(b.n AS BIGINT) AS n_parts,
+       ROUND(CAST(b.cents AS DOUBLE) / CAST(b.n AS DOUBLE) / 100, 6) AS mean_price,
+       ROUND((CAST(b.cents AS DOUBLE) / CAST(b.n AS DOUBLE) / 100)
+             / (CAST(t.tc AS DOUBLE) / CAST(t.tn AS DOUBLE) / 100), 6)
+         AS price_index
+FROM b, t
+"""
+
+QUERIES5["brand_price_index"] = q_brand_price_index
+ORACLES5["brand_price_index"] = BRAND_PRICE_INDEX_SQL
