@@ -903,24 +903,34 @@ def q_profile_events(sf_dir: str):
     count, value min/max, exact centivalue sum, and timestamp bounds —
     the pre-flight audit every ingestion pipeline runs. Every statistic
     is associative, so it runs as partial+final aggregation with one
-    tiny row per batch crossing the shuffle."""
+    tiny row per batch crossing the shuffle.
+
+    Hash-stable by construction (the round-2 driver red row was a type
+    artifact on this query): every output column is int64 — min/max as
+    centivalues (half-away rounding == SQL ROUND), timestamp bounds as
+    epoch-microseconds — so no float or timestamp canonicalization can
+    diverge between engine and oracle."""
     from ..common.raytools import bucketed_map_groups
 
+    def _c100(x) -> np.int64:
+        # half-away-from-zero centivalue, == CAST(ROUND(v*100) AS BIGINT)
+        v = np.float64(x) * 100.0
+        return np.int64(np.sign(v) * np.floor(np.abs(v) + 0.5))
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        v = batch["value"]
+        v = batch["value"].to_numpy(np.float64)
         ts = batch["ts"]
+        vc = np.sign(v * 100.0) * np.floor(np.abs(v * 100.0) + 0.5)
         return pd.DataFrame(
             {
                 "g": [0],
                 "n_rows": [np.int64(len(batch))],
-                "n_null_value": [np.int64(v.isna().sum())],
-                "min_value": [v.min()],
-                "max_value": [v.max()],
-                "sum_value_c": [
-                    np.int64(np.round(v.to_numpy(np.float64) * 100).sum())
-                ],
-                "min_ts": [ts.min()],
-                "max_ts": [ts.max()],
+                "n_null_value": [np.int64(batch["value"].isna().sum())],
+                "min_value_c": [_c100(v.min())],
+                "max_value_c": [_c100(v.max())],
+                "sum_value_c": [np.int64(vc.sum())],
+                "min_ts_us": [np.int64(ts.min().value // 1000)],
+                "max_ts_us": [np.int64(ts.max().value // 1000)],
             }
         )
 
@@ -929,18 +939,18 @@ def q_profile_events(sf_dir: str):
             {
                 "n_rows": [np.int64(df["n_rows"].sum())],
                 "n_null_value": [np.int64(df["n_null_value"].sum())],
-                "min_value": [df["min_value"].min()],
-                "max_value": [df["max_value"].max()],
+                "min_value_c": [np.int64(df["min_value_c"].min())],
+                "max_value_c": [np.int64(df["max_value_c"].max())],
                 "sum_value_c": [np.int64(df["sum_value_c"].sum())],
-                "min_ts": [df["min_ts"].min()],
-                "max_ts": [df["max_ts"].max()],
+                "min_ts_us": [np.int64(df["min_ts_us"].min())],
+                "max_ts_us": [np.int64(df["max_ts_us"].max())],
             }
         )
 
     parts = _events(sf_dir).map_batches(partial, batch_format="pandas")
     return bucketed_map_groups(parts, ["g"], final).select_columns(
-        ["n_rows", "n_null_value", "min_value", "max_value",
-         "sum_value_c", "min_ts", "max_ts"]
+        ["n_rows", "n_null_value", "min_value_c", "max_value_c",
+         "sum_value_c", "min_ts_us", "max_ts_us"]
     )
 
 
@@ -1034,11 +1044,11 @@ WHERE na >= 2 AND na*sxx - sx*sx > 0 AND na*syy - sy*sy > 0
 ORACLES3["profile_events"] = """
 SELECT COUNT(*) AS n_rows,
        COUNT(*) - COUNT(value) AS n_null_value,
-       MIN(value) AS min_value,
-       MAX(value) AS max_value,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_c,
-       MIN(ts) AS min_ts,
-       MAX(ts) AS max_ts
+       CAST(ROUND(MIN(value) * 100) AS BIGINT) AS min_value_c,
+       CAST(ROUND(MAX(value) * 100) AS BIGINT) AS max_value_c,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us,
+       CAST(epoch_us(MAX(ts)) AS BIGINT) AS max_ts_us
 FROM events
 """
 
