@@ -76,3 +76,34 @@ class BitReader:
     @property
     def bits_remaining(self) -> int:
         return self._nbits - self._pos
+
+
+def pack_tokens_msb(tok_v, tok_w, tok_s, total_bits: int) -> bytes:
+    """Vectorized variable-width bit packing: OR (value, width<=64, bit
+    start) tokens into an MSB-first bit stream of total_bits (token order
+    free; uncovered bits are zero — zero runs need no tokens). Each token
+    spans at most two adjacent uint64 words; contributions are combined
+    with one argsort + bitwise_or.reduceat, so packing is O(k) numpy work
+    with no per-bit scatter and no Python loop."""
+    import numpy as np
+
+    tok_v = np.asarray(tok_v, dtype=np.uint64)
+    tok_w = np.asarray(tok_w, dtype=np.int64)
+    tok_s = np.asarray(tok_s, dtype=np.int64)
+    o = (tok_s & 63).astype(np.uint64)
+    ov = o + tok_w.astype(np.uint64)
+    word = tok_s >> 6
+    lo_shift = np.where(ov <= 64, np.uint64(64) - ov, np.uint64(0))
+    hi_shift = np.where(ov > 64, ov - np.uint64(64), np.uint64(0))
+    part1 = np.where(ov <= 64, tok_v << lo_shift, tok_v >> hi_shift)
+    spill = ov > 64
+    part2 = tok_v[spill] << (np.uint64(128) - ov[spill])  # << is mod 2^64
+    widx = np.concatenate([word, word[spill] + 1])
+    contrib = np.concatenate([part1, part2])
+    order = np.argsort(widx, kind="stable")
+    wsorted = widx[order]
+    csorted = contrib[order]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(wsorted)) + 1])
+    words = np.zeros((total_bits + 63) // 64, dtype=np.uint64)
+    words[wsorted[starts]] = np.bitwise_or.reduceat(csorted, starts)
+    return words.astype(">u8").tobytes()[: (total_bits + 7) // 8]

@@ -24,7 +24,7 @@ import struct
 
 import numpy as np
 
-from .bitstream import BitReader, BitWriter
+from .bitstream import BitReader, BitWriter, pack_tokens_msb
 
 
 def _zigzag(v: int) -> int:
@@ -48,9 +48,57 @@ def encode_timestamps_dod(timestamps: np.ndarray) -> bytes:
     deltas = np.diff(ts)
     w.write(_zigzag(int(deltas[0])) & ((1 << 64) - 1), 64)
     dods_arr = np.diff(deltas)
-    # zero-run packing: regular-interval series (the rolled-up tier case)
-    # emit one write per run instead of one per point
     nonzero_idx = np.flatnonzero(dods_arr)
+    k = nonzero_idx.size
+    if k < _SCALAR_MAX:
+        return _encode_dods_scalar(
+            header + w.to_bytes(), dods_arr, nonzero_idx, int(dods_arr.size)
+        )
+
+    # fully vectorized (no sequential state, unlike Gorilla values): bucket
+    # each nonzero dod into its size class, then pack ctrl + payload tokens
+    # with the shared word-level packer. Zero runs need no tokens.
+    d = dods_arr[nonzero_idx]
+    runs = np.diff(np.concatenate([[-1], nonzero_idx])) - 1
+    tail_zeros = int(dods_arr.size) - (int(nonzero_idx[-1]) + 1)
+
+    c1 = (d >= -63) & (d <= 64)
+    c2 = ~c1 & (d >= -255) & (d <= 256)
+    c3 = ~c1 & ~c2 & (d >= -2047) & (d <= 2048)
+    c4 = ~(c1 | c2 | c3)
+    ctrl_v = np.select([c1, c2, c3], [2, 6, 14], default=15).astype(np.uint64)
+    ctrl_w = np.select([c1, c2, c3], [2, 3, 4], default=4).astype(np.int64)
+    zz = ((d << 1) ^ (d >> 63)).astype(np.uint64)  # vectorized zigzag
+    pay_v = np.select(
+        [c1, c2, c3], [d + 63, d + 255, d + 2047], default=0
+    ).astype(np.uint64)
+    pay_v[c4] = zz[c4]
+    pay_w = np.select([c1, c2, c3], [7, 9, 12], default=64).astype(np.int64)
+
+    width = ctrl_w + pay_w
+    ends = np.cumsum(runs + width)
+    elem_start = 128 + ends - width
+    total = 128 + int(ends[-1]) + tail_zeros
+
+    tok_v = np.concatenate(
+        [
+            np.array([int(ts[0]) & ((1 << 64) - 1)], dtype=np.uint64),
+            np.array([_zigzag(int(deltas[0])) & ((1 << 64) - 1)], dtype=np.uint64),
+            ctrl_v,
+            pay_v,
+        ]
+    )
+    tok_w = np.concatenate([[64, 64], ctrl_w, pay_w])
+    tok_s = np.concatenate([[0, 64], elem_start, elem_start + ctrl_w])
+    return header + pack_tokens_msb(tok_v, tok_w, tok_s, total)
+
+
+_SCALAR_MAX = 192  # below this the per-point loop beats numpy setup
+
+
+def _encode_dods_scalar(prefix: bytes, dods_arr, nonzero_idx, n_dods: int) -> bytes:
+    """Short-stream path: prefix already holds header + ts0 + delta0."""
+    w = BitWriter()
     dods = dods_arr.tolist()
     pos = 0
     for nz in nonzero_idx.tolist():
@@ -71,10 +119,10 @@ def encode_timestamps_dod(timestamps: np.ndarray) -> bytes:
         else:
             w.write(15, 4)
             w.write(_zigzag(int(d)) & ((1 << 64) - 1), 64)
-    tail = len(dods) - pos
+    tail = n_dods - pos
     if tail:
         w.write(0, tail)
-    return header + w.to_bytes()
+    return prefix + w.to_bytes()
 
 
 def decode_timestamps_dod(data: bytes) -> np.ndarray:

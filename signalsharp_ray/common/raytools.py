@@ -60,6 +60,13 @@ def hash_bucket_aggregate(
     if salt > 1:
         if keep_bucket:
             raise ValueError("keep_bucket is not supported with salt > 1")
+        bad = [op for _, op in aggs if op not in ("sum", "min", "max")]
+        if bad:
+            # the two-phase merge is only exact for associative ops; a
+            # silent sum-of-partials for e.g. 'mean' would be wrong
+            raise ValueError(
+                f"salt > 1 supports only sum/min/max aggregates, got {bad}"
+            )
         partials = hash_bucket_aggregate(
             ds, keys, aggs,
             n_buckets=n_buckets, count_alias=count_alias,

@@ -94,3 +94,54 @@ def evaluate_polynomial(coefficients: np.ndarray, x: float | np.ndarray):
     """Evaluate with coefficients lowest-order first."""
     coefficients = np.asarray(coefficients, dtype=np.float64)
     return np.polyval(coefficients[::-1], x)
+
+
+def transpose(matrix: np.ndarray) -> np.ndarray:
+    """Matrix transpose (MatrixOperations.cs:32-57)."""
+    m = np.asarray(matrix, dtype=np.float64)
+    if m.ndim != 2:
+        raise ValueError("matrix must be 2-D")
+    return m.T.copy()
+
+
+def add(matrix_a: np.ndarray, matrix_b: np.ndarray) -> np.ndarray:
+    """Element-wise matrix addition with the reference's dimension check
+    (MatrixOperations.cs:61-103)."""
+    a = np.asarray(matrix_a, dtype=np.float64)
+    b = np.asarray(matrix_b, dtype=np.float64)
+    if a.ndim != 2 or b.ndim != 2:
+        raise ValueError("inputs must be 2-D")
+    if a.shape != b.shape:
+        raise ValueError("Matrices must have the same dimensions for addition.")
+    return a + b
+
+
+def multiply(matrix_a: np.ndarray, b) -> np.ndarray:
+    """Matrix x matrix (MatrixOperations.cs:107-155) or matrix x vector
+    (MatrixOperations.cs:159-193) product with the reference's inner-
+    dimension checks."""
+    a = np.asarray(matrix_a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if a.ndim != 2:
+        raise ValueError("matrix_a must be 2-D")
+    if b.ndim == 1:
+        if a.shape[1] != b.shape[0]:
+            raise ValueError(
+                "Number of columns in the matrix must match the length of the vector."
+            )
+        return a @ b
+    if b.ndim == 2:
+        if a.shape[1] != b.shape[0]:
+            raise ValueError(
+                "Inner dimensions of matrices do not match for multiplication."
+            )
+        return a @ b
+    raise ValueError("b must be 1-D or 2-D")
+
+
+def scalar_multiply(scalar: float, matrix: np.ndarray) -> np.ndarray:
+    """Scalar x matrix product (MatrixOperations.cs:197-216)."""
+    m = np.asarray(matrix, dtype=np.float64)
+    if m.ndim != 2:
+        raise ValueError("matrix must be 2-D")
+    return float(scalar) * m

@@ -907,37 +907,19 @@ def _query_vector(sf_dir: str) -> np.ndarray:
 
 
 def q_dedup_clusters(sf_dir: str, threshold: float = 0.5):
-    """Near-duplicate CLUSTERS: connected components over the exact-Jaccard
-    pair graph, one (doc_id, cluster_rep=min doc in component) row per doc
-    that has at least one near-dup. The pair list is tiny relative to the
-    corpus (that's the whole point of near-dup blocking), so the union-find
-    runs on the collected PAIRS — never on corpus-sized state. This is the
-    'keep one per cluster' primitive a training-data pipeline filters with."""
-    from ..stages.dedup import exact_jaccard_pairs
+    """Near-duplicate CLUSTERS: DISTRIBUTED connected components (iterative
+    min-label propagation, stages/dedup.connected_components) over the
+    exact-Jaccard pair graph — one (doc_id, cluster_rep=min doc in
+    component) row per doc that has at least one near-dup. Nothing
+    graph-sized touches the driver: each round is a bucketed join + min
+    aggregate over int64 label rows, so the operator survives the
+    billions of near-dup edges a web corpus produces (a driver-side
+    union-find cannot). This is the 'keep one per cluster' primitive a
+    training-data pipeline filters with."""
+    from ..stages.dedup import connected_components, exact_jaccard_pairs
 
-    pairs = exact_jaccard_pairs(_documents(sf_dir), threshold=threshold).to_pandas()
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # union by MIN id so the root IS the cluster representative
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-
-    docs = sorted(parent)
-    return pd.DataFrame(
-        {
-            "doc_id": np.asarray(docs, dtype=np.int64),
-            "cluster_rep": np.asarray([find(d) for d in docs], dtype=np.int64),
-        }
-    )
+    pairs = exact_jaccard_pairs(_documents(sf_dir), threshold=threshold)
+    return connected_components(pairs)
 
 
 def q_knn_cosine(sf_dir: str, k: int = 10):
@@ -959,6 +941,33 @@ def q_embedding_near_dups(sf_dir: str, threshold: float = 0.35):
     from ..stages.similarity import embedding_near_dup_pairs
 
     out = embedding_near_dup_pairs(_embeddings(sf_dir), threshold=threshold).to_pandas()
+    if out.empty or "a" not in out.columns:
+        return pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "a": out["a"].astype(np.int64),
+            "b": out["b"].astype(np.int64),
+            "cosine": _r6(out["cosine"]),
+        }
+    )
+
+
+def q_embedding_near_dups_centroid(sf_dir: str, threshold: float = 0.35):
+    """Same exact pair set as embedding_near_dups, through the 100-TB plan:
+    centroid-bucketed angular pruning + per-cell-pair verification (no
+    O((n/chunk)^2) all-pairs task grid). Shares the SQL oracle with the
+    blocked-cartesian variant — both are exact, so results are identical."""
+    from ..stages.similarity import embedding_near_dup_pairs_centroid
+
+    out = embedding_near_dup_pairs_centroid(
+        _embeddings(sf_dir), threshold=threshold
+    ).to_pandas()
     if out.empty or "a" not in out.columns:
         return pd.DataFrame(
             {
@@ -1053,8 +1062,8 @@ _PRIORITY_ORDER = [
     "distinct_daily_users", "distinct_users_hll",
     "heavy_hitters_exact", "heavy_hitters",
     "lttb_grid", "lttb_downsample",
-    # fixed this round — make sure the driver re-checks it
-    "profile_events",
+    # fixed/added this round — make sure the driver checks them
+    "profile_events", "grid_search_fanout",
 ]
 
 
@@ -1118,6 +1127,7 @@ def build_queries() -> dict:
         "decontamination": q_decontamination,
         "knn_cosine": q_knn_cosine,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_centroid": q_embedding_near_dups_centroid,
         "ivf_knn": q_ivf_knn,
         "lsh_knn": q_lsh_knn,
         "media_features": q_media_features,
@@ -1125,12 +1135,25 @@ def build_queries() -> dict:
         "pelt_multivariate": q_pelt_multivariate,
         "optimize_ses_alpha": q_optimize_ses_alpha,
         "optimize_grid_alpha": q_optimize_grid_alpha,
+        "grid_search_fanout": q_grid_search_fanout,
         "lineitem_rollup_1d": q_lineitem_rollup_1d,
         "sliding_window_3h": q_sliding_window_3h,
         "session_windows": q_session_windows,
         "asof_join_orders": q_asof_join_orders,
         "range_join_orders": q_range_join_orders,
     })
+
+
+# shared by the blocked-cartesian and centroid-pruned exact variants (both
+# compute the identical pair set)
+_EMB_NEAR_DUP_SQL = """
+-- exact all-pairs cosine (DOUBLE-cast so both sides compute in float64;
+-- threshold compares the ROUNDED value on both sides)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+"""
 
 
 def build_oracle_sql() -> dict:
@@ -1425,6 +1448,28 @@ WITH b AS (
 )
 SELECT event_type, CAST(FLOOR((n - 1) / 40) AS BIGINT) AS n_changepoints FROM b
 """,
+        "grid_search_fanout": """
+WITH grid AS (SELECT unnest(range(2, 13)) AS w),
+hrs AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts, COUNT(*) AS cnt
+  FROM events GROUP BY 1
+),
+pts AS (
+  SELECT row_number() OVER (ORDER BY bucket_ts) - 1 AS idx, cnt FROM hrs
+),
+terms AS (
+  SELECT g.w, p.idx, p.cnt, SUM(q.cnt) AS swin
+  FROM grid g
+  JOIN pts p ON p.idx >= g.w
+  JOIN pts q ON q.idx >= p.idx - g.w AND q.idx < p.idx
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(w AS BIGINT) AS w,
+       CAST(SUM(CAST(w * cnt - swin AS BIGINT)
+                * CAST(w * cnt - swin AS BIGINT)) AS BIGINT) AS sse_scaled,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM terms GROUP BY 1
+""",
         "optimize_grid_alpha": """
 WITH RECURSIVE r AS MATERIALIZED (
   SELECT * FROM (
@@ -1703,14 +1748,8 @@ cc AS (
 SELECT doc_id, CAST(MIN(reach) AS BIGINT) AS cluster_rep
 FROM cc GROUP BY 1
 """,
-        "embedding_near_dups": """
--- exact all-pairs cosine (DOUBLE-cast so both sides compute in float64;
--- threshold compares the ROUNDED value on both sides)
-SELECT a.vec_id AS a, b.vec_id AS b,
-       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
-""",
+        "embedding_near_dups_centroid": _EMB_NEAR_DUP_SQL,
+        "embedding_near_dups": _EMB_NEAR_DUP_SQL,
         "jaccard_pairs": """
 -- exact word-3-shingle Jaccard via the same inverted-index join the
 -- engine distributes: shingles -> co-occurrence counts -> set sizes
@@ -1989,6 +2028,60 @@ def q_optimize_grid_alpha(sf_dir: str):
         )
 
     return _per_series(sf_dir, fn)
+
+
+def q_grid_search_fanout(sf_dir: str):
+    """CLUSTER-LEVEL grid-search fan-out — the §2.6 tier-(b) mapping of the
+    reference's parallel objective evaluation (GridSearchOptimizer.cs:307-367
+    Parallel.ForEach over grid points with MaxDegreeOfParallelism): one
+    GLOBAL config is tuned by fanning the parameter grid out as a Ray
+    Dataset while the objective's data (the corpus-wide hourly count
+    series) is broadcast ONCE via ray.put and read by every evaluation
+    task — never re-shipped per row. Grid: SMA forecast window w in
+    [2, 12]; objective: one-step-ahead SSE. All arithmetic is scaled to
+    integers (err*w = w*x_t - sum_w is exact), so the per-w scores are
+    bit-reproducible against SQL at any parallelism."""
+    import ray
+    import ray.data as rd
+
+    from ..common.raytools import hash_bucket_aggregate
+
+    ev = _events(sf_dir, ["event_id", "ts"])
+
+    def to_hour(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"bucket_ts": batch["ts"].dt.floor("h")})
+
+    hours = hash_bucket_aggregate(
+        ev.map_batches(to_hour, batch_format="pandas"),
+        ["bucket_ts"],
+        [],
+        count_alias="cnt",
+    ).to_pandas()
+    # the series is aggregation output (one row per hour — bounded by the
+    # time range, not the corpus); broadcast it once to the object store
+    hours = hours.sort_values("bucket_ts")
+    series_ref = ray.put(hours["cnt"].to_numpy(np.int64))
+
+    grid = rd.from_items([{"w": int(w)} for w in range(2, 13)])
+
+    def evaluate(batch: pd.DataFrame) -> pd.DataFrame:
+        x = ray.get(series_ref)
+        cs = np.concatenate([[0], np.cumsum(x)])
+        out = []
+        for w in batch["w"].astype(int):
+            # sum of the w points before t, for t in [w, n)
+            swin = cs[w:-1] - cs[:-w - 1]
+            err = w * x[w:] - swin
+            out.append(
+                (
+                    np.int64(w),
+                    np.int64(np.sum(err.astype(np.int64) ** 2)),
+                    np.int64(err.size),
+                )
+            )
+        return pd.DataFrame(out, columns=["w", "sse_scaled", "n_terms"])
+
+    return grid.map_batches(evaluate, batch_format="pandas", batch_size=1)
 
 
 def q_lineitem_rollup_1d(sf_dir: str):

@@ -109,9 +109,38 @@ class MinHasher:
         prods = sh[None, :] * self.a[:, None] + self.b[:, None]
         return prods.min(axis=1)
 
+    _CHUNK_SHINGLES = 262144  # bound the (num_perm x shingles) product
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = [self.signature(t or "") for t in batch["text"]]
-        return pd.DataFrame({"doc_id": batch["doc_id"], "minhash": sigs})
+        """Whole-batch signatures: all docs' shingles concatenate into ONE
+        (perm x shingle) product per chunk with per-doc mins via
+        minimum.reduceat — identical values to per-doc signature(), without
+        a numpy dispatch per document (equivalence unit-tested)."""
+        shingles = [_shingle_hashes(t or "", self.shingle_k) for t in batch["text"]]
+        lens = np.array([s.size for s in shingles], dtype=np.int64)
+        sigs = np.zeros((len(shingles), self.num_perm), dtype=np.uint64)
+        nonempty = np.flatnonzero(lens)
+        if nonempty.size:
+            concat = np.concatenate([shingles[i] for i in nonempty])
+            bounds = np.cumsum(lens[nonempty])
+            starts = np.concatenate([[0], bounds[:-1]])
+            i0 = 0
+            while i0 < nonempty.size:
+                i1 = max(
+                    i0 + 1,
+                    int(
+                        np.searchsorted(
+                            bounds, starts[i0] + self._CHUNK_SHINGLES, "left"
+                        )
+                    ),
+                )
+                i1 = min(i1, nonempty.size)
+                seg = concat[starts[i0] : bounds[i1 - 1]]
+                prods = seg[None, :] * self.a[:, None] + self.b[:, None]
+                mins = np.minimum.reduceat(prods, starts[i0:i1] - starts[i0], axis=1)
+                sigs[nonempty[i0:i1]] = mins.T
+                i0 = i1
+        return pd.DataFrame({"doc_id": batch["doc_id"], "minhash": list(sigs)})
 
 
 def minhash_lsh_candidates(
@@ -139,17 +168,30 @@ def minhash_lsh_candidates(
     )
 
     def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, band_ids, band_hashes = [], [], []
-        for doc_id, sig in zip(batch["doc_id"], batch["minhash"]):
-            sig = np.asarray(sig, dtype=np.uint64).reshape(bands, rows_per_band)
-            bh = pd.util.hash_array(
-                np.array([s.tobytes() for s in sig], dtype=object), categorize=False
+        """Vectorized band hashing: fold each band's signature slots with a
+        polynomial combine over the whole batch at once (any injective-ish
+        rehash of the band tuple yields identical LSH buckets)."""
+        n = len(batch)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "band": pd.Series(dtype="int64"),
+                    "band_hash": pd.Series(dtype="int64"),
+                }
             )
-            doc_ids.extend([doc_id] * bands)
-            band_ids.extend(range(bands))
-            band_hashes.extend(bh.view(np.int64))
+        sig3 = np.stack(
+            [np.asarray(s, dtype=np.uint64) for s in batch["minhash"]]
+        ).reshape(n, bands, rows_per_band)
+        c = sig3[:, :, 0].copy()
+        for j in range(1, rows_per_band):
+            c = c * np.uint64(1000003) + sig3[:, :, j]
         return pd.DataFrame(
-            {"doc_id": doc_ids, "band": band_ids, "band_hash": band_hashes}
+            {
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(np.int64), bands),
+                "band": np.tile(np.arange(bands, dtype=np.int64), n),
+                "band_hash": c.reshape(-1).view(np.int64),
+            }
         )
 
     exploded = sigs.map_batches(explode_bands, batch_format="pandas")
@@ -197,12 +239,15 @@ def _shingle_index(docs_ds, shingle_k: int = 3):
     )
 
 
-def _pair_intersections(index_ds):
+def _pair_intersections(index_ds, n_buckets=None):
     """(doc_a, doc_b, inter) for every co-occurring doc pair: bucket the
     index on the shingle hash, self-merge per bucket (vectorized pandas
     hash join — per-shingle pair explosion), then globally sum the partial
-    counts. A shingle in d docs emits O(d^2) pairs — exact; at web scale
-    cap shingle document-frequency upstream or exact-dedup first."""
+    counts. A shingle in d docs emits O(d^2) pairs, so this kernel must
+    only ever see a CANDIDATE-RESTRICTED index (verify_jaccard semi-joins
+    the index down to candidate docs first; exact_jaccard_pairs generates
+    its candidates through the PPJoin prefix filter) — never the raw
+    corpus index, where one stop-word shingle would be an O(df^2) bomb."""
     from ..common.raytools import bucketed_map_groups, hash_bucket_aggregate
 
     def co_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -222,8 +267,12 @@ def _pair_intersections(index_ds):
 
     # bucket on the shingle hash; the per-bucket kernel handles ALL its
     # shingle groups in one vectorized merge (not per-group python)
-    partial = bucketed_map_groups(index_ds, ["g"], None, whole_bucket_fn=co_pairs)
-    agg = hash_bucket_aggregate(partial, ["doc_a", "doc_b"], [("n", "sum")])
+    partial = bucketed_map_groups(
+        index_ds, ["g"], None, whole_bucket_fn=co_pairs, n_buckets=n_buckets
+    )
+    agg = hash_bucket_aggregate(
+        partial, ["doc_a", "doc_b"], [("n", "sum")], n_buckets=n_buckets
+    )
 
     def rename(batch):
         import pyarrow as pa
@@ -235,7 +284,7 @@ def _pair_intersections(index_ds):
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
-def _score_pairs(pairs_inter_ds, sizes_ds, threshold: float):
+def _score_pairs(pairs_inter_ds, sizes_ds, threshold: float, n_buckets=None):
     """Join both docs' shingle-set sizes onto the intersection counts
     (two bucketed exchanges — nothing touches the driver) and keep pairs
     with ROUND(jaccard, 6) >= threshold (rounded so an independent SQL
@@ -248,8 +297,8 @@ def _score_pairs(pairs_inter_ds, sizes_ds, threshold: float):
     b_sizes = sizes_ds.map_batches(
         lambda t: t.rename_columns(["doc_b", "n_b"]), batch_format="pyarrow"
     )
-    joined = bucketed_join(pairs_inter_ds, a_sizes, on=["doc_a"])
-    joined = bucketed_join(joined, b_sizes, on=["doc_b"])
+    joined = bucketed_join(pairs_inter_ds, a_sizes, on=["doc_a"], n_buckets=n_buckets)
+    joined = bucketed_join(joined, b_sizes, on=["doc_b"], n_buckets=n_buckets)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         inter = df["inter"].to_numpy(dtype=np.float64)
@@ -269,33 +318,154 @@ def _score_pairs(pairs_inter_ds, sizes_ds, threshold: float):
     return joined.map_batches(score, batch_format="pandas")
 
 
-def _doc_shingle_sizes(index_ds):
+def _doc_shingle_sizes(index_ds, n_buckets=None):
     from ..common.raytools import hash_bucket_aggregate
 
     return hash_bucket_aggregate(
-        index_ds, ["doc_id"], [], count_alias="n_sh"
+        index_ds, ["doc_id"], [], count_alias="n_sh", n_buckets=n_buckets
     ).select_columns(["doc_id", "n_sh"])
 
 
-def exact_jaccard_pairs(docs_ds, threshold: float = 0.5, shingle_k: int = 3):
-    """EXACT word-shingle Jaccard near-dup pairs over the whole corpus via
-    a distributed inverted index — no LSH recall loss, no driver state:
+def _prefix_index(index_ds, dfreq_ds, t_eff: float, n_buckets=None):
+    """PPJoin/AllPairs prefix restriction of the inverted index: join each
+    row's global shingle document-frequency, order every document's
+    shingles rarest-first by (df, g) — one consistent global total order —
+    and keep only the first  n - ceil(t_eff*n) + 1  shingles per doc.
 
-        docs -> (shingle, doc) explode -> per-shingle co-pairs (bucketed
-        self-merge) -> global intersection counts -> join set sizes ->
+    Prefix-filter lemma (Chaudhuri et al. 2006 / Bayardo et al. 2007,
+    public): J(A,B) >= t implies |A∩B| >= t*max(|A|,|B|), and two sets
+    whose intersection is >= a MUST share an element within their first
+    |x| - a + 1 elements under any common total order. So every
+    qualifying pair co-occurs in the prefix index — candidate generation
+    over prefixes alone is EXACT (no recall loss), while a stop-word
+    shingle with df=10^6 lands in almost no prefixes (it sorts last) and
+    can no longer emit O(df^2) pairs."""
+    from ..common.raytools import bucketed_join, bucketed_map_groups
+
+    joined = bucketed_join(index_ds, dfreq_ds, on=["g"], n_buckets=n_buckets)
+
+    def take_prefix(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "g": pd.Series(dtype="int64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n_sh": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values(["doc_id", "df", "g"], kind="mergesort")
+        n = df.groupby("doc_id", sort=False)["g"].transform("size").to_numpy(np.int64)
+        rank = df.groupby("doc_id", sort=False).cumcount().to_numpy(np.int64)
+        plen = n - np.ceil(t_eff * n).astype(np.int64) + 1
+        keep = rank < plen
+        return pd.DataFrame(
+            {
+                "g": df["g"].to_numpy(np.int64)[keep],
+                "doc_id": df["doc_id"].to_numpy(np.int64)[keep],
+                "n_sh": n[keep],
+            }
+        )
+
+    return bucketed_map_groups(
+        joined, ["doc_id"], None, whole_bucket_fn=take_prefix, n_buckets=n_buckets
+    )
+
+
+def _prefix_candidates(prefix_ds, t_eff: float, n_buckets=None):
+    """Distinct candidate pairs from the prefix index: per-shingle
+    self-merge (bounded — prefixes exclude hot shingles), the exact
+    length filter min(n) >= t*max(n) (necessary for J >= t), then a
+    global dedup exchange on the pair key."""
+    from ..common.raytools import bucketed_map_groups, hash_bucket_aggregate
+
+    def co_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="g", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
+        )
+        if m.empty:
+            return empty
+        na = m["n_sh_a"].to_numpy(np.int64)
+        nb = m["n_sh_b"].to_numpy(np.int64)
+        ok = np.minimum(na, nb) >= t_eff * np.maximum(na, nb)
+        m = m[ok]
+        if m.empty:
+            return empty
+        u = m[["doc_id_a", "doc_id_b"]].drop_duplicates()
+        return pd.DataFrame(
+            {
+                "doc_a": u["doc_id_a"].to_numpy(np.int64),
+                "doc_b": u["doc_id_b"].to_numpy(np.int64),
+            }
+        )
+
+    partial = bucketed_map_groups(
+        prefix_ds, ["g"], None, whole_bucket_fn=co_pairs, n_buckets=n_buckets
+    )
+    return hash_bucket_aggregate(
+        partial, ["doc_a", "doc_b"], [], count_alias="c", n_buckets=n_buckets
+    ).select_columns(["doc_a", "doc_b"])
+
+
+def exact_jaccard_pairs(docs_ds, threshold: float = 0.5, shingle_k: int = 3,
+                        n_buckets: int | None = None):
+    """EXACT word-shingle Jaccard near-dup pairs over the whole corpus via
+    a distributed inverted index with PPJoin prefix filtering — no LSH
+    recall loss, no driver state, no hot-shingle pair bomb:
+
+        docs -> (shingle, doc) explode -> global shingle df counts ->
+        prefix index (rarest  n - ceil(t*n) + 1  shingles per doc; every
+        qualifying pair provably co-occurs there) -> per-shingle co-pairs
+        + length filter -> candidate pairs -> exact intersection counts
+        over the candidate-restricted index -> join set sizes ->
         jaccard = inter / (na + nb - inter) >= threshold
 
     Every stage is a map_batches / bucketed exchange over int64 rows.
-    SQL-oracle-verifiable (the same inverted-index join is expressible in
-    DuckDB), unlike the minhash path.
+    SQL-oracle-verifiable (the brute-force inverted-index join in DuckDB
+    computes the identical pair set — the prefix filter is exact), unlike
+    the minhash path. The filter threshold is relaxed by 1e-6 because the
+    final keep compares ROUND(j, 6) >= t.
     """
-    # the index feeds two consumers (pair counts + set sizes): materialize
-    # once so the shingling pass doesn't run twice. Blocks live in the
-    # object store (spillable); at corpus scale prefer-recompute is the
-    # other valid trade — one extra streaming pass instead of index-sized
-    # object-store residency.
+    from ..common.raytools import bucketed_join, hash_bucket_aggregate
+
+    t_eff = max(threshold - 1e-6, 0.0)
+    # the index feeds four consumers (df counts, prefix join, candidate
+    # restriction, set sizes): materialize once so the shingling pass
+    # doesn't run four times. Blocks live in the object store (spillable);
+    # at corpus scale prefer-recompute is the other valid trade.
     index = _shingle_index(docs_ds, shingle_k).materialize()
-    return _score_pairs(_pair_intersections(index), _doc_shingle_sizes(index), threshold)
+    dfreq = hash_bucket_aggregate(index, ["g"], [], count_alias="df", n_buckets=n_buckets)
+    cands = _prefix_candidates(
+        _prefix_index(index, dfreq, t_eff, n_buckets), t_eff, n_buckets
+    ).materialize()
+
+    # exact verification on the candidate-restricted index only
+    def both_sides(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(
+                    [
+                        batch["doc_a"].to_numpy(np.int64),
+                        batch["doc_b"].to_numpy(np.int64),
+                    ]
+                )
+            }
+        )
+
+    cand_ids = hash_bucket_aggregate(
+        cands.map_batches(both_sides, batch_format="pandas"), ["doc_id"], [],
+        n_buckets=n_buckets,
+    )
+    cand_index = bucketed_join(
+        index, cand_ids, on=["doc_id"], n_buckets=n_buckets
+    ).materialize()
+    inter = bucketed_join(
+        _pair_intersections(cand_index, n_buckets), cands, on=["doc_a", "doc_b"],
+        n_buckets=n_buckets,
+    )
+    return _score_pairs(inter, _doc_shingle_sizes(index, n_buckets), threshold,
+                        n_buckets)
 
 
 def _verify_jaccard_broadcast(docs_ds, pairs_df, threshold, shingle_k):
@@ -420,6 +590,143 @@ def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, **lsh_kwargs):
     """LSH candidates -> exact-Jaccard verified near-duplicate pairs."""
     cands = minhash_lsh_candidates(docs_ds, **lsh_kwargs)
     return verify_jaccard(docs_ds, cands, threshold=threshold)
+
+
+def connected_components(pairs_ds, max_rounds: int = 50, n_buckets: int | None = None):
+    """Distributed connected components over an edge Dataset
+    (doc_a, doc_b) via iterative min-label propagation — the hash-min
+    pattern from the MapReduce CC literature (Rastogi et al. 2013,
+    public). Returns a Dataset of one (doc_id, cluster_rep) row per node,
+    where cluster_rep is the MINIMUM doc_id in the node's component
+    (identical to union-by-min union-find output).
+
+    This is the one operator in the repo built on RAW Ray tasks instead
+    of Dataset ops — deliberately: an iterative algorithm converging in
+    O(diameter) rounds pays a full streaming-executor startup + exchange
+    per round if each round is a Dataset groupby/join (measured: the
+    Dataset formulation spent ~60s/round on a 600-edge graph and
+    accumulated object-store garbage across rounds). Instead, edges are
+    hash-partitioned ONCE by node into B object-store-resident frames,
+    labels live as B co-partitioned frames, and each round is B propagate
+    tasks (local merge + B-way message split, all pandas/numpy C kernels)
+    + B min-reduce tasks. The driver holds only object refs and per-round
+    change counts — never nodes or edges — so the operator survives the
+    billions of near-dup edges a 100-TB corpus produces; B scales with
+    edge count (~100k edge rows per bucket).
+
+    Convergence: a round where no label decreases terminates the loop; a
+    component of graph diameter d stabilizes in <= d rounds, and near-dup
+    clusters are shallow (most are stars around one representative)."""
+    import ray
+
+    from ..common.raytools import default_buckets
+
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    pairs_mat = pairs_ds.select_columns(["doc_a", "doc_b"]).materialize()
+    B = int(min(default_buckets(), max(2, pairs_mat.count() // 100_000)))
+
+    def _bucket_of(ids: np.ndarray) -> np.ndarray:
+        return ((ids.astype(np.uint64) * _MIX) >> np.uint64(32)) % np.uint64(B)
+
+    @ray.remote
+    def split_block(df: pd.DataFrame) -> tuple:
+        if len(df) == 0 or "doc_a" not in df.columns:
+            # upstream filters can emit schema-less empty blocks
+            empty = pd.DataFrame(
+                {"node": pd.Series(dtype="int64"), "nbr": pd.Series(dtype="int64")}
+            )
+            return tuple(empty for _ in range(B))
+        a = df["doc_a"].to_numpy(np.int64)
+        b = df["doc_b"].to_numpy(np.int64)
+        node = np.concatenate([a, b])
+        nbr = np.concatenate([b, a])
+        tb = _bucket_of(node)
+        out = []
+        for k in range(B):
+            m = tb == k
+            out.append(pd.DataFrame({"node": node[m], "nbr": nbr[m]}))
+        return tuple(out)
+
+    @ray.remote
+    def init_labels(*edge_parts) -> pd.DataFrame:
+        e = pd.concat(edge_parts, ignore_index=True)
+        if e.empty:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype="int64"), "label": pd.Series(dtype="int64")}
+            )
+        g = e.groupby("node", sort=True)["nbr"].min()
+        nodes = g.index.to_numpy(np.int64)
+        return pd.DataFrame(
+            {"node": nodes, "label": np.minimum(nodes, g.to_numpy(np.int64))}
+        )
+
+    @ray.remote
+    def propagate(label_df: pd.DataFrame, *edge_parts) -> tuple:
+        e = pd.concat(edge_parts, ignore_index=True)
+        m = e.merge(label_df, on="node")
+        tgt = _bucket_of(m["nbr"].to_numpy(np.int64))
+        out = []
+        for k in range(B):
+            sub = m[tgt == k]
+            g = sub.groupby("nbr", sort=False)["label"].min()
+            out.append(
+                pd.DataFrame(
+                    {
+                        "node": g.index.to_numpy(np.int64),
+                        "label": g.to_numpy(np.int64),
+                    }
+                )
+            )
+        return tuple(out)
+
+    @ray.remote
+    def min_reduce(old_df: pd.DataFrame, *incoming) -> tuple:
+        # every message targets an existing node of this bucket (a nbr is
+        # always a node), so old and new cover the same sorted node set
+        allf = pd.concat([old_df, *incoming], ignore_index=True)
+        g = allf.groupby("node", sort=True)["label"].min()
+        new = pd.DataFrame(
+            {"node": g.index.to_numpy(np.int64), "label": g.to_numpy(np.int64)}
+        )
+        changed = int((new["label"].to_numpy() < old_df["label"].to_numpy()).sum())
+        return new, changed
+
+    blocks = pairs_mat.to_pandas_refs()
+    parts = [split_block.options(num_returns=B).remote(r) for r in blocks]
+    if B == 1:  # options(num_returns=1) unwraps the tuple differently
+        raise AssertionError("B is always >= 2")
+    bucket_edges = [[pr[k] for pr in parts] for k in range(B)]
+    labels = [init_labels.remote(*bucket_edges[k]) for k in range(B)]
+
+    for _ in range(max_rounds):
+        msgs = [
+            propagate.options(num_returns=B).remote(labels[k], *bucket_edges[k])
+            for k in range(B)
+        ]
+        results = [
+            min_reduce.options(num_returns=2).remote(
+                labels[k], *[msgs[j][k] for j in range(B)]
+            )
+            for k in range(B)
+        ]
+        labels = [r[0] for r in results]
+        if sum(ray.get([r[1] for r in results])) == 0:
+            break
+
+    import ray.data as rd
+
+    out = rd.from_pandas_refs(labels)
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["node"].to_numpy(np.int64),
+                "cluster_rep": df["label"].to_numpy(np.int64),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pandas")
 
 
 # -- simhash --------------------------------------------------------------

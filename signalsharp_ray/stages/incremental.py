@@ -70,7 +70,16 @@ class IncrementalTierStore:
 
         fingerprint: identifies this increment; a bucket whose footer
         already records it skips the merge (exactly-once per bucket under
-        crash + retry). None disables the ledger (at-least-once)."""
+        crash + retry). None disables the ledger (at-least-once).
+
+        The ledger is BOUNDED: each bucket footer keeps only the most
+        recent _LEDGER_MAX fingerprints, so continuous streaming
+        increments cannot grow footer metadata (or the membership probe)
+        without bound. The dedup window this buys — the last 1024
+        increments per bucket — covers every real retry pattern (a failed
+        task replays immediately, not thousands of increments later); a
+        replay OLDER than the window would double-apply, which is the
+        documented at-least-once boundary of this store."""
         import json
 
         import pyarrow.parquet as pq
@@ -78,6 +87,7 @@ class IncrementalTierStore:
         tier_us, key_cols = self.tier_us, self.key_cols
         gk = key_cols + ["bucket_ts"]
         _LEDGER = b"signalsharp_applied_chunks"
+        _LEDGER_MAX = 1024
 
         def partial(batch) -> pd.DataFrame:
             t = partial_rollup_batch(batch, tier_us, key_cols).to_pandas()
@@ -117,7 +127,9 @@ class IncrementalTierStore:
             if fingerprint is not None:
                 # the ledger replaces atomically WITH the data: crash-safe
                 meta = dict(table.schema.metadata or {})
-                meta[_LEDGER] = json.dumps(applied + [fingerprint]).encode()
+                meta[_LEDGER] = json.dumps(
+                    (applied + [fingerprint])[-_LEDGER_MAX:]
+                ).encode()
                 table = table.replace_schema_metadata(meta)
             tmp = path + ".tmp"
             pq.write_table(table, tmp)

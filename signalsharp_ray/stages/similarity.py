@@ -264,3 +264,164 @@ def embedding_near_dup_pairs(embeddings_ds, threshold: float = 0.95,
         for j in range(i, len(refs))
     ]
     return rd.from_pandas_refs(tasks)
+
+
+def embedding_near_dup_pairs_centroid(
+    embeddings_ds,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    n_cells: int = 32,
+    sample_size: int = 4096,
+    seed: int = 0,
+    chunk_rows: int = 4096,
+):
+    """All (a, b) pairs with cosine >= threshold — EXACT at corpus scale,
+    via centroid-bucketed angular pruning (the 100-TB answer for this
+    operator; the blocked cartesian above stays the small-shard path).
+
+    Plan (every stage a Dataset op; nothing corpus-sized on the driver):
+      1. k-means cells on a bounded sample; assign every vector a cell and
+         its exact angle to the cell centroid (one map_batches).
+      2. Per-cell angular RADIUS r_c = max member angle (tiny aggregate).
+      3. Prune cell pairs by the angular triangle inequality:
+             ang(a, b) >= ang(c_a, c_b) - r_a - r_b
+         so a qualifying pair (ang <= arccos t) can only live in a cell
+         pair with ang(c1, c2) <= arccos(t) + r1 + r2. EXACTNESS never
+         depends on centroid quality — only pruning efficiency does; the
+         bound carries float slack (1e-9 angular + the 1e-6 threshold
+         relaxation matching the ROUND(cos, 6) >= t keep rule).
+      4. Replicate each vector once per surviving cell pair it belongs to
+         and groupby(pair) -> dense per-group matmul (chunked to bound the
+         sims matrix), emitting only above-threshold pairs.
+
+    Each qualifying (a, b) lives in exactly ONE cell pair (cells
+    partition the corpus), so no cross-pair dedup exchange is needed. A
+    degenerate corpus that is ONE giant near-dup cluster still costs
+    O(cluster^2) verification — that lower bound is the OUTPUT size, not
+    an artifact of the plan. Verified pair-identical to the blocked
+    cartesian in tests."""
+    import ray
+    import ray.data as rd
+
+    from ..common.raytools import bucketed_map_groups, hash_bucket_aggregate
+
+    assigned, cent = ivf_build_assignments(
+        embeddings_ds, n_cells, sample_size, id_col=id_col, col=col, seed=seed
+    )
+    n_cells_eff = cent.shape[0]
+    cref = ray.put(cent)
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(_stack_embeddings(batch, col))
+        cell = batch["cell"].to_numpy(np.int64)
+        c = ray.get(cref)
+        cos_c = np.einsum("ij,ij->i", m, c[cell])
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(np.int64),
+                "cell": cell,
+                "ang": np.arccos(np.clip(cos_c, -1.0, 1.0)),
+                "norm": list(m),
+            }
+        )
+
+    prepped = assigned.map_batches(prep, batch_format="pandas").materialize()
+
+    radii = hash_bucket_aggregate(
+        prepped.select_columns(["cell", "ang"]), ["cell"], [("ang", "max")]
+    ).to_pandas()  # <= n_cells rows
+    r = np.zeros(n_cells_eff, dtype=np.float64)
+    r[radii["cell"].to_numpy(np.int64)] = radii["ang_max"].to_numpy(np.float64)
+
+    t_eff = min(max(threshold - 1e-6, -1.0), 1.0)
+    ang_t = float(np.arccos(t_eff))
+    cang = np.arccos(np.clip(cent @ cent.T, -1.0, 1.0))
+    keep = cang <= ang_t + r[:, None] + r[None, :] + 1e-9
+    cell_pairs = [
+        (i, j) for i in range(n_cells_eff) for j in range(i, n_cells_eff) if keep[i, j]
+    ]
+    # cell -> [(pair_id, side)] membership map, broadcast via closure (tiny)
+    membership: dict[int, list[tuple[int, int]]] = {}
+    for pid, (ci, cj) in enumerate(cell_pairs):
+        membership.setdefault(ci, []).append((pid, 0))
+        if cj != ci:
+            membership.setdefault(cj, []).append((pid, 1))
+    same_pair = {pid for pid, (ci, cj) in enumerate(cell_pairs) if ci == cj}
+
+    def replicate(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cell_val, g in batch.groupby("cell", sort=False):
+            for pid, side in membership.get(int(cell_val), ()):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "pair": np.full(len(g), pid, dtype=np.int64),
+                            "side": np.full(len(g), side, dtype=np.int64),
+                            id_col: g[id_col].to_numpy(np.int64),
+                            "norm": g["norm"].to_numpy(),
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "pair": pd.Series(dtype="int64"),
+                    "side": pd.Series(dtype="int64"),
+                    id_col: pd.Series(dtype="int64"),
+                    "norm": pd.Series(dtype="object"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    replicated = prepped.map_batches(replicate, batch_format="pandas")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        pid = int(df["pair"].iloc[0])
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if pid in same_pair:
+            ml = np.stack(df["norm"].to_numpy())
+            il = df[id_col].to_numpy(np.int64)
+            mr, ir, same = ml, il, True
+        else:
+            ldf = df[df["side"] == 0]
+            rdf = df[df["side"] == 1]
+            if ldf.empty or rdf.empty:
+                return empty
+            ml, il = np.stack(ldf["norm"].to_numpy()), ldf[id_col].to_numpy(np.int64)
+            mr, ir = np.stack(rdf["norm"].to_numpy()), rdf[id_col].to_numpy(np.int64)
+            same = False
+        frames = []
+        for s0 in range(0, len(il), chunk_rows):
+            s1 = min(s0 + chunk_rows, len(il))
+            sims = ml[s0:s1] @ mr.T
+            if same:
+                # strict upper triangle relative to global row index
+                cols = np.arange(len(ir))[None, :]
+                rows = np.arange(s0, s1)[:, None]
+                mask = cols > rows
+            else:
+                mask = np.ones(sims.shape, dtype=bool)
+            mask &= np.round(sims, 6) >= threshold
+            ia, ib = np.nonzero(mask)
+            if ia.size:
+                a, b = il[s0 + ia], ir[ib]
+                swap = a > b
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "a": np.where(swap, b, a),
+                            "b": np.where(swap, a, b),
+                            "cosine": sims[ia, ib],
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return bucketed_map_groups(replicated, ["pair"], verify)

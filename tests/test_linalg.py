@@ -111,3 +111,43 @@ class TestPolynomial:
     def test_insufficient_points_raise(self):
         with pytest.raises(ValueError):
             fit_polynomial(np.arange(2.0), np.arange(2.0), 2)
+
+
+class TestMatrixSurface:
+    """Transpose/Add/Multiply/ScalarMultiply parity with
+    MatrixOperations.cs:32-216 (values + validation semantics)."""
+
+    def test_transpose(self):
+        from signalsharp_ray.kernels.linalg import transpose
+
+        m = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+        np.testing.assert_array_equal(transpose(m), m.T)
+        with pytest.raises(ValueError):
+            transpose(np.array([1.0, 2.0]))
+
+    def test_add(self):
+        from signalsharp_ray.kernels.linalg import add
+
+        a = np.array([[1.0, 2.0], [3.0, 4.0]])
+        np.testing.assert_array_equal(add(a, a), 2 * a)
+        with pytest.raises(ValueError, match="same dimensions"):
+            add(a, np.ones((3, 2)))
+
+    def test_multiply_matrix_and_vector(self):
+        from signalsharp_ray.kernels.linalg import multiply
+
+        a = np.array([[1.0, 2.0], [3.0, 4.0]])
+        b = np.array([[5.0, 6.0], [7.0, 8.0]])
+        np.testing.assert_array_equal(multiply(a, b), a @ b)
+        v = np.array([1.0, -1.0])
+        np.testing.assert_array_equal(multiply(a, v), a @ v)
+        with pytest.raises(ValueError, match="Inner dimensions"):
+            multiply(a, np.ones((3, 3)))
+        with pytest.raises(ValueError, match="length of the vector"):
+            multiply(a, np.ones(3))
+
+    def test_scalar_multiply(self):
+        from signalsharp_ray.kernels.linalg import scalar_multiply
+
+        a = np.array([[1.0, -2.0], [0.5, 4.0]])
+        np.testing.assert_array_equal(scalar_multiply(-2.0, a), -2.0 * a)

@@ -383,3 +383,174 @@ class TestNativeMediaCodecs:
 
         with pytest.raises(NotImplementedError):
             MediaDecoder("strict").decode(b"\xff\xd8jpegdata", "image")
+
+
+def _brute_jaccard_pairs(df, threshold, shingle_k=3):
+    """Driver-side all-pairs reference for exact_jaccard_pairs."""
+    from signalsharp_ray.stages.dedup import _shingle_hashes
+
+    sets = {
+        int(d): set(_shingle_hashes(t or "", shingle_k).tolist())
+        for d, t in zip(df["doc_id"], df["text"])
+    }
+    rows = []
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            j = inter / union
+            if np.floor(j * 1e6 + 0.5) / 1e6 >= threshold:
+                rows.append((a, b, j))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+
+class TestPrefixFilteredJaccard:
+    def test_matches_brute_force(self):
+        """PPJoin prefix filtering is exact: identical pair set + values."""
+        from signalsharp_ray.stages.dedup import exact_jaccard_pairs
+
+        df = _docs(n=80, dup_groups=8)
+        got = (
+            exact_jaccard_pairs(_docs_ds(df), threshold=0.5, n_buckets=8)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        want = _brute_jaccard_pairs(df, 0.5).sort_values(
+            ["doc_a", "doc_b"]
+        ).reset_index(drop=True)
+        assert len(got) == len(want) > 0
+        pd.testing.assert_frame_equal(
+            got[["doc_a", "doc_b"]].astype(np.int64),
+            want[["doc_a", "doc_b"]].astype(np.int64),
+        )
+        np.testing.assert_allclose(got["jaccard"], want["jaccard"], rtol=1e-12)
+
+    def test_hot_shingle_skew_bounded_and_exact(self):
+        """One shingle in 50% of docs (the stop-word pair bomb): the prefix
+        filter must keep candidate volume near the qualifying-pair count
+        (NOT O(df^2)) and stay exact."""
+        import ray.data as rd
+
+        from signalsharp_ray.common.raytools import hash_bucket_aggregate
+        from signalsharp_ray.stages.dedup import (
+            _prefix_candidates,
+            _prefix_index,
+            _shingle_index,
+            exact_jaccard_pairs,
+        )
+
+        rng = np.random.default_rng(7)
+        n = 200
+        texts = []
+        for i in range(n):
+            uniq = " ".join(f"w{i}x{j}" for j in range(20))
+            if i % 2 == 0:
+                # the same hot 3-shingle in half the corpus
+                uniq = "the quick fox " + uniq
+            texts.append(uniq)
+        # two genuine near-dup pairs
+        texts[1] = texts[0] + " tail"
+        texts[3] = texts[2]
+        df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+        ds = rd.from_pandas(df).repartition(4)
+
+        t_eff = 0.5 - 1e-6
+        index = _shingle_index(ds).materialize()
+        dfreq = hash_bucket_aggregate(index, ["g"], [], count_alias="df", n_buckets=8)
+        cands = _prefix_candidates(
+            _prefix_index(index, dfreq, t_eff, n_buckets=8), t_eff, n_buckets=8
+        ).to_pandas()
+        # hot shingle df=100 -> 4950 naive pairs; prefix filtering must
+        # keep candidates within a small constant of the true pair count
+        assert len(cands) <= 50, f"candidate explosion: {len(cands)}"
+
+        got = (
+            exact_jaccard_pairs(ds, threshold=0.5, n_buckets=8)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        want = _brute_jaccard_pairs(df, 0.5).sort_values(
+            ["doc_a", "doc_b"]
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["doc_a", "doc_b"]].astype(np.int64),
+            want[["doc_a", "doc_b"]].astype(np.int64),
+        )
+
+
+class TestConnectedComponents:
+    def test_matches_union_find(self):
+        """Distributed min-label propagation == driver union-find."""
+        import ray.data as rd
+
+        from signalsharp_ray.stages.dedup import connected_components
+
+        rng = np.random.default_rng(11)
+        # several chains + stars + isolated pairs over 300 nodes
+        edges = []
+        nodes = np.arange(300, dtype=np.int64)
+        rng.shuffle(nodes)
+        # chains of length 4 (diameter 3 exercises multiple rounds)
+        for s in range(0, 120, 4):
+            chain = nodes[s:s + 4]
+            edges += [(int(chain[i]), int(chain[i + 1])) for i in range(3)]
+        # stars
+        for s in range(120, 240, 8):
+            hub, *leaves = nodes[s:s + 8]
+            edges += [(int(hub), int(l)) for l in leaves]
+        # random extra edges
+        for _ in range(40):
+            a, b = rng.choice(nodes[:240], 2, replace=False)
+            if a != b:
+                edges.append((int(a), int(b)))
+        pairs = pd.DataFrame(edges, columns=["doc_a", "doc_b"]).astype(np.int64)
+
+        got = (
+            connected_components(rd.from_pandas(pairs).repartition(3))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        want = pd.DataFrame(
+            {
+                "doc_id": sorted(parent),
+                "cluster_rep": [find(d) for d in sorted(parent)],
+            }
+        ).astype(np.int64)
+        pd.testing.assert_frame_equal(got.astype(np.int64), want)
+
+
+def test_minhasher_batched_equals_per_doc():
+    """The whole-batch reduceat path must produce IDENTICAL signatures to
+    the per-doc signature() reference for every doc, including empties."""
+    from signalsharp_ray.stages.dedup import MinHasher
+
+    df = _docs(n=40, dup_groups=4)
+    df.loc[7, "text"] = ""          # empty doc
+    df.loc[9, "text"] = "one two"   # fewer tokens than shingle_k
+    mh = MinHasher(num_perm=32)
+    out = mh(df)
+    for i, t in enumerate(df["text"]):
+        np.testing.assert_array_equal(
+            np.asarray(out["minhash"].iloc[i]), mh.signature(t or "")
+        )
