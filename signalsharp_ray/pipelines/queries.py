@@ -1063,7 +1063,9 @@ _PRIORITY_ORDER = [
     "heavy_hitters_exact", "heavy_hitters",
     "lttb_grid", "lttb_downsample",
     # fixed/added this round — make sure the driver checks them
-    "profile_events", "grid_search_fanout",
+    "profile_events", "grid_search_fanout", "embedding_near_dups_centroid",
+    "rolling_corr_24h", "vwap_daily", "mad_anomalies",
+    "topk_terms_by_source", "duplicate_ngram_fraction",
 ]
 
 
@@ -1078,8 +1080,10 @@ def build_queries() -> dict:
     from .queries3 import QUERIES3
     from .queries4 import QUERIES4
     from .queries5 import QUERIES5
+    from .queries6 import QUERIES6
 
     return _reorder({
+        **QUERIES6,
         **QUERIES2,
         **QUERIES3,
         **QUERIES4,
@@ -1162,8 +1166,11 @@ def build_oracle_sql() -> dict:
     from .queries4 import ORACLES4
     from .queries5 import ORACLES5
 
+    from .queries6 import ORACLES6
+
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
+        **ORACLES6,
         **ORACLES2,
         **ORACLES3,
         **ORACLES4,

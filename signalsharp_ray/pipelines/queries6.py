@@ -1,0 +1,437 @@
+"""Round-3 batch 6: paired-series dependence (rolling correlation), money-
+weighted pricing (VWAP), robust anomaly fences (median/MAD), per-source
+vocabulary ranking, and the RefinedWeb-style duplicated-n-gram corpus
+signal.
+
+Every operator is DuckDB-oracle-verified (ORACLES6). House parity style:
+counts/money cross shuffles as exact int64, correlation/VWAP float
+expressions are transcribed op-for-op over exact-integer window sums with
+one shared final ROUND, medians of integer series are exact .5 rationals
+on both engines, and the n-gram construction mirrors the jaccard oracle's
+list_transform windows (engine hashes are 64-bit, so document-frequency
+counts agree modulo negligible collisions — the same documented contract
+as jaccard_pairs).
+
+Scale contracts: hourly/daily count tables are bounded by catalog x
+retention (never event volume) and may sit on the driver; n-gram document
+frequencies reduce through bucketed int64 exchanges with per-doc state
+bounded by one document's distinct grams.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..common.raytools import bucketed_join, bucketed_map_groups, hash_bucket_aggregate
+from .queries2 import _documents, _events, _r6away
+
+HOUR_US = 3_600_000_000
+DAY_US = 86_400_000_000
+
+QUERIES6: dict = {}
+ORACLES6: dict = {}
+
+
+def _r6h(x):
+    v = np.asarray(x, dtype=np.float64)
+    return np.floor(v * 1e6 + 0.5) / 1e6
+
+
+def _hourly_counts(sf_dir: str, types: tuple | None = None) -> pd.DataFrame:
+    """(event_type, hour_us, n) — bounded by catalog x retention."""
+    cols = ["ts", "event_type"]
+    ev = _events(sf_dir, cols)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = batch
+        if types is not None:
+            df = df[df["event_type"].isin(types)]
+        hour = (
+            df["ts"].to_numpy("datetime64[us]").view(np.int64) // HOUR_US
+        ) * HOUR_US
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "hour_us": hour})
+            .groupby(["event_type", "hour_us"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    return hash_bucket_aggregate(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type", "hour_us"],
+        [("n", "sum")],
+    ).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# Rolling 24h Pearson correlation between two streams
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_corr_24h(sf_dir: str, type_x: str = "view", type_y: str = "click"):
+    """Rolling 24-hour Pearson correlation between the zero-filled hourly
+    count series of two event streams — the live dependence monitor behind
+    composite alerting ("views and clicks decoupled at 14:00").
+    type_correlation_matrix gives one contemporaneous number per pair;
+    this tracks the relationship THROUGH time with a tumbling window.
+
+    Parity: window sums sx/sy/sxx/syy/sxy are exact int64 over the shared
+    dense hour grid, so corr is one shared float expression per window
+    (transcribed op-for-op against the SQL), rounded once. Windows with a
+    zero-variance side are omitted on both sides."""
+    agg = _hourly_counts(sf_dir, (type_x, type_y))
+    lo = int(agg["hour_us"].min())
+    hi = int(agg["hour_us"].max())
+    grid = np.arange(lo, hi + HOUR_US, HOUR_US, dtype=np.int64)
+
+    def dense(t: str) -> np.ndarray:
+        g = agg[agg["event_type"] == t]
+        v = np.zeros(grid.size, dtype=np.int64)
+        v[(g["hour_us"].to_numpy(np.int64) - lo) // HOUR_US] = g["n_sum"].to_numpy(
+            np.int64
+        )
+        return v
+
+    x, y = dense(type_x), dense(type_y)
+    W = 24
+    cx = np.concatenate([[0], np.cumsum(x)])
+    cy = np.concatenate([[0], np.cumsum(y)])
+    cxx = np.concatenate([[0], np.cumsum(x * x)])
+    cyy = np.concatenate([[0], np.cumsum(y * y)])
+    cxy = np.concatenate([[0], np.cumsum(x * y)])
+    # windows ending at t for t in [W-1, n)
+    sx = cx[W:] - cx[:-W]
+    sy = cy[W:] - cy[:-W]
+    sxx = cxx[W:] - cxx[:-W]
+    syy = cyy[W:] - cyy[:-W]
+    sxy = cxy[W:] - cxy[:-W]
+    dxx = W * sxx - sx * sx
+    dyy = W * syy - sy * sy
+    num = W * sxy - sx * sy
+    ok = (dxx > 0) & (dyy > 0)
+    corr = num[ok].astype(np.float64) / (
+        np.sqrt(dxx[ok].astype(np.float64)) * np.sqrt(dyy[ok].astype(np.float64))
+    )
+    return pd.DataFrame(
+        {
+            "hour_us": grid[W - 1 :][ok],
+            "corr": _r6away(corr),
+        }
+    )
+
+
+QUERIES6["rolling_corr_24h"] = q_rolling_corr_24h
+ORACLES6["rolling_corr_24h"] = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS bh, COUNT(*) AS n
+  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(bh) AS lo, MAX(bh) AS hi FROM h),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bh FROM bounds
+),
+x AS (
+  SELECT g.bh,
+         COALESCE(hv.n, 0) AS xv,
+         COALESCE(hc.n, 0) AS yv
+  FROM grid g
+  LEFT JOIN (SELECT bh, n FROM h WHERE event_type = 'view') hv USING (bh)
+  LEFT JOIN (SELECT bh, n FROM h WHERE event_type = 'click') hc USING (bh)
+),
+w AS (
+  SELECT bh, row_number() OVER (ORDER BY bh) AS rn,
+         SUM(xv) OVER win AS sx, SUM(yv) OVER win AS sy,
+         SUM(xv * xv) OVER win AS sxx, SUM(yv * yv) OVER win AS syy,
+         SUM(xv * yv) OVER win AS sxy
+  FROM x
+  WINDOW win AS (ORDER BY bh ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(epoch_us(bh) AS BIGINT) AS hour_us,
+       ROUND(CAST(24 * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(24 * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(24 * syy - sy * sy AS DOUBLE))), 6) AS corr
+FROM w
+WHERE rn >= 24 AND 24 * sxx - sx * sx > 0 AND 24 * syy - sy * sy > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Daily VWAP (money-weighted average price) per return flag
+# ---------------------------------------------------------------------------
+
+
+def q_vwap_daily(sf_dir: str):
+    """Daily volume-weighted average price per l_returnflag:
+    sum(price_cents * qty) / sum(qty) / 100 — the money-weighted mean the
+    plain AVG misstates whenever quantity and price correlate. Both the
+    cents*qty cross-products and the quantity sums are exact int64
+    (TPC-H quantities are whole numbers), so the single division is the
+    only float op on either side."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_shipdate", "l_extendedprice", "l_quantity"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            batch["l_shipdate"].to_numpy("datetime64[us]").view(np.int64) // DAY_US
+        ) * DAY_US
+        p = batch["l_extendedprice"].to_numpy(np.float64) * 100.0
+        cents = (np.sign(p) * np.floor(np.abs(p) + 0.5)).astype(np.int64)
+        qty = batch["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "l_returnflag": batch["l_returnflag"],
+                    "day_us": day,
+                    "pq": cents * qty,
+                    "q": qty,
+                }
+            )
+            .groupby(["l_returnflag", "day_us"], sort=False)
+            .agg(pq=("pq", "sum"), q=("q", "sum"))
+            .reset_index()
+        )
+        return g
+
+    agg = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "day_us"],
+        [("pq", "sum"), ("q", "sum")],
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        pq = batch["pq_sum"].to_numpy(np.float64)
+        q = batch["q_sum"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "day_us": batch["day_us"].astype(np.int64),
+                "total_qty": batch["q_sum"].astype(np.int64),
+                "vwap": _r6away(pq / q / 100.0),
+            }
+        )
+
+    return agg.map_batches(fmt, batch_format="pandas")
+
+
+QUERIES6["vwap_daily"] = q_vwap_daily
+ORACLES6["vwap_daily"] = """
+SELECT l_returnflag,
+       CAST(epoch_us(date_trunc('day', l_shipdate)) AS BIGINT) AS day_us,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100, 6) AS vwap
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Median/MAD anomaly fence (robust alternative to anomaly_zscore)
+# ---------------------------------------------------------------------------
+
+
+def q_mad_anomalies(sf_dir: str):
+    """Hours whose count deviates from the series median by more than
+    3 x MAD (median absolute deviation), per event_type — the robust
+    anomaly fence that, unlike the z-score variant, one outage spike
+    cannot widen (breakdown point 50% vs 0%). Medians of integer counts
+    are exact .5 rationals in both engines and the output carries no
+    floats at all, so the operator verifies with zero rounding surface."""
+    agg = _hourly_counts(sf_dir)
+    out = []
+    for t, g in agg.groupby("event_type", sort=True):
+        n = g["n_sum"].to_numpy(np.int64)
+        med = np.median(n)
+        mad = np.median(np.abs(n - med))
+        keep = np.abs(n - med) > 3.0 * mad
+        if keep.any():
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_type": t,
+                        "hour_us": g["hour_us"].to_numpy(np.int64)[keep],
+                        "cnt": n[keep],
+                    }
+                )
+            )
+    if not out:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "hour_us": pd.Series(dtype="int64"),
+                "cnt": pd.Series(dtype="int64"),
+            }
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+QUERIES6["mad_anomalies"] = q_mad_anomalies
+ORACLES6["mad_anomalies"] = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS bh, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (SELECT event_type, MEDIAN(n) AS med FROM h GROUP BY 1),
+m2 AS (
+  SELECT h.event_type, MEDIAN(ABS(n - med)) AS mad
+  FROM h JOIN m USING (event_type) GROUP BY 1
+)
+SELECT h.event_type,
+       CAST(epoch_us(bh) AS BIGINT) AS hour_us,
+       CAST(n AS BIGINT) AS cnt
+FROM h JOIN m USING (event_type) JOIN m2 USING (event_type)
+WHERE ABS(n - med) > 3 * mad
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source top-5 vocabulary
+# ---------------------------------------------------------------------------
+
+
+def q_topk_terms_by_source(sf_dir: str, k: int = 5):
+    """Top-5 tokens per SOURCE by total occurrence count (ties broken by
+    token ascending) — the per-feed vocabulary fingerprint used to spot a
+    crawl feed gone off the rails. vocabulary ranks the global corpus;
+    this partitions the ranking by provenance.
+
+    Scale: per-batch (source, token) partial counts combine in one
+    bucketed exchange keyed by token strings; per-source top-k needs only
+    that aggregated table."""
+    import re
+
+    _TOKEN = re.compile(r"\w+")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        srcs, toks = [], []
+        for s, t in zip(batch["source"], batch["text"]):
+            words = _TOKEN.findall((t or "").lower())
+            srcs.extend([s] * len(words))
+            toks.extend(words)
+        g = (
+            pd.DataFrame({"source": srcs, "token": toks})
+            .groupby(["source", "token"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    counts = hash_bucket_aggregate(
+        _documents(sf_dir, ["source", "text"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["source", "token"],
+        [("n", "sum")],
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_sum", "token"], ascending=[False, True], kind="mergesort")
+        out = df.head(k).copy()
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "source": out["source"],
+                "token": out["token"],
+                "cnt": out["n_sum"].astype(np.int64),
+                "rank": out["rank"],
+            }
+        )
+
+    return bucketed_map_groups(counts, ["source"], topk)
+
+
+QUERIES6["topk_terms_by_source"] = q_topk_terms_by_source
+ORACLES6["topk_terms_by_source"] = """
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(COALESCE(text, '')), '[\\p{L}\\p{N}_]+')) AS token
+  FROM documents
+),
+c AS (SELECT source, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2)
+SELECT source, token, CAST(cnt AS BIGINT) AS cnt,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, token) AS BIGINT) AS rank
+FROM c
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY cnt DESC, token) <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-8-gram fraction (RefinedWeb/Gopher substring-dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def q_duplicate_ngram_fraction(sf_dir: str, k: int = 8):
+    """Per document: the fraction of its DISTINCT word-8-grams that occur
+    in at least one other document — the substring-level duplication
+    signal (RefinedWeb / Gopher style, public) that exact- and near-dedup
+    both miss: boilerplate headers, licence blocks, templated paragraphs.
+    Corpus pipelines drop or trim docs above a dup-fraction cut.
+
+    Scale: (gram_hash, doc_id) int64 rows explode once; document
+    frequency is one bucketed count; the verdict joins df back per gram
+    and reduces per doc. Engine hashes are 64-bit, so counts match the
+    string-gram oracle modulo negligible collisions (the jaccard_pairs
+    contract). Fraction is a rational rounded half-up on both sides."""
+    from ..stages.dedup import _shingle_index
+
+    index = _shingle_index(
+        _documents(sf_dir, ["doc_id", "text"]), shingle_k=k
+    ).materialize()
+    dfreq = hash_bucket_aggregate(index, ["g"], [], count_alias="df")
+    joined = bucketed_join(index, dfreq, on=["g"])
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False)["df"]
+        tot = g.size()
+        dup = g.apply(lambda s: int((s >= 2).sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": tot.index.to_numpy(np.int64),
+                "n_grams": tot.to_numpy(np.int64),
+                "n_dup": dup.to_numpy(np.int64),
+                "dup_frac": _r6h(dup.to_numpy(np.float64) / tot.to_numpy(np.float64)),
+            }
+        )
+
+    return bucketed_map_groups(joined, ["doc_id"], None, whole_bucket_fn=per_doc)
+
+
+QUERIES6["duplicate_ngram_fraction"] = q_duplicate_ngram_fraction
+ORACLES6["duplicate_ngram_fraction"] = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[\\p{L}\\p{N}_]+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) = 0 THEN []
+              WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(len(toks) - 7),
+                                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                                       || ' ' || toks[i+4] || ' ' || toks[i+5]
+                                       || ' ' || toks[i+6] || ' ' || toks[i+7]
+                                       || ' ' || toks[i+8])
+         END AS sh
+  FROM t
+),
+d AS (SELECT doc_id, list_distinct(sh) AS sh FROM s WHERE len(sh) > 0),
+ex AS (SELECT doc_id, UNNEST(sh) AS g FROM d),
+dfreq AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY 1)
+SELECT ex.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       ROUND(FLOOR(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
+                   / COUNT(*)::DOUBLE * 1e6 + 0.5) / 1e6, 6) AS dup_frac
+FROM ex JOIN dfreq USING (g)
+GROUP BY 1
+"""
