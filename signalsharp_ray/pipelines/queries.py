@@ -1066,6 +1066,8 @@ _PRIORITY_ORDER = [
     "profile_events", "grid_search_fanout", "embedding_near_dups_centroid",
     "rolling_corr_24h", "vwap_daily", "mad_anomalies",
     "topk_terms_by_source", "duplicate_ngram_fraction",
+    "binseg_step_detection", "theil_sen_trend", "hampel_filter",
+    "event_time_decay_ema",
 ]
 
 

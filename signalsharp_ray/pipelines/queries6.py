@@ -435,3 +435,298 @@ SELECT ex.doc_id,
 FROM ex JOIN dfreq USING (g)
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Binary segmentation (the classic greedy changepoint alternative to PELT)
+# ---------------------------------------------------------------------------
+
+
+def q_binseg_step_detection(sf_dir: str, step: int = 40):
+    """SQL-verifiable binary segmentation: a noiseless STAIRCASE series
+    (level 100*k on bucket-index block k of width `step`) is built per
+    event_type from the distributed 1h rollup; greedy L2 BinSeg
+    (kernels/binseg.py, penalty 5) must recover exactly the level-change
+    indices — multiples of `step` — which the oracle derives in closed
+    form. Same verification pattern as pelt_step_detection, covering the
+    greedy split/recursion machinery (the cheap screen pipelines run
+    before exact PELT)."""
+    from ..kernels.binseg import binseg_breakpoints
+    from ..stages.rollup import rollup_tier
+
+    t1h = rollup_tier(_events(sf_dir), "1h", key_cols=["event_type"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bucket_ts")
+        idx = np.arange(len(df), dtype=np.int64)
+        vals = 100.0 * (idx // step).astype(np.float64)
+        bkps = binseg_breakpoints(vals, penalty=5.0, min_size=1)
+        return pd.DataFrame(
+            {
+                "event_type": np.repeat(df["event_type"].iloc[0], len(bkps)),
+                "breakpoint_index": bkps,
+            }
+        )
+
+    return t1h.groupby("event_type").map_groups(fn, batch_format="pandas")
+
+
+QUERIES6["binseg_step_detection"] = q_binseg_step_detection
+ORACLES6["binseg_step_detection"] = """
+WITH b AS (
+  SELECT event_type, COUNT(DISTINCT date_trunc('hour', ts)) AS n
+  FROM events GROUP BY 1
+)
+SELECT event_type, CAST(g AS BIGINT) AS breakpoint_index
+FROM b, UNNEST(generate_series(40, CAST(n AS BIGINT) - 1, 40)) AS t(g)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend slope
+# ---------------------------------------------------------------------------
+
+
+def q_theil_sen_trend(sf_dir: str):
+    """Theil-Sen robust trend of each event_type's daily count series: the
+    MEDIAN of all pairwise slopes (n_j - n_i)/(d_j - d_i) — the slope
+    estimator one spike day cannot bend (29.3% breakdown vs OLS's 0%;
+    public estimator, Theil 1950/Sen 1968). Slopes are identical doubles
+    on both engines (int deltas, one division), so the median is the same
+    element of the same multiset; rounded once.
+
+    Scale: the daily count table is bounded by catalog x retention; the
+    O(days^2) pair set is per-series driver-free work inside the bucketed
+    kernel (90 days -> ~4k slopes)."""
+    ev = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            batch["ts"].to_numpy("datetime64[us]").view(np.int64) // DAY_US
+        )
+        g = (
+            pd.DataFrame({"event_type": batch["event_type"], "d": day})
+            .groupby(["event_type", "d"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    daily = hash_bucket_aggregate(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type", "d"],
+        [("n", "sum")],
+    )
+
+    def slope(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("d")
+        d = df["d"].to_numpy(np.int64)
+        n = df["n_sum"].to_numpy(np.int64)
+        if d.size < 2:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype="object"),
+                    "slope_per_day": pd.Series(dtype="float64"),
+                }
+            )
+        i, j = np.triu_indices(d.size, k=1)
+        slopes = (n[j] - n[i]).astype(np.float64) / (d[j] - d[i]).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "slope_per_day": [_r6away(np.median(slopes))],
+            }
+        )
+
+    return bucketed_map_groups(daily, ["event_type"], slope)
+
+
+QUERIES6["theil_sen_trend"] = q_theil_sen_trend
+ORACLES6["theil_sen_trend"] = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS d,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.event_type,
+         CAST(b.n - a.n AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS s
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.d > a.d
+)
+SELECT event_type, ROUND(MEDIAN(s), 6) AS slope_per_day
+FROM slopes GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hampel filter (rolling median/MAD outlier replacement)
+# ---------------------------------------------------------------------------
+
+
+def q_hampel_filter(sf_dir: str, half_window: int = 3):
+    """Hampel filter over each event_type's hourly count series: replace a
+    point with its +-3-row rolling median when it deviates from that
+    median by more than 3x the window MAD — the standard despike pass a
+    rollup engine offers before smoothing (public; Hampel 1974). Windows
+    clip at series edges on both engines (ROWS BETWEEN mirrors the numpy
+    slice). Medians of integer windows are exact .0/.5 rationals, so the
+    output column carries ZERO rounding surface."""
+    ev = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        hour = (
+            batch["ts"].to_numpy("datetime64[us]").view(np.int64) // HOUR_US
+        ) * HOUR_US
+        g = (
+            pd.DataFrame({"event_type": batch["event_type"], "hour_us": hour})
+            .groupby(["event_type", "hour_us"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    hourly = hash_bucket_aggregate(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type", "hour_us"],
+        [("n", "sum")],
+    )
+
+    def hampel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("hour_us")
+        n = df["n_sum"].to_numpy(np.int64)
+        m = n.size
+        out = np.empty(m, dtype=np.float64)
+        for i in range(m):
+            w = n[max(0, i - half_window) : i + half_window + 1]
+            med = np.median(w)
+            mad = np.median(np.abs(w - med))
+            out[i] = med if np.abs(n[i] - med) > 3.0 * mad else np.float64(n[i])
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "hour_us": df["hour_us"].to_numpy(np.int64),
+                "filtered": out,
+            }
+        )
+
+    return bucketed_map_groups(hourly, ["event_type"], hampel)
+
+
+QUERIES6["hampel_filter"] = q_hampel_filter
+ORACLES6["hampel_filter"] = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS bh, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, bh, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY bh) AS rn
+  FROM h
+),
+med AS (
+  SELECT event_type, rn, bh, n,
+         MEDIAN(n) OVER (PARTITION BY event_type ORDER BY rn
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS med
+  FROM r
+),
+mad AS (
+  SELECT a.event_type, a.rn, MEDIAN(ABS(b.n - a.med)) AS mad
+  FROM med a JOIN r b
+    ON b.event_type = a.event_type AND b.rn BETWEEN a.rn - 3 AND a.rn + 3
+  GROUP BY 1, 2
+)
+SELECT a.event_type,
+       CAST(epoch_us(a.bh) AS BIGINT) AS hour_us,
+       CASE WHEN ABS(a.n - a.med) > 3 * m.mad THEN a.med
+            ELSE CAST(a.n AS DOUBLE) END AS filtered
+FROM med a JOIN mad m ON m.event_type = a.event_type AND m.rn = a.rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-time decay EMA (irregular gaps; exp parity via libm == DuckDB exp)
+# ---------------------------------------------------------------------------
+
+
+def q_event_time_decay_ema(sf_dir: str, tau_hours: float = 24.0):
+    """Irregular-gap exponential smoothing of each event_type's SPARSE
+    hourly series: s_i = n_i + (s_{i-1} - n_i) * exp(-gap_hours/24) — the
+    event-time EMA whose decay follows the CLOCK, not the sample count
+    (a 6-hour outage decays 6 hours' worth, unlike row-based ema).
+    Bitwise parity: whole-hour gaps are exact ints, math.exp == DuckDB
+    exp bitwise (libm; probed), and the recurrence is transcribed
+    op-for-op into the recursive CTE."""
+    import math
+
+    ev = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        hour = (
+            batch["ts"].to_numpy("datetime64[us]").view(np.int64) // HOUR_US
+        ) * HOUR_US
+        g = (
+            pd.DataFrame({"event_type": batch["event_type"], "hour_us": hour})
+            .groupby(["event_type", "hour_us"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    hourly = hash_bucket_aggregate(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type", "hour_us"],
+        [("n", "sum")],
+    )
+
+    def ema(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("hour_us")
+        t = df["hour_us"].to_numpy(np.int64)
+        n = df["n_sum"].to_numpy(np.int64)
+        out = np.empty(t.size, dtype=np.float64)
+        s = float(n[0])
+        out[0] = s
+        for i in range(1, t.size):
+            gap = int(t[i] - t[i - 1]) // HOUR_US
+            v = float(n[i])
+            s = v + (s - v) * math.exp(-float(gap) / 24.0)
+            out[i] = s
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "hour_us": t,
+                "ema": _r6away(out),
+            }
+        )
+
+    return bucketed_map_groups(hourly, ["event_type"], ema)
+
+
+QUERIES6["event_time_decay_ema"] = q_event_time_decay_ema
+ORACLES6["event_time_decay_ema"] = """
+WITH RECURSIVE h AS (
+  SELECT event_type, date_trunc('hour', ts) AS bh, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r0 AS (
+  SELECT event_type, CAST(epoch_us(bh) AS BIGINT) AS tus, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY bh) AS rn
+  FROM h
+),
+rec AS (
+  SELECT event_type, rn, tus, CAST(n AS DOUBLE) AS s
+  FROM r0 WHERE rn = 1
+  UNION ALL
+  SELECT r0.event_type, r0.rn, r0.tus,
+         CAST(r0.n AS DOUBLE)
+         + (rec.s - CAST(r0.n AS DOUBLE))
+           * exp(-CAST((r0.tus - rec.tus) // 3600000000 AS DOUBLE) / 24.0)
+  FROM rec JOIN r0 ON r0.event_type = rec.event_type AND r0.rn = rec.rn + 1
+)
+SELECT event_type, CAST(tus AS BIGINT) AS hour_us, ROUND(s, 6) AS ema
+FROM rec
+"""
