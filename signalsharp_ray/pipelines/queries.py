@@ -1067,7 +1067,8 @@ _PRIORITY_ORDER = [
     "rolling_corr_24h", "vwap_daily", "mad_anomalies",
     "topk_terms_by_source", "duplicate_ngram_fraction",
     "binseg_step_detection", "theil_sen_trend", "hampel_filter",
-    "event_time_decay_ema",
+    "event_time_decay_ema", "doc_logprob_unigram", "chi2_hour_of_day",
+    "weighted_median_price", "burst_hours",
 ]
 
 

@@ -730,3 +730,364 @@ rec AS (
 SELECT event_type, CAST(tus AS BIGINT) AS hour_us, ROUND(s, 6) AS ema
 FROM rec
 """
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM document log-probability (perplexity-proxy quality score)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_logprob_unigram(sf_dir: str):
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM: mean over token OCCURRENCES of ln(count(token)/total) —
+    the cheap perplexity proxy corpus pipelines use to rank fluency
+    before any neural scoring (low = rare-token soup / garbled text).
+
+    Parity: p = cnt/total is one shared double division; math.log ==
+    DuckDB ln bitwise (libm); each doc's per-token terms
+    occurrences*ln(p) fold in ascending-token order on both sides
+    (list_sum(list(... ORDER BY token)) == Python left-fold). Scale:
+    global token counts are one bucketed exchange; per-doc terms join
+    frequency back co-partitioned by token, then reduce per doc."""
+    import math
+
+    import re
+
+    _TOKEN = re.compile(r"\w+")
+
+    def doc_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, toks = [], []
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            words = _TOKEN.findall((t or "").lower())
+            ids.extend([d] * len(words))
+            toks.extend(words)
+        g = (
+            pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64), "token": toks})
+            .groupby(["doc_id", "token"], sort=False)
+            .size()
+            .reset_index(name="k")
+        )
+        g["k"] = g["k"].astype(np.int64)
+        return g
+
+    per_doc = hash_bucket_aggregate(
+        _documents(sf_dir, ["doc_id", "text"]).map_batches(
+            doc_tokens, batch_format="pandas"
+        ),
+        ["doc_id", "token"],
+        [("k", "sum")],
+    ).materialize()
+
+    global_counts = hash_bucket_aggregate(
+        per_doc.select_columns(["token", "k_sum"]).rename_columns(
+            {"k_sum": "k"}
+        ),
+        ["token"],
+        [("k", "sum")],
+    )
+    total = int(
+        global_counts.rename_columns({"k_sum": "cnt"}).sum("cnt")
+    )
+
+    joined = bucketed_join(
+        per_doc,
+        global_counts.rename_columns({"k_sum": "cnt"}),
+        on=["token"],
+    )
+
+    def reduce_doc(df: pd.DataFrame) -> pd.DataFrame:
+        import math as _m
+
+        df = df.sort_values("token", kind="mergesort")
+        out_ids, out_n, out_lp = [], [], []
+        for doc_id, g in df.groupby("doc_id", sort=True):
+            s = 0.0
+            n_tok = 0
+            for k, cnt in zip(g["k_sum"].tolist(), g["cnt"].tolist()):
+                p = float(cnt) / float(total)
+                s = s + float(k) * _m.log(p)
+                n_tok += int(k)
+            out_ids.append(int(doc_id))
+            out_n.append(n_tok)
+            out_lp.append(s / float(n_tok))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(out_ids, dtype=np.int64),
+                "n_tokens": np.asarray(out_n, dtype=np.int64),
+                "mean_logprob": _r6away(np.asarray(out_lp, dtype=np.float64)),
+            }
+        )
+
+    return bucketed_map_groups(joined, ["doc_id"], None, whole_bucket_fn=reduce_doc)
+
+
+QUERIES6["doc_logprob_unigram"] = q_doc_logprob_unigram
+ORACLES6["doc_logprob_unigram"] = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(COALESCE(text, '')), '[\\p{L}\\p{N}_]+')) AS token
+  FROM documents
+),
+per_doc AS (SELECT doc_id, token, COUNT(*) AS k FROM tok GROUP BY 1, 2),
+gc AS (SELECT token, SUM(k) AS cnt FROM per_doc GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS total FROM gc),
+terms AS (
+  SELECT p.doc_id, p.token, p.k,
+         CAST(p.k AS DOUBLE)
+           * ln(CAST(g.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)) AS term
+  FROM per_doc p JOIN gc g USING (token) CROSS JOIN tot t
+)
+SELECT doc_id,
+       CAST(SUM(k) AS BIGINT) AS n_tokens,
+       ROUND(list_sum(list(term ORDER BY token)) / CAST(SUM(k) AS DOUBLE), 6)
+         AS mean_logprob
+FROM terms
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chi-square hour-of-day uniformity
+# ---------------------------------------------------------------------------
+
+
+def q_chi2_hour_of_day(sf_dir: str):
+    """Chi-square statistic of each event_type's hour-of-day histogram
+    against the uniform baseline e = n/24 — "is this stream diurnal or
+    flat", the screen that decides whether hour-of-day features matter.
+    The 24 observed counts are exact ints; e and each (o-e)^2/e term are
+    shared double expressions folded in ascending hour order (24 terms,
+    list_sum == left-fold)."""
+    ev = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        hod = (
+            batch["ts"].to_numpy("datetime64[us]").view(np.int64) // HOUR_US
+        ) % 24
+        g = (
+            pd.DataFrame({"event_type": batch["event_type"], "hod": hod})
+            .groupby(["event_type", "hod"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    agg = hash_bucket_aggregate(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type", "hod"],
+        [("n", "sum")],
+    )
+
+    def chi2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("hod")
+        o = np.zeros(24, dtype=np.int64)
+        o[df["hod"].to_numpy(np.int64)] = df["n_sum"].to_numpy(np.int64)
+        total = int(o.sum())
+        e = float(total) / 24.0
+        s = 0.0
+        for v in o.tolist():  # ascending-hour left-fold (parity contract)
+            d = float(v) - e
+            s = s + d * d / e
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "n_events": [np.int64(total)],
+                "chi2": [_r6away(s)],
+            }
+        )
+
+    return bucketed_map_groups(agg, ["event_type"], chi2)
+
+
+QUERIES6["chi2_hour_of_day"] = q_chi2_hour_of_day
+ORACLES6["chi2_hour_of_day"] = """
+WITH hods AS (
+  SELECT event_type, g.hod
+  FROM (SELECT DISTINCT event_type FROM events)
+  CROSS JOIN (SELECT unnest(range(0, 24)) AS hod) g
+),
+o AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS hod,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+x AS (
+  SELECT h.event_type, h.hod, COALESCE(o.n, 0) AS n
+  FROM hods h LEFT JOIN o ON o.event_type = h.event_type AND o.hod = h.hod
+),
+t AS (SELECT event_type, SUM(n) AS total FROM x GROUP BY 1),
+terms AS (
+  SELECT x.event_type, x.hod,
+         (CAST(x.n AS DOUBLE) - CAST(t.total AS DOUBLE) / 24.0)
+           * (CAST(x.n AS DOUBLE) - CAST(t.total AS DOUBLE) / 24.0)
+           / (CAST(t.total AS DOUBLE) / 24.0) AS term
+  FROM x JOIN t USING (event_type)
+)
+SELECT terms.event_type,
+       CAST(t.total AS BIGINT) AS n_events,
+       ROUND(list_sum(list(term ORDER BY hod)), 6) AS chi2
+FROM terms JOIN t USING (event_type)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quantity-weighted median price (no-float output)
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_median_price(sf_dir: str):
+    """Quantity-weighted MEDIAN unit price per l_returnflag: the smallest
+    price where the cumulative quantity (prices ascending, ties by price
+    only — prices are already distinct per cent) reaches half the total —
+    the 'typical traded price' robust to a few huge-quantity outlier
+    lines. All comparisons are exact integers (2*cum >= total) and the
+    output is a cent value: zero rounding surface."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        p = batch["l_extendedprice"].to_numpy(np.float64) * 100.0
+        cents = (np.sign(p) * np.floor(np.abs(p) + 0.5)).astype(np.int64)
+        qty = batch["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {"l_returnflag": batch["l_returnflag"], "price_c": cents, "q": qty}
+            )
+            .groupby(["l_returnflag", "price_c"], sort=False)["q"]
+            .sum()
+            .reset_index()
+        )
+        g["q"] = g["q"].astype(np.int64)
+        return g
+
+    agg = hash_bucket_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "price_c"],
+        [("q", "sum")],
+    )
+
+    def wmed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("price_c")
+        q = df["q_sum"].to_numpy(np.int64)
+        cum = np.cumsum(q)
+        total = int(cum[-1])
+        i = int(np.argmax(2 * cum >= total))
+        return pd.DataFrame(
+            {
+                "l_returnflag": [df["l_returnflag"].iloc[0]],
+                "total_qty": [np.int64(total)],
+                "wmedian_price_c": [df["price_c"].to_numpy(np.int64)[i]],
+            }
+        )
+
+    return bucketed_map_groups(agg, ["l_returnflag"], wmed)
+
+
+QUERIES6["weighted_median_price"] = q_weighted_median_price
+ORACLES6["weighted_median_price"] = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+w AS (
+  SELECT l_returnflag, price_c, q,
+         SUM(q) OVER (PARTITION BY l_returnflag ORDER BY price_c
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(q) OVER (PARTITION BY l_returnflag) AS total
+  FROM c
+)
+SELECT l_returnflag,
+       CAST(total AS BIGINT) AS total_qty,
+       CAST(MIN(price_c) AS BIGINT) AS wmedian_price_c
+FROM w
+WHERE 2 * cum >= total
+GROUP BY 1, total
+"""
+
+
+# ---------------------------------------------------------------------------
+# Burst detection (all-integer trailing-mean exceedance)
+# ---------------------------------------------------------------------------
+
+
+def q_burst_hours(sf_dir: str):
+    """Hours whose event count exceeds TWICE the trailing-24h mean, per
+    event_type — the Kleinberg-lite burst flag ops dashboards raise on
+    viral spikes. The comparison is cross-multiplied to stay entirely in
+    integers (n*24 > 2*sum24, over the zero-filled dense hour grid with a
+    full 24-hour lookback), so the operator has no float anywhere."""
+    agg = _hourly_counts(sf_dir)
+    out = []
+    for t, g in agg.groupby("event_type", sort=True):
+        hr = g["hour_us"].to_numpy(np.int64)
+        lo, hi = int(hr.min()), int(hr.max())
+        grid = np.arange(lo, hi + HOUR_US, HOUR_US, dtype=np.int64)
+        v = np.zeros(grid.size, dtype=np.int64)
+        v[(hr - lo) // HOUR_US] = g["n_sum"].to_numpy(np.int64)
+        if grid.size <= 24:
+            continue
+        cs = np.concatenate([[0], np.cumsum(v)])
+        sum24 = cs[24:-1] - cs[:-25]  # trailing 24 BEFORE t, t in [24, n)
+        n_t = v[24:]
+        keep = n_t * 24 > 2 * sum24
+        if keep.any():
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_type": t,
+                        "hour_us": grid[24:][keep],
+                        "cnt": n_t[keep],
+                        "trailing_sum": sum24[keep],
+                    }
+                )
+            )
+    if not out:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "hour_us": pd.Series(dtype="int64"),
+                "cnt": pd.Series(dtype="int64"),
+                "trailing_sum": pd.Series(dtype="int64"),
+            }
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+QUERIES6["burst_hours"] = q_burst_hours
+ORACLES6["burst_hours"] = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS bh, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, MIN(bh) AS lo, MAX(bh) AS hi FROM h GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bh
+  FROM bounds
+),
+x AS (
+  SELECT g.event_type, g.bh, COALESCE(h.n, 0) AS n,
+         row_number() OVER (PARTITION BY g.event_type ORDER BY g.bh) AS rn
+  FROM grid g LEFT JOIN h ON h.event_type = g.event_type AND h.bh = g.bh
+),
+w AS (
+  SELECT event_type, bh, n, rn,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY rn
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS sum24
+  FROM x
+)
+SELECT event_type,
+       CAST(epoch_us(bh) AS BIGINT) AS hour_us,
+       CAST(n AS BIGINT) AS cnt,
+       CAST(sum24 AS BIGINT) AS trailing_sum
+FROM w
+WHERE rn > 24 AND n * 24 > 2 * sum24
+"""
