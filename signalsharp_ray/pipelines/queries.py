@@ -1069,6 +1069,8 @@ _PRIORITY_ORDER = [
     "binseg_step_detection", "theil_sen_trend", "hampel_filter",
     "event_time_decay_ema", "doc_logprob_unigram", "chi2_hour_of_day",
     "weighted_median_price", "burst_hours",
+    "promo_revenue_share", "small_qty_revenue", "top_supplier_window",
+    "rich_idle_customers", "disjunctive_revenue", "sole_late_supplier",
 ]
 
 
@@ -1084,9 +1086,11 @@ def build_queries() -> dict:
     from .queries4 import QUERIES4
     from .queries5 import QUERIES5
     from .queries6 import QUERIES6
+    from .queries7 import QUERIES7
 
     return _reorder({
         **QUERIES6,
+        **QUERIES7,
         **QUERIES2,
         **QUERIES3,
         **QUERIES4,
@@ -1170,10 +1174,12 @@ def build_oracle_sql() -> dict:
     from .queries5 import ORACLES5
 
     from .queries6 import ORACLES6
+    from .queries7 import ORACLES7
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
         **ORACLES6,
+        **ORACLES7,
         **ORACLES2,
         **ORACLES3,
         **ORACLES4,

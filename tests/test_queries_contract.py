@@ -56,6 +56,9 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         "gapfill_linear_1h",
         "pricing_summary",
         "stratified_sample",
+        "promo_revenue_share",
+        "rich_idle_customers",
+        "sole_late_supplier",
     ],
 )
 def test_query_matches_duckdb_oracle(con, name):
