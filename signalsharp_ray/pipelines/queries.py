@@ -1071,6 +1071,7 @@ _PRIORITY_ORDER = [
     "weighted_median_price", "burst_hours",
     "promo_revenue_share", "small_qty_revenue", "top_supplier_window",
     "rich_idle_customers", "disjunctive_revenue", "sole_late_supplier",
+    "hourly_peaks", "busy_runs", "seasonal_strength", "momentum_runs",
 ]
 
 
@@ -1087,10 +1088,12 @@ def build_queries() -> dict:
     from .queries5 import QUERIES5
     from .queries6 import QUERIES6
     from .queries7 import QUERIES7
+    from .queries8 import QUERIES8
 
     return _reorder({
         **QUERIES6,
         **QUERIES7,
+        **QUERIES8,
         **QUERIES2,
         **QUERIES3,
         **QUERIES4,
@@ -1175,11 +1178,13 @@ def build_oracle_sql() -> dict:
 
     from .queries6 import ORACLES6
     from .queries7 import ORACLES7
+    from .queries8 import ORACLES8
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
         **ORACLES6,
         **ORACLES7,
+        **ORACLES8,
         **ORACLES2,
         **ORACLES3,
         **ORACLES4,
