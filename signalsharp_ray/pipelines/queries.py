@@ -1072,6 +1072,8 @@ _PRIORITY_ORDER = [
     "promo_revenue_share", "small_qty_revenue", "top_supplier_window",
     "rich_idle_customers", "disjunctive_revenue", "sole_late_supplier",
     "hourly_peaks", "busy_runs", "seasonal_strength", "momentum_runs",
+    "token_length_histogram", "hapax_ratio_by_source",
+    "char_trigram_profile", "embedding_dim_stats",
 ]
 
 
@@ -1089,11 +1091,13 @@ def build_queries() -> dict:
     from .queries6 import QUERIES6
     from .queries7 import QUERIES7
     from .queries8 import QUERIES8
+    from .queries9 import QUERIES9
 
     return _reorder({
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
+        **QUERIES9,
         **QUERIES2,
         **QUERIES3,
         **QUERIES4,
@@ -1179,12 +1183,14 @@ def build_oracle_sql() -> dict:
     from .queries6 import ORACLES6
     from .queries7 import ORACLES7
     from .queries8 import ORACLES8
+    from .queries9 import ORACLES9
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
+        **ORACLES9,
         **ORACLES2,
         **ORACLES3,
         **ORACLES4,
