@@ -1074,6 +1074,7 @@ _PRIORITY_ORDER = [
     "hourly_peaks", "busy_runs", "seasonal_strength", "momentum_runs",
     "token_length_histogram", "hapax_ratio_by_source",
     "char_trigram_profile", "embedding_dim_stats",
+    "haar_energy", "goertzel_diurnal", "intraday_ramp", "mean_crossing_rate",
 ]
 
 
@@ -1092,12 +1093,14 @@ def build_queries() -> dict:
     from .queries7 import QUERIES7
     from .queries8 import QUERIES8
     from .queries9 import QUERIES9
+    from .queries10 import QUERIES10
 
     return _reorder({
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
         **QUERIES9,
+        **QUERIES10,
         **QUERIES2,
         **QUERIES3,
         **QUERIES4,
@@ -1184,6 +1187,7 @@ def build_oracle_sql() -> dict:
     from .queries7 import ORACLES7
     from .queries8 import ORACLES8
     from .queries9 import ORACLES9
+    from .queries10 import ORACLES10
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1191,6 +1195,7 @@ def build_oracle_sql() -> dict:
         **ORACLES7,
         **ORACLES8,
         **ORACLES9,
+        **ORACLES10,
         **ORACLES2,
         **ORACLES3,
         **ORACLES4,
