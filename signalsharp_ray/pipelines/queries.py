@@ -1075,6 +1075,8 @@ _PRIORITY_ORDER = [
     "token_length_histogram", "hapax_ratio_by_source",
     "char_trigram_profile", "embedding_dim_stats",
     "haar_energy", "goertzel_diurnal", "intraday_ramp", "mean_crossing_rate",
+    "rolling_envelope_24h", "token_bucket_sim", "deseasonalized_1h",
+    "load_regime_runs",
 ]
 
 
@@ -1094,8 +1096,10 @@ def build_queries() -> dict:
     from .queries8 import QUERIES8
     from .queries9 import QUERIES9
     from .queries10 import QUERIES10
+    from .queries11 import QUERIES11
 
     return _reorder({
+        **QUERIES11,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1188,9 +1192,11 @@ def build_oracle_sql() -> dict:
     from .queries8 import ORACLES8
     from .queries9 import ORACLES9
     from .queries10 import ORACLES10
+    from .queries11 import ORACLES11
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
+        **ORACLES11,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
