@@ -1077,6 +1077,8 @@ _PRIORITY_ORDER = [
     "haar_energy", "goertzel_diurnal", "intraday_ramp", "mean_crossing_rate",
     "rolling_envelope_24h", "token_bucket_sim", "deseasonalized_1h",
     "load_regime_runs",
+    "market_share", "supplier_diversity", "load_concentration_hhi",
+    "hourly_gini",
 ]
 
 
@@ -1097,9 +1099,11 @@ def build_queries() -> dict:
     from .queries9 import QUERIES9
     from .queries10 import QUERIES10
     from .queries11 import QUERIES11
+    from .queries12 import QUERIES12
 
     return _reorder({
         **QUERIES11,
+        **QUERIES12,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1193,10 +1197,12 @@ def build_oracle_sql() -> dict:
     from .queries9 import ORACLES9
     from .queries10 import ORACLES10
     from .queries11 import ORACLES11
+    from .queries12 import ORACLES12
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
         **ORACLES11,
+        **ORACLES12,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
