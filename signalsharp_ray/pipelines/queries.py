@@ -1079,6 +1079,8 @@ _PRIORITY_ORDER = [
     "load_regime_runs",
     "market_share", "supplier_diversity", "load_concentration_hhi",
     "hourly_gini",
+    "tail_risk_by_type", "load_entropy", "char_entropy_by_source",
+    "hill_tail_index",
 ]
 
 
@@ -1100,10 +1102,12 @@ def build_queries() -> dict:
     from .queries10 import QUERIES10
     from .queries11 import QUERIES11
     from .queries12 import QUERIES12
+    from .queries13 import QUERIES13
 
     return _reorder({
         **QUERIES11,
         **QUERIES12,
+        **QUERIES13,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1198,11 +1202,13 @@ def build_oracle_sql() -> dict:
     from .queries10 import ORACLES10
     from .queries11 import ORACLES11
     from .queries12 import ORACLES12
+    from .queries13 import ORACLES13
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
         **ORACLES11,
         **ORACLES12,
+        **ORACLES13,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
