@@ -1081,6 +1081,7 @@ _PRIORITY_ORDER = [
     "hourly_gini",
     "tail_risk_by_type", "load_entropy", "char_entropy_by_source",
     "hill_tail_index",
+    "turning_points", "runs_test", "allan_variance", "hurst_rs",
 ]
 
 
@@ -1103,11 +1104,13 @@ def build_queries() -> dict:
     from .queries11 import QUERIES11
     from .queries12 import QUERIES12
     from .queries13 import QUERIES13
+    from .queries14 import QUERIES14
 
     return _reorder({
         **QUERIES11,
         **QUERIES12,
         **QUERIES13,
+        **QUERIES14,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1203,12 +1206,14 @@ def build_oracle_sql() -> dict:
     from .queries11 import ORACLES11
     from .queries12 import ORACLES12
     from .queries13 import ORACLES13
+    from .queries14 import ORACLES14
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
         **ORACLES11,
         **ORACLES12,
         **ORACLES13,
+        **ORACLES14,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
