@@ -1082,6 +1082,7 @@ _PRIORITY_ORDER = [
     "tail_risk_by_type", "load_entropy", "char_entropy_by_source",
     "hill_tail_index",
     "turning_points", "runs_test", "allan_variance", "hurst_rs",
+    "page_hinkley", "ewma_control", "readability", "embedding_covariance",
 ]
 
 
@@ -1105,12 +1106,14 @@ def build_queries() -> dict:
     from .queries12 import QUERIES12
     from .queries13 import QUERIES13
     from .queries14 import QUERIES14
+    from .queries15 import QUERIES15
 
     return _reorder({
         **QUERIES11,
         **QUERIES12,
         **QUERIES13,
         **QUERIES14,
+        **QUERIES15,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1207,6 +1210,7 @@ def build_oracle_sql() -> dict:
     from .queries12 import ORACLES12
     from .queries13 import ORACLES13
     from .queries14 import ORACLES14
+    from .queries15 import ORACLES15
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1214,6 +1218,7 @@ def build_oracle_sql() -> dict:
         **ORACLES12,
         **ORACLES13,
         **ORACLES14,
+        **ORACLES15,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
