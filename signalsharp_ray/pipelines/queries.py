@@ -1083,6 +1083,8 @@ _PRIORITY_ORDER = [
     "hill_tail_index",
     "turning_points", "runs_test", "allan_variance", "hurst_rs",
     "page_hinkley", "ewma_control", "readability", "embedding_covariance",
+    "large_volume_orders", "cheapest_supplier_per_part",
+    "late_order_priority", "heaps_law_by_source",
 ]
 
 
@@ -1107,6 +1109,7 @@ def build_queries() -> dict:
     from .queries13 import QUERIES13
     from .queries14 import QUERIES14
     from .queries15 import QUERIES15
+    from .queries16 import QUERIES16
 
     return _reorder({
         **QUERIES11,
@@ -1114,6 +1117,7 @@ def build_queries() -> dict:
         **QUERIES13,
         **QUERIES14,
         **QUERIES15,
+        **QUERIES16,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1211,6 +1215,7 @@ def build_oracle_sql() -> dict:
     from .queries13 import ORACLES13
     from .queries14 import ORACLES14
     from .queries15 import ORACLES15
+    from .queries16 import ORACLES16
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1219,6 +1224,7 @@ def build_oracle_sql() -> dict:
         **ORACLES13,
         **ORACLES14,
         **ORACLES15,
+        **ORACLES16,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
