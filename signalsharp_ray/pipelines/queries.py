@@ -1085,6 +1085,7 @@ _PRIORITY_ORDER = [
     "page_hinkley", "ewma_control", "readability", "embedding_covariance",
     "large_volume_orders", "cheapest_supplier_per_part",
     "late_order_priority", "heaps_law_by_source",
+    "dfa", "simpson_diversity", "stopword_coverage", "exp_gof",
 ]
 
 
@@ -1110,6 +1111,7 @@ def build_queries() -> dict:
     from .queries14 import QUERIES14
     from .queries15 import QUERIES15
     from .queries16 import QUERIES16
+    from .queries17 import QUERIES17
 
     return _reorder({
         **QUERIES11,
@@ -1118,6 +1120,7 @@ def build_queries() -> dict:
         **QUERIES14,
         **QUERIES15,
         **QUERIES16,
+        **QUERIES17,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1216,6 +1219,7 @@ def build_oracle_sql() -> dict:
     from .queries14 import ORACLES14
     from .queries15 import ORACLES15
     from .queries16 import ORACLES16
+    from .queries17 import ORACLES17
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1225,6 +1229,7 @@ def build_oracle_sql() -> dict:
         **ORACLES14,
         **ORACLES15,
         **ORACLES16,
+        **ORACLES17,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
