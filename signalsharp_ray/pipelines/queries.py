@@ -1086,6 +1086,7 @@ _PRIORITY_ORDER = [
     "large_volume_orders", "cheapest_supplier_per_part",
     "late_order_priority", "heaps_law_by_source",
     "dfa", "simpson_diversity", "stopword_coverage", "exp_gof",
+    "crest_factor", "max_drought", "markov_entropy_rate", "doclen_lognormal",
 ]
 
 
@@ -1112,6 +1113,7 @@ def build_queries() -> dict:
     from .queries15 import QUERIES15
     from .queries16 import QUERIES16
     from .queries17 import QUERIES17
+    from .queries18 import QUERIES18
 
     return _reorder({
         **QUERIES11,
@@ -1121,6 +1123,7 @@ def build_queries() -> dict:
         **QUERIES15,
         **QUERIES16,
         **QUERIES17,
+        **QUERIES18,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1220,6 +1223,7 @@ def build_oracle_sql() -> dict:
     from .queries15 import ORACLES15
     from .queries16 import ORACLES16
     from .queries17 import ORACLES17
+    from .queries18 import ORACLES18
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1230,6 +1234,7 @@ def build_oracle_sql() -> dict:
         **ORACLES15,
         **ORACLES16,
         **ORACLES17,
+        **ORACLES18,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
