@@ -1087,6 +1087,8 @@ _PRIORITY_ORDER = [
     "late_order_priority", "heaps_law_by_source",
     "dfa", "simpson_diversity", "stopword_coverage", "exp_gof",
     "crest_factor", "max_drought", "markov_entropy_rate", "doclen_lognormal",
+    "spectral_entropy", "token_dispersion", "segment_order_quartiles",
+    "return_rate_monthly",
 ]
 
 
@@ -1114,6 +1116,7 @@ def build_queries() -> dict:
     from .queries16 import QUERIES16
     from .queries17 import QUERIES17
     from .queries18 import QUERIES18
+    from .queries19 import QUERIES19
 
     return _reorder({
         **QUERIES11,
@@ -1124,6 +1127,7 @@ def build_queries() -> dict:
         **QUERIES16,
         **QUERIES17,
         **QUERIES18,
+        **QUERIES19,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1224,6 +1228,7 @@ def build_oracle_sql() -> dict:
     from .queries16 import ORACLES16
     from .queries17 import ORACLES17
     from .queries18 import ORACLES18
+    from .queries19 import ORACLES19
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1235,6 +1240,7 @@ def build_oracle_sql() -> dict:
         **ORACLES16,
         **ORACLES17,
         **ORACLES18,
+        **ORACLES19,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
