@@ -1089,6 +1089,7 @@ _PRIORITY_ORDER = [
     "crest_factor", "max_drought", "markov_entropy_rate", "doclen_lognormal",
     "spectral_entropy", "token_dispersion", "segment_order_quartiles",
     "return_rate_monthly",
+    "lorenz_deciles", "supplier_hhi", "char_cond_entropy", "pacf",
 ]
 
 
@@ -1117,6 +1118,7 @@ def build_queries() -> dict:
     from .queries17 import QUERIES17
     from .queries18 import QUERIES18
     from .queries19 import QUERIES19
+    from .queries20 import QUERIES20
 
     return _reorder({
         **QUERIES11,
@@ -1128,6 +1130,7 @@ def build_queries() -> dict:
         **QUERIES17,
         **QUERIES18,
         **QUERIES19,
+        **QUERIES20,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1229,6 +1232,7 @@ def build_oracle_sql() -> dict:
     from .queries17 import ORACLES17
     from .queries18 import ORACLES18
     from .queries19 import ORACLES19
+    from .queries20 import ORACLES20
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1241,6 +1245,7 @@ def build_oracle_sql() -> dict:
         **ORACLES17,
         **ORACLES18,
         **ORACLES19,
+        **ORACLES20,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
