@@ -1090,6 +1090,7 @@ _PRIORITY_ORDER = [
     "spectral_entropy", "token_dispersion", "segment_order_quartiles",
     "return_rate_monthly",
     "lorenz_deciles", "supplier_hhi", "char_cond_entropy", "pacf",
+    "variogram", "centroid_separation", "repeat_cadence", "bowley_skew",
 ]
 
 
@@ -1119,6 +1120,7 @@ def build_queries() -> dict:
     from .queries18 import QUERIES18
     from .queries19 import QUERIES19
     from .queries20 import QUERIES20
+    from .queries21 import QUERIES21
 
     return _reorder({
         **QUERIES11,
@@ -1131,6 +1133,7 @@ def build_queries() -> dict:
         **QUERIES18,
         **QUERIES19,
         **QUERIES20,
+        **QUERIES21,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1233,6 +1236,7 @@ def build_oracle_sql() -> dict:
     from .queries18 import ORACLES18
     from .queries19 import ORACLES19
     from .queries20 import ORACLES20
+    from .queries21 import ORACLES21
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1246,6 +1250,7 @@ def build_oracle_sql() -> dict:
         **ORACLES18,
         **ORACLES19,
         **ORACLES20,
+        **ORACLES21,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
