@@ -1091,6 +1091,7 @@ _PRIORITY_ORDER = [
     "return_rate_monthly",
     "lorenz_deciles", "supplier_hhi", "char_cond_entropy", "pacf",
     "variogram", "centroid_separation", "repeat_cadence", "bowley_skew",
+    "yule_k", "theil_index", "peak_minutes", "linecount_histogram",
 ]
 
 
@@ -1121,6 +1122,7 @@ def build_queries() -> dict:
     from .queries19 import QUERIES19
     from .queries20 import QUERIES20
     from .queries21 import QUERIES21
+    from .queries22 import QUERIES22
 
     return _reorder({
         **QUERIES11,
@@ -1134,6 +1136,7 @@ def build_queries() -> dict:
         **QUERIES19,
         **QUERIES20,
         **QUERIES21,
+        **QUERIES22,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1237,6 +1240,7 @@ def build_oracle_sql() -> dict:
     from .queries19 import ORACLES19
     from .queries20 import ORACLES20
     from .queries21 import ORACLES21
+    from .queries22 import ORACLES22
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1251,6 +1255,7 @@ def build_oracle_sql() -> dict:
         **ORACLES19,
         **ORACLES20,
         **ORACLES21,
+        **ORACLES22,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
