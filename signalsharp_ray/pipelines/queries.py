@@ -1092,6 +1092,8 @@ _PRIORITY_ORDER = [
     "lorenz_deciles", "supplier_hhi", "char_cond_entropy", "pacf",
     "variogram", "centroid_separation", "repeat_cadence", "bowley_skew",
     "yule_k", "theil_index", "peak_minutes", "linecount_histogram",
+    "calinski_harabasz", "gap_lognormal", "chi2_day_of_week",
+    "part_size_price",
 ]
 
 
@@ -1123,6 +1125,7 @@ def build_queries() -> dict:
     from .queries20 import QUERIES20
     from .queries21 import QUERIES21
     from .queries22 import QUERIES22
+    from .queries23 import QUERIES23
 
     return _reorder({
         **QUERIES11,
@@ -1137,6 +1140,7 @@ def build_queries() -> dict:
         **QUERIES20,
         **QUERIES21,
         **QUERIES22,
+        **QUERIES23,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1241,6 +1245,7 @@ def build_oracle_sql() -> dict:
     from .queries20 import ORACLES20
     from .queries21 import ORACLES21
     from .queries22 import ORACLES22
+    from .queries23 import ORACLES23
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1256,6 +1261,7 @@ def build_oracle_sql() -> dict:
         **ORACLES20,
         **ORACLES21,
         **ORACLES22,
+        **ORACLES23,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,

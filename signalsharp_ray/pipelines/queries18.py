@@ -291,7 +291,9 @@ def q_doclen_lognormal(sf_dir: str):
         f2 = _fold([x * x for x in logs])
         mu = f1 / float(n)
         var = f2 / float(n) - mu * mu
-        sigma = math.sqrt(var)
+        # clamp: constant lengths can round var to a tiny negative; the
+        # SQL side applies the identical GREATEST(var, 0)
+        sigma = math.sqrt(var if var > 0.0 else 0.0)
         return pd.DataFrame(
             {
                 "source": [df["source"].iloc[0]],
@@ -321,8 +323,9 @@ a AS (
 SELECT source,
        CAST(n AS BIGINT) AS n_docs,
        ROUND(f1 / CAST(n AS DOUBLE), 6) AS ln_mu,
-       ROUND(sqrt(f2 / CAST(n AS DOUBLE)
-                  - (f1 / CAST(n AS DOUBLE)) * (f1 / CAST(n AS DOUBLE))), 6)
+       ROUND(sqrt(GREATEST(f2 / CAST(n AS DOUBLE)
+                  - (f1 / CAST(n AS DOUBLE)) * (f1 / CAST(n AS DOUBLE)),
+                  CAST(0.0 AS DOUBLE))), 6)
          AS ln_sigma,
        ROUND(exp(f1 / CAST(n AS DOUBLE)), 6) AS median_est
 FROM a
