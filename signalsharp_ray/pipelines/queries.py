@@ -1094,6 +1094,8 @@ _PRIORITY_ORDER = [
     "yule_k", "theil_index", "peak_minutes", "linecount_histogram",
     "calinski_harabasz", "gap_lognormal", "chi2_day_of_week",
     "part_size_price",
+    "user_type_entropy", "acf_decay_time", "daily_moments",
+    "priority_segment_matrix",
 ]
 
 
@@ -1126,6 +1128,7 @@ def build_queries() -> dict:
     from .queries21 import QUERIES21
     from .queries22 import QUERIES22
     from .queries23 import QUERIES23
+    from .queries24 import QUERIES24
 
     return _reorder({
         **QUERIES11,
@@ -1141,6 +1144,7 @@ def build_queries() -> dict:
         **QUERIES21,
         **QUERIES22,
         **QUERIES23,
+        **QUERIES24,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1246,6 +1250,7 @@ def build_oracle_sql() -> dict:
     from .queries21 import ORACLES21
     from .queries22 import ORACLES22
     from .queries23 import ORACLES23
+    from .queries24 import ORACLES24
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1262,6 +1267,7 @@ def build_oracle_sql() -> dict:
         **ORACLES21,
         **ORACLES22,
         **ORACLES23,
+        **ORACLES24,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
