@@ -1096,6 +1096,7 @@ _PRIORITY_ORDER = [
     "part_size_price",
     "user_type_entropy", "acf_decay_time", "daily_moments",
     "priority_segment_matrix",
+    "vocab_coverage", "user_burst_topk", "region_balance", "gap_autocorr",
 ]
 
 
@@ -1129,6 +1130,7 @@ def build_queries() -> dict:
     from .queries22 import QUERIES22
     from .queries23 import QUERIES23
     from .queries24 import QUERIES24
+    from .queries25 import QUERIES25
 
     return _reorder({
         **QUERIES11,
@@ -1145,6 +1147,7 @@ def build_queries() -> dict:
         **QUERIES22,
         **QUERIES23,
         **QUERIES24,
+        **QUERIES25,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1251,6 +1254,7 @@ def build_oracle_sql() -> dict:
     from .queries22 import ORACLES22
     from .queries23 import ORACLES23
     from .queries24 import ORACLES24
+    from .queries25 import ORACLES25
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1268,6 +1272,7 @@ def build_oracle_sql() -> dict:
         **ORACLES22,
         **ORACLES23,
         **ORACLES24,
+        **ORACLES25,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
