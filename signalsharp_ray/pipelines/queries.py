@@ -1097,6 +1097,7 @@ _PRIORITY_ORDER = [
     "user_type_entropy", "acf_decay_time", "daily_moments",
     "priority_segment_matrix",
     "vocab_coverage", "user_burst_topk", "region_balance", "gap_autocorr",
+    "mann_kendall", "source_cross_entropy", "session_threshold_curve",
 ]
 
 
@@ -1131,6 +1132,7 @@ def build_queries() -> dict:
     from .queries23 import QUERIES23
     from .queries24 import QUERIES24
     from .queries25 import QUERIES25
+    from .queries26 import QUERIES26
 
     return _reorder({
         **QUERIES11,
@@ -1148,6 +1150,7 @@ def build_queries() -> dict:
         **QUERIES23,
         **QUERIES24,
         **QUERIES25,
+        **QUERIES26,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1255,6 +1258,7 @@ def build_oracle_sql() -> dict:
     from .queries23 import ORACLES23
     from .queries24 import ORACLES24
     from .queries25 import ORACLES25
+    from .queries26 import ORACLES26
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1273,6 +1277,7 @@ def build_oracle_sql() -> dict:
         **ORACLES23,
         **ORACLES24,
         **ORACLES25,
+        **ORACLES26,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
