@@ -1098,6 +1098,7 @@ _PRIORITY_ORDER = [
     "priority_segment_matrix",
     "vocab_coverage", "user_burst_topk", "region_balance", "gap_autocorr",
     "mann_kendall", "source_cross_entropy", "session_threshold_curve",
+    "knn_loo_accuracy", "volatility_clustering", "doclen_gini",
 ]
 
 
@@ -1133,6 +1134,7 @@ def build_queries() -> dict:
     from .queries24 import QUERIES24
     from .queries25 import QUERIES25
     from .queries26 import QUERIES26
+    from .queries27 import QUERIES27
 
     return _reorder({
         **QUERIES11,
@@ -1151,6 +1153,7 @@ def build_queries() -> dict:
         **QUERIES24,
         **QUERIES25,
         **QUERIES26,
+        **QUERIES27,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1259,6 +1262,7 @@ def build_oracle_sql() -> dict:
     from .queries24 import ORACLES24
     from .queries25 import ORACLES25
     from .queries26 import ORACLES26
+    from .queries27 import ORACLES27
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1278,6 +1282,7 @@ def build_oracle_sql() -> dict:
         **ORACLES24,
         **ORACLES25,
         **ORACLES26,
+        **ORACLES27,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
