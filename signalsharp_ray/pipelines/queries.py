@@ -1099,6 +1099,7 @@ _PRIORITY_ORDER = [
     "vocab_coverage", "user_burst_topk", "region_balance", "gap_autocorr",
     "mann_kendall", "source_cross_entropy", "session_threshold_curve",
     "knn_loo_accuracy", "volatility_clustering", "doclen_gini",
+    "type_hour_mi", "ramp_asymmetry", "value_variance_by_hour",
 ]
 
 
@@ -1135,6 +1136,7 @@ def build_queries() -> dict:
     from .queries25 import QUERIES25
     from .queries26 import QUERIES26
     from .queries27 import QUERIES27
+    from .queries28 import QUERIES28
 
     return _reorder({
         **QUERIES11,
@@ -1154,6 +1156,7 @@ def build_queries() -> dict:
         **QUERIES25,
         **QUERIES26,
         **QUERIES27,
+        **QUERIES28,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1263,6 +1266,7 @@ def build_oracle_sql() -> dict:
     from .queries25 import ORACLES25
     from .queries26 import ORACLES26
     from .queries27 import ORACLES27
+    from .queries28 import ORACLES28
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1283,6 +1287,7 @@ def build_oracle_sql() -> dict:
         **ORACLES25,
         **ORACLES26,
         **ORACLES27,
+        **ORACLES28,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
