@@ -1100,6 +1100,7 @@ _PRIORITY_ORDER = [
     "mann_kendall", "source_cross_entropy", "session_threshold_curve",
     "knn_loo_accuracy", "volatility_clustering", "doclen_gini",
     "type_hour_mi", "ramp_asymmetry", "value_variance_by_hour",
+    "vocab_overlap", "balance_order_corr", "co_exceedance",
 ]
 
 
@@ -1137,6 +1138,7 @@ def build_queries() -> dict:
     from .queries26 import QUERIES26
     from .queries27 import QUERIES27
     from .queries28 import QUERIES28
+    from .queries29 import QUERIES29
 
     return _reorder({
         **QUERIES11,
@@ -1157,6 +1159,7 @@ def build_queries() -> dict:
         **QUERIES26,
         **QUERIES27,
         **QUERIES28,
+        **QUERIES29,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1267,6 +1270,7 @@ def build_oracle_sql() -> dict:
     from .queries26 import ORACLES26
     from .queries27 import ORACLES27
     from .queries28 import ORACLES28
+    from .queries29 import ORACLES29
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1288,6 +1292,7 @@ def build_oracle_sql() -> dict:
         **ORACLES26,
         **ORACLES27,
         **ORACLES28,
+        **ORACLES29,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
