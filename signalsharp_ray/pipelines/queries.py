@@ -1101,6 +1101,7 @@ _PRIORITY_ORDER = [
     "knn_loo_accuracy", "volatility_clustering", "doclen_gini",
     "type_hour_mi", "ramp_asymmetry", "value_variance_by_hour",
     "vocab_overlap", "balance_order_corr", "co_exceedance",
+    "trigram_perplexity", "basket_diversity", "priority_lead_time",
 ]
 
 
@@ -1139,6 +1140,7 @@ def build_queries() -> dict:
     from .queries27 import QUERIES27
     from .queries28 import QUERIES28
     from .queries29 import QUERIES29
+    from .queries30 import QUERIES30
 
     return _reorder({
         **QUERIES11,
@@ -1160,6 +1162,7 @@ def build_queries() -> dict:
         **QUERIES27,
         **QUERIES28,
         **QUERIES29,
+        **QUERIES30,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1271,6 +1274,7 @@ def build_oracle_sql() -> dict:
     from .queries27 import ORACLES27
     from .queries28 import ORACLES28
     from .queries29 import ORACLES29
+    from .queries30 import ORACLES30
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1293,6 +1297,7 @@ def build_oracle_sql() -> dict:
         **ORACLES27,
         **ORACLES28,
         **ORACLES29,
+        **ORACLES30,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
