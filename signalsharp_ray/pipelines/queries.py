@@ -1102,6 +1102,7 @@ _PRIORITY_ORDER = [
     "type_hour_mi", "ramp_asymmetry", "value_variance_by_hour",
     "vocab_overlap", "balance_order_corr", "co_exceedance",
     "trigram_perplexity", "basket_diversity", "priority_lead_time",
+    "user_acquisition", "supplier_consistency", "value_band_mix",
 ]
 
 
@@ -1141,6 +1142,7 @@ def build_queries() -> dict:
     from .queries28 import QUERIES28
     from .queries29 import QUERIES29
     from .queries30 import QUERIES30
+    from .queries31 import QUERIES31
 
     return _reorder({
         **QUERIES11,
@@ -1163,6 +1165,7 @@ def build_queries() -> dict:
         **QUERIES28,
         **QUERIES29,
         **QUERIES30,
+        **QUERIES31,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1275,6 +1278,7 @@ def build_oracle_sql() -> dict:
     from .queries28 import ORACLES28
     from .queries29 import ORACLES29
     from .queries30 import ORACLES30
+    from .queries31 import ORACLES31
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1298,6 +1302,7 @@ def build_oracle_sql() -> dict:
         **ORACLES28,
         **ORACLES29,
         **ORACLES30,
+        **ORACLES31,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
