@@ -1103,6 +1103,8 @@ _PRIORITY_ORDER = [
     "vocab_overlap", "balance_order_corr", "co_exceedance",
     "trigram_perplexity", "basket_diversity", "priority_lead_time",
     "user_acquisition", "supplier_consistency", "value_band_mix",
+    "order_month_seasonality", "discount_by_quantity",
+    "user_lifetime_histogram",
 ]
 
 
@@ -1143,6 +1145,7 @@ def build_queries() -> dict:
     from .queries29 import QUERIES29
     from .queries30 import QUERIES30
     from .queries31 import QUERIES31
+    from .queries32 import QUERIES32
 
     return _reorder({
         **QUERIES11,
@@ -1166,6 +1169,7 @@ def build_queries() -> dict:
         **QUERIES29,
         **QUERIES30,
         **QUERIES31,
+        **QUERIES32,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1279,6 +1283,7 @@ def build_oracle_sql() -> dict:
     from .queries29 import ORACLES29
     from .queries30 import ORACLES30
     from .queries31 import ORACLES31
+    from .queries32 import ORACLES32
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1303,6 +1308,7 @@ def build_oracle_sql() -> dict:
         **ORACLES29,
         **ORACLES30,
         **ORACLES31,
+        **ORACLES32,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
