@@ -1105,6 +1105,7 @@ _PRIORITY_ORDER = [
     "user_acquisition", "supplier_consistency", "value_band_mix",
     "order_month_seasonality", "discount_by_quantity",
     "user_lifetime_histogram",
+    "transition_latency", "word_length_stats", "supplier_degree_histogram",
 ]
 
 
@@ -1146,6 +1147,7 @@ def build_queries() -> dict:
     from .queries30 import QUERIES30
     from .queries31 import QUERIES31
     from .queries32 import QUERIES32
+    from .queries33 import QUERIES33
 
     return _reorder({
         **QUERIES11,
@@ -1170,6 +1172,7 @@ def build_queries() -> dict:
         **QUERIES30,
         **QUERIES31,
         **QUERIES32,
+        **QUERIES33,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1284,6 +1287,7 @@ def build_oracle_sql() -> dict:
     from .queries30 import ORACLES30
     from .queries31 import ORACLES31
     from .queries32 import ORACLES32
+    from .queries33 import ORACLES33
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1309,6 +1313,7 @@ def build_oracle_sql() -> dict:
         **ORACLES30,
         **ORACLES31,
         **ORACLES32,
+        **ORACLES33,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
