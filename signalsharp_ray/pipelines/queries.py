@@ -1106,6 +1106,7 @@ _PRIORITY_ORDER = [
     "order_month_seasonality", "discount_by_quantity",
     "user_lifetime_histogram",
     "transition_latency", "word_length_stats", "supplier_degree_histogram",
+    "time_reversibility", "post_peak_decay", "brand_revenue_share",
 ]
 
 
@@ -1148,6 +1149,7 @@ def build_queries() -> dict:
     from .queries31 import QUERIES31
     from .queries32 import QUERIES32
     from .queries33 import QUERIES33
+    from .queries34 import QUERIES34
 
     return _reorder({
         **QUERIES11,
@@ -1173,6 +1175,7 @@ def build_queries() -> dict:
         **QUERIES31,
         **QUERIES32,
         **QUERIES33,
+        **QUERIES34,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1288,6 +1291,7 @@ def build_oracle_sql() -> dict:
     from .queries31 import ORACLES31
     from .queries32 import ORACLES32
     from .queries33 import ORACLES33
+    from .queries34 import ORACLES34
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1314,6 +1318,7 @@ def build_oracle_sql() -> dict:
         **ORACLES31,
         **ORACLES32,
         **ORACLES33,
+        **ORACLES34,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
