@@ -1107,6 +1107,7 @@ _PRIORITY_ORDER = [
     "user_lifetime_histogram",
     "transition_latency", "word_length_stats", "supplier_degree_histogram",
     "time_reversibility", "post_peak_decay", "brand_revenue_share",
+    "value_trend_daily", "lang_source_chi2", "day_profile_similarity",
 ]
 
 
@@ -1150,6 +1151,7 @@ def build_queries() -> dict:
     from .queries32 import QUERIES32
     from .queries33 import QUERIES33
     from .queries34 import QUERIES34
+    from .queries35 import QUERIES35
 
     return _reorder({
         **QUERIES11,
@@ -1176,6 +1178,7 @@ def build_queries() -> dict:
         **QUERIES32,
         **QUERIES33,
         **QUERIES34,
+        **QUERIES35,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1292,6 +1295,7 @@ def build_oracle_sql() -> dict:
     from .queries32 import ORACLES32
     from .queries33 import ORACLES33
     from .queries34 import ORACLES34
+    from .queries35 import ORACLES35
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1319,6 +1323,7 @@ def build_oracle_sql() -> dict:
         **ORACLES32,
         **ORACLES33,
         **ORACLES34,
+        **ORACLES35,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
