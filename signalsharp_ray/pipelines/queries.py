@@ -1108,6 +1108,7 @@ _PRIORITY_ORDER = [
     "transition_latency", "word_length_stats", "supplier_degree_histogram",
     "time_reversibility", "post_peak_decay", "brand_revenue_share",
     "value_trend_daily", "lang_source_chi2", "day_profile_similarity",
+    "nation_order_intensity", "halves_drift", "numeric_token_share",
 ]
 
 
@@ -1152,6 +1153,7 @@ def build_queries() -> dict:
     from .queries33 import QUERIES33
     from .queries34 import QUERIES34
     from .queries35 import QUERIES35
+    from .queries36 import QUERIES36
 
     return _reorder({
         **QUERIES11,
@@ -1179,6 +1181,7 @@ def build_queries() -> dict:
         **QUERIES33,
         **QUERIES34,
         **QUERIES35,
+        **QUERIES36,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1296,6 +1299,7 @@ def build_oracle_sql() -> dict:
     from .queries33 import ORACLES33
     from .queries34 import ORACLES34
     from .queries35 import ORACLES35
+    from .queries36 import ORACLES36
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1324,6 +1328,7 @@ def build_oracle_sql() -> dict:
         **ORACLES33,
         **ORACLES34,
         **ORACLES35,
+        **ORACLES36,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
