@@ -1109,6 +1109,7 @@ _PRIORITY_ORDER = [
     "time_reversibility", "post_peak_decay", "brand_revenue_share",
     "value_trend_daily", "lang_source_chi2", "day_profile_similarity",
     "nation_order_intensity", "halves_drift", "numeric_token_share",
+    "variance_ratio_halves", "priority_mix_by_year", "load_kurtosis",
 ]
 
 
@@ -1154,6 +1155,7 @@ def build_queries() -> dict:
     from .queries34 import QUERIES34
     from .queries35 import QUERIES35
     from .queries36 import QUERIES36
+    from .queries37 import QUERIES37
 
     return _reorder({
         **QUERIES11,
@@ -1182,6 +1184,7 @@ def build_queries() -> dict:
         **QUERIES34,
         **QUERIES35,
         **QUERIES36,
+        **QUERIES37,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1300,6 +1303,7 @@ def build_oracle_sql() -> dict:
     from .queries34 import ORACLES34
     from .queries35 import ORACLES35
     from .queries36 import ORACLES36
+    from .queries37 import ORACLES37
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1329,6 +1333,7 @@ def build_oracle_sql() -> dict:
         **ORACLES34,
         **ORACLES35,
         **ORACLES36,
+        **ORACLES37,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
