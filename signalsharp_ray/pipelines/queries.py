@@ -1110,6 +1110,7 @@ _PRIORITY_ORDER = [
     "value_trend_daily", "lang_source_chi2", "day_profile_similarity",
     "nation_order_intensity", "halves_drift", "numeric_token_share",
     "variance_ratio_halves", "priority_mix_by_year", "load_kurtosis",
+    "tax_summary_monthly", "peak_spacing", "returns_by_part_type",
 ]
 
 
@@ -1156,6 +1157,7 @@ def build_queries() -> dict:
     from .queries35 import QUERIES35
     from .queries36 import QUERIES36
     from .queries37 import QUERIES37
+    from .queries38 import QUERIES38
 
     return _reorder({
         **QUERIES11,
@@ -1185,6 +1187,7 @@ def build_queries() -> dict:
         **QUERIES35,
         **QUERIES36,
         **QUERIES37,
+        **QUERIES38,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1304,6 +1307,7 @@ def build_oracle_sql() -> dict:
     from .queries35 import ORACLES35
     from .queries36 import ORACLES36
     from .queries37 import ORACLES37
+    from .queries38 import ORACLES38
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1334,6 +1338,7 @@ def build_oracle_sql() -> dict:
         **ORACLES35,
         **ORACLES36,
         **ORACLES37,
+        **ORACLES38,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
