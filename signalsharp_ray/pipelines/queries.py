@@ -1111,6 +1111,7 @@ _PRIORITY_ORDER = [
     "nation_order_intensity", "halves_drift", "numeric_token_share",
     "variance_ratio_halves", "priority_mix_by_year", "load_kurtosis",
     "tax_summary_monthly", "peak_spacing", "returns_by_part_type",
+    "daily_peak_hour", "fano_factor", "status_flag_matrix",
 ]
 
 
@@ -1158,6 +1159,7 @@ def build_queries() -> dict:
     from .queries36 import QUERIES36
     from .queries37 import QUERIES37
     from .queries38 import QUERIES38
+    from .queries39 import QUERIES39
 
     return _reorder({
         **QUERIES11,
@@ -1188,6 +1190,7 @@ def build_queries() -> dict:
         **QUERIES36,
         **QUERIES37,
         **QUERIES38,
+        **QUERIES39,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1308,6 +1311,7 @@ def build_oracle_sql() -> dict:
     from .queries36 import ORACLES36
     from .queries37 import ORACLES37
     from .queries38 import ORACLES38
+    from .queries39 import ORACLES39
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1339,6 +1343,7 @@ def build_oracle_sql() -> dict:
         **ORACLES36,
         **ORACLES37,
         **ORACLES38,
+        **ORACLES39,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
