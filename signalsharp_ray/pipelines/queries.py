@@ -1112,6 +1112,7 @@ _PRIORITY_ORDER = [
     "variance_ratio_halves", "priority_mix_by_year", "load_kurtosis",
     "tax_summary_monthly", "peak_spacing", "returns_by_part_type",
     "daily_peak_hour", "fano_factor", "status_flag_matrix",
+    "value_heatmap", "revenue_median_month", "order_dow_mix",
 ]
 
 
@@ -1160,6 +1161,7 @@ def build_queries() -> dict:
     from .queries37 import QUERIES37
     from .queries38 import QUERIES38
     from .queries39 import QUERIES39
+    from .queries40 import QUERIES40
 
     return _reorder({
         **QUERIES11,
@@ -1191,6 +1193,7 @@ def build_queries() -> dict:
         **QUERIES37,
         **QUERIES38,
         **QUERIES39,
+        **QUERIES40,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1312,6 +1315,7 @@ def build_oracle_sql() -> dict:
     from .queries37 import ORACLES37
     from .queries38 import ORACLES38
     from .queries39 import ORACLES39
+    from .queries40 import ORACLES40
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1344,6 +1348,7 @@ def build_oracle_sql() -> dict:
         **ORACLES37,
         **ORACLES38,
         **ORACLES39,
+        **ORACLES40,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
