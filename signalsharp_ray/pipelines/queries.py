@@ -1113,6 +1113,7 @@ _PRIORITY_ORDER = [
     "tax_summary_monthly", "peak_spacing", "returns_by_part_type",
     "daily_peak_hour", "fano_factor", "status_flag_matrix",
     "value_heatmap", "revenue_median_month", "order_dow_mix",
+    "flatline_runs", "first_token_topk", "top_variance_dims",
 ]
 
 
@@ -1162,6 +1163,7 @@ def build_queries() -> dict:
     from .queries38 import QUERIES38
     from .queries39 import QUERIES39
     from .queries40 import QUERIES40
+    from .queries41 import QUERIES41
 
     return _reorder({
         **QUERIES11,
@@ -1194,6 +1196,7 @@ def build_queries() -> dict:
         **QUERIES38,
         **QUERIES39,
         **QUERIES40,
+        **QUERIES41,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1316,6 +1319,7 @@ def build_oracle_sql() -> dict:
     from .queries38 import ORACLES38
     from .queries39 import ORACLES39
     from .queries40 import ORACLES40
+    from .queries41 import ORACLES41
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1349,6 +1353,7 @@ def build_oracle_sql() -> dict:
         **ORACLES38,
         **ORACLES39,
         **ORACLES40,
+        **ORACLES41,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
