@@ -1114,6 +1114,7 @@ _PRIORITY_ORDER = [
     "daily_peak_hour", "fano_factor", "status_flag_matrix",
     "value_heatmap", "revenue_median_month", "order_dow_mix",
     "flatline_runs", "first_token_topk", "top_variance_dims",
+    "lang_purity", "peak_week_slot", "part_price_dispersion",
 ]
 
 
@@ -1164,6 +1165,7 @@ def build_queries() -> dict:
     from .queries39 import QUERIES39
     from .queries40 import QUERIES40
     from .queries41 import QUERIES41
+    from .queries42 import QUERIES42
 
     return _reorder({
         **QUERIES11,
@@ -1197,6 +1199,7 @@ def build_queries() -> dict:
         **QUERIES39,
         **QUERIES40,
         **QUERIES41,
+        **QUERIES42,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1320,6 +1323,7 @@ def build_oracle_sql() -> dict:
     from .queries39 import ORACLES39
     from .queries40 import ORACLES40
     from .queries41 import ORACLES41
+    from .queries42 import ORACLES42
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1354,6 +1358,7 @@ def build_oracle_sql() -> dict:
         **ORACLES39,
         **ORACLES40,
         **ORACLES41,
+        **ORACLES42,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
