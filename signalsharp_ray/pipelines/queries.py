@@ -1115,6 +1115,7 @@ _PRIORITY_ORDER = [
     "value_heatmap", "revenue_median_month", "order_dow_mix",
     "flatline_runs", "first_token_topk", "top_variance_dims",
     "lang_purity", "peak_week_slot", "part_price_dispersion",
+    "load_state_transitions", "order_value_by_priority", "weekly_growth",
 ]
 
 
@@ -1166,6 +1167,7 @@ def build_queries() -> dict:
     from .queries40 import QUERIES40
     from .queries41 import QUERIES41
     from .queries42 import QUERIES42
+    from .queries43 import QUERIES43
 
     return _reorder({
         **QUERIES11,
@@ -1200,6 +1202,7 @@ def build_queries() -> dict:
         **QUERIES40,
         **QUERIES41,
         **QUERIES42,
+        **QUERIES43,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1324,6 +1327,7 @@ def build_oracle_sql() -> dict:
     from .queries40 import ORACLES40
     from .queries41 import ORACLES41
     from .queries42 import ORACLES42
+    from .queries43 import ORACLES43
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1359,6 +1363,7 @@ def build_oracle_sql() -> dict:
         **ORACLES40,
         **ORACLES41,
         **ORACLES42,
+        **ORACLES43,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
