@@ -1116,6 +1116,7 @@ _PRIORITY_ORDER = [
     "flatline_runs", "first_token_topk", "top_variance_dims",
     "lang_purity", "peak_week_slot", "part_price_dispersion",
     "load_state_transitions", "order_value_by_priority", "weekly_growth",
+    "trigram_uniqueness", "first_vs_repeat_value", "user_breadth_histogram",
 ]
 
 
@@ -1168,6 +1169,7 @@ def build_queries() -> dict:
     from .queries41 import QUERIES41
     from .queries42 import QUERIES42
     from .queries43 import QUERIES43
+    from .queries44 import QUERIES44
 
     return _reorder({
         **QUERIES11,
@@ -1203,6 +1205,7 @@ def build_queries() -> dict:
         **QUERIES41,
         **QUERIES42,
         **QUERIES43,
+        **QUERIES44,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1328,6 +1331,7 @@ def build_oracle_sql() -> dict:
     from .queries41 import ORACLES41
     from .queries42 import ORACLES42
     from .queries43 import ORACLES43
+    from .queries44 import ORACLES44
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1364,6 +1368,7 @@ def build_oracle_sql() -> dict:
         **ORACLES41,
         **ORACLES42,
         **ORACLES43,
+        **ORACLES44,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
