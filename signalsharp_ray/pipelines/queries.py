@@ -1117,6 +1117,7 @@ _PRIORITY_ORDER = [
     "lang_purity", "peak_week_slot", "part_price_dispersion",
     "load_state_transitions", "order_value_by_priority", "weekly_growth",
     "trigram_uniqueness", "first_vs_repeat_value", "user_breadth_histogram",
+    "value_halves_drift", "supplier_top_part_share",
 ]
 
 
@@ -1170,6 +1171,7 @@ def build_queries() -> dict:
     from .queries42 import QUERIES42
     from .queries43 import QUERIES43
     from .queries44 import QUERIES44
+    from .queries45 import QUERIES45
 
     return _reorder({
         **QUERIES11,
@@ -1206,6 +1208,7 @@ def build_queries() -> dict:
         **QUERIES42,
         **QUERIES43,
         **QUERIES44,
+        **QUERIES45,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1332,6 +1335,7 @@ def build_oracle_sql() -> dict:
     from .queries42 import ORACLES42
     from .queries43 import ORACLES43
     from .queries44 import ORACLES44
+    from .queries45 import ORACLES45
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1369,6 +1373,7 @@ def build_oracle_sql() -> dict:
         **ORACLES42,
         **ORACLES43,
         **ORACLES44,
+        **ORACLES45,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
