@@ -1118,6 +1118,7 @@ _PRIORITY_ORDER = [
     "load_state_transitions", "order_value_by_priority", "weekly_growth",
     "trigram_uniqueness", "first_vs_repeat_value", "user_breadth_histogram",
     "value_halves_drift", "supplier_top_part_share",
+    "value_autocorr", "dau_stability",
 ]
 
 
@@ -1172,6 +1173,7 @@ def build_queries() -> dict:
     from .queries43 import QUERIES43
     from .queries44 import QUERIES44
     from .queries45 import QUERIES45
+    from .queries46 import QUERIES46
 
     return _reorder({
         **QUERIES11,
@@ -1209,6 +1211,7 @@ def build_queries() -> dict:
         **QUERIES43,
         **QUERIES44,
         **QUERIES45,
+        **QUERIES46,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1336,6 +1339,7 @@ def build_oracle_sql() -> dict:
     from .queries43 import ORACLES43
     from .queries44 import ORACLES44
     from .queries45 import ORACLES45
+    from .queries46 import ORACLES46
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1374,6 +1378,7 @@ def build_oracle_sql() -> dict:
         **ORACLES43,
         **ORACLES44,
         **ORACLES45,
+        **ORACLES46,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
