@@ -1119,6 +1119,7 @@ _PRIORITY_ORDER = [
     "trigram_uniqueness", "first_vs_repeat_value", "user_breadth_histogram",
     "value_halves_drift", "supplier_top_part_share",
     "value_autocorr", "dau_stability",
+    "daily_new_share", "doc_entropy_mean", "order_drought",
 ]
 
 
@@ -1174,6 +1175,7 @@ def build_queries() -> dict:
     from .queries44 import QUERIES44
     from .queries45 import QUERIES45
     from .queries46 import QUERIES46
+    from .queries47 import QUERIES47
 
     return _reorder({
         **QUERIES11,
@@ -1212,6 +1214,7 @@ def build_queries() -> dict:
         **QUERIES44,
         **QUERIES45,
         **QUERIES46,
+        **QUERIES47,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1340,6 +1343,7 @@ def build_oracle_sql() -> dict:
     from .queries44 import ORACLES44
     from .queries45 import ORACLES45
     from .queries46 import ORACLES46
+    from .queries47 import ORACLES47
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1379,6 +1383,7 @@ def build_oracle_sql() -> dict:
         **ORACLES44,
         **ORACLES45,
         **ORACLES46,
+        **ORACLES47,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
