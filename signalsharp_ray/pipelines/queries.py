@@ -1120,6 +1120,7 @@ _PRIORITY_ORDER = [
     "value_halves_drift", "supplier_top_part_share",
     "value_autocorr", "dau_stability",
     "daily_new_share", "doc_entropy_mean", "order_drought",
+    "qty_price_corr", "peak_day", "question_doc_share",
 ]
 
 
@@ -1176,6 +1177,7 @@ def build_queries() -> dict:
     from .queries45 import QUERIES45
     from .queries46 import QUERIES46
     from .queries47 import QUERIES47
+    from .queries48 import QUERIES48
 
     return _reorder({
         **QUERIES11,
@@ -1215,6 +1217,7 @@ def build_queries() -> dict:
         **QUERIES45,
         **QUERIES46,
         **QUERIES47,
+        **QUERIES48,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1344,6 +1347,7 @@ def build_oracle_sql() -> dict:
     from .queries45 import ORACLES45
     from .queries46 import ORACLES46
     from .queries47 import ORACLES47
+    from .queries48 import ORACLES48
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1384,6 +1388,7 @@ def build_oracle_sql() -> dict:
         **ORACLES45,
         **ORACLES46,
         **ORACLES47,
+        **ORACLES48,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
