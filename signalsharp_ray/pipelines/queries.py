@@ -1121,6 +1121,7 @@ _PRIORITY_ORDER = [
     "value_autocorr", "dau_stability",
     "daily_new_share", "doc_entropy_mean", "order_drought",
     "qty_price_corr", "peak_day", "question_doc_share",
+    "order_gini", "active_days_histogram",
 ]
 
 
@@ -1178,6 +1179,7 @@ def build_queries() -> dict:
     from .queries46 import QUERIES46
     from .queries47 import QUERIES47
     from .queries48 import QUERIES48
+    from .queries49 import QUERIES49
 
     return _reorder({
         **QUERIES11,
@@ -1218,6 +1220,7 @@ def build_queries() -> dict:
         **QUERIES46,
         **QUERIES47,
         **QUERIES48,
+        **QUERIES49,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1348,6 +1351,7 @@ def build_oracle_sql() -> dict:
     from .queries46 import ORACLES46
     from .queries47 import ORACLES47
     from .queries48 import ORACLES48
+    from .queries49 import ORACLES49
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1389,6 +1393,7 @@ def build_oracle_sql() -> dict:
         **ORACLES46,
         **ORACLES47,
         **ORACLES48,
+        **ORACLES49,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
