@@ -1122,6 +1122,7 @@ _PRIORITY_ORDER = [
     "daily_new_share", "doc_entropy_mean", "order_drought",
     "qty_price_corr", "peak_day", "question_doc_share",
     "order_gini", "active_days_histogram",
+    "nation_revenue_per_customer", "vocab_growth",
 ]
 
 
@@ -1180,6 +1181,7 @@ def build_queries() -> dict:
     from .queries47 import QUERIES47
     from .queries48 import QUERIES48
     from .queries49 import QUERIES49
+    from .queries50 import QUERIES50
 
     return _reorder({
         **QUERIES11,
@@ -1221,6 +1223,7 @@ def build_queries() -> dict:
         **QUERIES47,
         **QUERIES48,
         **QUERIES49,
+        **QUERIES50,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1352,6 +1355,7 @@ def build_oracle_sql() -> dict:
     from .queries47 import ORACLES47
     from .queries48 import ORACLES48
     from .queries49 import ORACLES49
+    from .queries50 import ORACLES50
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1394,6 +1398,7 @@ def build_oracle_sql() -> dict:
         **ORACLES47,
         **ORACLES48,
         **ORACLES49,
+        **ORACLES50,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
