@@ -1123,6 +1123,8 @@ _PRIORITY_ORDER = [
     "qty_price_corr", "peak_day", "question_doc_share",
     "order_gini", "active_days_histogram",
     "nation_revenue_per_customer", "vocab_growth",
+    "customer_acquisition_yearly", "diurnal_amplitude",
+    "lead_time_histogram",
 ]
 
 
@@ -1182,6 +1184,7 @@ def build_queries() -> dict:
     from .queries48 import QUERIES48
     from .queries49 import QUERIES49
     from .queries50 import QUERIES50
+    from .queries51 import QUERIES51
 
     return _reorder({
         **QUERIES11,
@@ -1224,6 +1227,7 @@ def build_queries() -> dict:
         **QUERIES48,
         **QUERIES49,
         **QUERIES50,
+        **QUERIES51,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1356,6 +1360,7 @@ def build_oracle_sql() -> dict:
     from .queries48 import ORACLES48
     from .queries49 import ORACLES49
     from .queries50 import ORACLES50
+    from .queries51 import ORACLES51
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1399,6 +1404,7 @@ def build_oracle_sql() -> dict:
         **ORACLES48,
         **ORACLES49,
         **ORACLES50,
+        **ORACLES51,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
