@@ -1125,6 +1125,7 @@ _PRIORITY_ORDER = [
     "nation_revenue_per_customer", "vocab_growth",
     "customer_acquisition_yearly", "diurnal_amplitude",
     "lead_time_histogram",
+    "doc_ttr_mean", "hour_coverage",
 ]
 
 
@@ -1185,6 +1186,7 @@ def build_queries() -> dict:
     from .queries49 import QUERIES49
     from .queries50 import QUERIES50
     from .queries51 import QUERIES51
+    from .queries52 import QUERIES52
 
     return _reorder({
         **QUERIES11,
@@ -1228,6 +1230,7 @@ def build_queries() -> dict:
         **QUERIES49,
         **QUERIES50,
         **QUERIES51,
+        **QUERIES52,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1361,6 +1364,7 @@ def build_oracle_sql() -> dict:
     from .queries49 import ORACLES49
     from .queries50 import ORACLES50
     from .queries51 import ORACLES51
+    from .queries52 import ORACLES52
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1405,6 +1409,7 @@ def build_oracle_sql() -> dict:
         **ORACLES49,
         **ORACLES50,
         **ORACLES51,
+        **ORACLES52,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
