@@ -1126,6 +1126,7 @@ _PRIORITY_ORDER = [
     "customer_acquisition_yearly", "diurnal_amplitude",
     "lead_time_histogram",
     "doc_ttr_mean", "hour_coverage",
+    "token_freq_spectrum", "order_size_value_corr",
 ]
 
 
@@ -1187,6 +1188,7 @@ def build_queries() -> dict:
     from .queries50 import QUERIES50
     from .queries51 import QUERIES51
     from .queries52 import QUERIES52
+    from .queries53 import QUERIES53
 
     return _reorder({
         **QUERIES11,
@@ -1231,6 +1233,7 @@ def build_queries() -> dict:
         **QUERIES50,
         **QUERIES51,
         **QUERIES52,
+        **QUERIES53,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1365,6 +1368,7 @@ def build_oracle_sql() -> dict:
     from .queries50 import ORACLES50
     from .queries51 import ORACLES51
     from .queries52 import ORACLES52
+    from .queries53 import ORACLES53
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1410,6 +1414,7 @@ def build_oracle_sql() -> dict:
         **ORACLES50,
         **ORACLES51,
         **ORACLES52,
+        **ORACLES53,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
