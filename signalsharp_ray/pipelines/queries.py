@@ -1127,6 +1127,7 @@ _PRIORITY_ORDER = [
     "lead_time_histogram",
     "doc_ttr_mean", "hour_coverage",
     "token_freq_spectrum", "order_size_value_corr",
+    "terminal_punct_mix", "order_value_by_dow", "embedding_compactness",
 ]
 
 
@@ -1189,6 +1190,7 @@ def build_queries() -> dict:
     from .queries51 import QUERIES51
     from .queries52 import QUERIES52
     from .queries53 import QUERIES53
+    from .queries54 import QUERIES54
 
     return _reorder({
         **QUERIES11,
@@ -1234,6 +1236,7 @@ def build_queries() -> dict:
         **QUERIES51,
         **QUERIES52,
         **QUERIES53,
+        **QUERIES54,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1369,6 +1372,7 @@ def build_oracle_sql() -> dict:
     from .queries51 import ORACLES51
     from .queries52 import ORACLES52
     from .queries53 import ORACLES53
+    from .queries54 import ORACLES54
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1415,6 +1419,7 @@ def build_oracle_sql() -> dict:
         **ORACLES51,
         **ORACLES52,
         **ORACLES53,
+        **ORACLES54,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
