@@ -1128,6 +1128,7 @@ _PRIORITY_ORDER = [
     "doc_ttr_mean", "hour_coverage",
     "token_freq_spectrum", "order_size_value_corr",
     "terminal_punct_mix", "order_value_by_dow", "embedding_compactness",
+    "hod_percentile_bands",
 ]
 
 
@@ -1191,6 +1192,7 @@ def build_queries() -> dict:
     from .queries52 import QUERIES52
     from .queries53 import QUERIES53
     from .queries54 import QUERIES54
+    from .queries55 import QUERIES55
 
     return _reorder({
         **QUERIES11,
@@ -1237,6 +1239,7 @@ def build_queries() -> dict:
         **QUERIES52,
         **QUERIES53,
         **QUERIES54,
+        **QUERIES55,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1373,6 +1376,7 @@ def build_oracle_sql() -> dict:
     from .queries52 import ORACLES52
     from .queries53 import ORACLES53
     from .queries54 import ORACLES54
+    from .queries55 import ORACLES55
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1420,6 +1424,7 @@ def build_oracle_sql() -> dict:
         **ORACLES52,
         **ORACLES53,
         **ORACLES54,
+        **ORACLES55,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
