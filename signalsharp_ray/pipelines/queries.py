@@ -1129,6 +1129,7 @@ _PRIORITY_ORDER = [
     "token_freq_spectrum", "order_size_value_corr",
     "terminal_punct_mix", "order_value_by_dow", "embedding_compactness",
     "hod_percentile_bands",
+    "char_class_mix", "customer_revenue_topshare",
 ]
 
 
@@ -1193,6 +1194,7 @@ def build_queries() -> dict:
     from .queries53 import QUERIES53
     from .queries54 import QUERIES54
     from .queries55 import QUERIES55
+    from .queries56 import QUERIES56
 
     return _reorder({
         **QUERIES11,
@@ -1240,6 +1242,7 @@ def build_queries() -> dict:
         **QUERIES53,
         **QUERIES54,
         **QUERIES55,
+        **QUERIES56,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1377,6 +1380,7 @@ def build_oracle_sql() -> dict:
     from .queries53 import ORACLES53
     from .queries54 import ORACLES54
     from .queries55 import ORACLES55
+    from .queries56 import ORACLES56
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1425,6 +1429,7 @@ def build_oracle_sql() -> dict:
         **ORACLES53,
         **ORACLES54,
         **ORACLES55,
+        **ORACLES56,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
