@@ -1130,6 +1130,7 @@ _PRIORITY_ORDER = [
     "terminal_punct_mix", "order_value_by_dow", "embedding_compactness",
     "hod_percentile_bands",
     "char_class_mix", "customer_revenue_topshare",
+    "monthly_order_cv", "type_audience", "label_balance",
 ]
 
 
@@ -1195,6 +1196,7 @@ def build_queries() -> dict:
     from .queries54 import QUERIES54
     from .queries55 import QUERIES55
     from .queries56 import QUERIES56
+    from .queries57 import QUERIES57
 
     return _reorder({
         **QUERIES11,
@@ -1243,6 +1245,7 @@ def build_queries() -> dict:
         **QUERIES54,
         **QUERIES55,
         **QUERIES56,
+        **QUERIES57,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1381,6 +1384,7 @@ def build_oracle_sql() -> dict:
     from .queries54 import ORACLES54
     from .queries55 import ORACLES55
     from .queries56 import ORACLES56
+    from .queries57 import ORACLES57
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1430,6 +1434,7 @@ def build_oracle_sql() -> dict:
         **ORACLES54,
         **ORACLES55,
         **ORACLES56,
+        **ORACLES57,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
