@@ -1131,6 +1131,7 @@ _PRIORITY_ORDER = [
     "hod_percentile_bands",
     "char_class_mix", "customer_revenue_topshare",
     "monthly_order_cv", "type_audience", "label_balance",
+    "user_intensity_mean", "embedding_dup_rate",
 ]
 
 
@@ -1197,6 +1198,7 @@ def build_queries() -> dict:
     from .queries55 import QUERIES55
     from .queries56 import QUERIES56
     from .queries57 import QUERIES57
+    from .queries58 import QUERIES58
 
     return _reorder({
         **QUERIES11,
@@ -1246,6 +1248,7 @@ def build_queries() -> dict:
         **QUERIES55,
         **QUERIES56,
         **QUERIES57,
+        **QUERIES58,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1385,6 +1388,7 @@ def build_oracle_sql() -> dict:
     from .queries55 import ORACLES55
     from .queries56 import ORACLES56
     from .queries57 import ORACLES57
+    from .queries58 import ORACLES58
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1435,6 +1439,7 @@ def build_oracle_sql() -> dict:
         **ORACLES55,
         **ORACLES56,
         **ORACLES57,
+        **ORACLES58,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
