@@ -1132,6 +1132,7 @@ _PRIORITY_ORDER = [
     "char_class_mix", "customer_revenue_topshare",
     "monthly_order_cv", "type_audience", "label_balance",
     "user_intensity_mean", "embedding_dup_rate",
+    "same_day_orders", "part_name_terms",
 ]
 
 
@@ -1199,6 +1200,7 @@ def build_queries() -> dict:
     from .queries56 import QUERIES56
     from .queries57 import QUERIES57
     from .queries58 import QUERIES58
+    from .queries59 import QUERIES59
 
     return _reorder({
         **QUERIES11,
@@ -1249,6 +1251,7 @@ def build_queries() -> dict:
         **QUERIES56,
         **QUERIES57,
         **QUERIES58,
+        **QUERIES59,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1389,6 +1392,7 @@ def build_oracle_sql() -> dict:
     from .queries56 import ORACLES56
     from .queries57 import ORACLES57
     from .queries58 import ORACLES58
+    from .queries59 import ORACLES59
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1440,6 +1444,7 @@ def build_oracle_sql() -> dict:
         **ORACLES56,
         **ORACLES57,
         **ORACLES58,
+        **ORACLES59,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
