@@ -1133,6 +1133,7 @@ _PRIORITY_ORDER = [
     "monthly_order_cv", "type_audience", "label_balance",
     "user_intensity_mean", "embedding_dup_rate",
     "same_day_orders", "part_name_terms",
+    "type_value_mix", "order_total_reconciliation",
 ]
 
 
@@ -1201,6 +1202,7 @@ def build_queries() -> dict:
     from .queries57 import QUERIES57
     from .queries58 import QUERIES58
     from .queries59 import QUERIES59
+    from .queries60 import QUERIES60
 
     return _reorder({
         **QUERIES11,
@@ -1252,6 +1254,7 @@ def build_queries() -> dict:
         **QUERIES57,
         **QUERIES58,
         **QUERIES59,
+        **QUERIES60,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1393,6 +1396,7 @@ def build_oracle_sql() -> dict:
     from .queries57 import ORACLES57
     from .queries58 import ORACLES58
     from .queries59 import ORACLES59
+    from .queries60 import ORACLES60
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1445,6 +1449,7 @@ def build_oracle_sql() -> dict:
         **ORACLES57,
         **ORACLES58,
         **ORACLES59,
+        **ORACLES60,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
