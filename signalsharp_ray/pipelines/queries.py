@@ -1134,6 +1134,7 @@ _PRIORITY_ORDER = [
     "user_intensity_mean", "embedding_dup_rate",
     "same_day_orders", "part_name_terms",
     "type_value_mix", "order_total_reconciliation",
+    "pareto_8020_point",
 ]
 
 
@@ -1203,6 +1204,7 @@ def build_queries() -> dict:
     from .queries58 import QUERIES58
     from .queries59 import QUERIES59
     from .queries60 import QUERIES60
+    from .queries61 import QUERIES61
 
     return _reorder({
         **QUERIES11,
@@ -1255,6 +1257,7 @@ def build_queries() -> dict:
         **QUERIES58,
         **QUERIES59,
         **QUERIES60,
+        **QUERIES61,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1397,6 +1400,7 @@ def build_oracle_sql() -> dict:
     from .queries58 import ORACLES58
     from .queries59 import ORACLES59
     from .queries60 import ORACLES60
+    from .queries61 import ORACLES61
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1450,6 +1454,7 @@ def build_oracle_sql() -> dict:
         **ORACLES58,
         **ORACLES59,
         **ORACLES60,
+        **ORACLES61,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
