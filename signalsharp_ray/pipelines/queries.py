@@ -1135,6 +1135,7 @@ _PRIORITY_ORDER = [
     "same_day_orders", "part_name_terms",
     "type_value_mix", "order_total_reconciliation",
     "pareto_8020_point",
+    "benford_prices",
 ]
 
 
@@ -1205,6 +1206,7 @@ def build_queries() -> dict:
     from .queries59 import QUERIES59
     from .queries60 import QUERIES60
     from .queries61 import QUERIES61
+    from .queries62 import QUERIES62
 
     return _reorder({
         **QUERIES11,
@@ -1258,6 +1260,7 @@ def build_queries() -> dict:
         **QUERIES59,
         **QUERIES60,
         **QUERIES61,
+        **QUERIES62,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1401,6 +1404,7 @@ def build_oracle_sql() -> dict:
     from .queries59 import ORACLES59
     from .queries60 import ORACLES60
     from .queries61 import ORACLES61
+    from .queries62 import ORACLES62
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1455,6 +1459,7 @@ def build_oracle_sql() -> dict:
         **ORACLES59,
         **ORACLES60,
         **ORACLES61,
+        **ORACLES62,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
