@@ -1136,6 +1136,7 @@ _PRIORITY_ORDER = [
     "type_value_mix", "order_total_reconciliation",
     "pareto_8020_point",
     "benford_prices",
+    "spearman_qty_discount", "kendall_tau_daily", "cramers_v_priority_status",
 ]
 
 
@@ -1207,6 +1208,7 @@ def build_queries() -> dict:
     from .queries60 import QUERIES60
     from .queries61 import QUERIES61
     from .queries62 import QUERIES62
+    from .queries63 import QUERIES63
 
     return _reorder({
         **QUERIES11,
@@ -1261,6 +1263,7 @@ def build_queries() -> dict:
         **QUERIES60,
         **QUERIES61,
         **QUERIES62,
+        **QUERIES63,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1405,6 +1408,7 @@ def build_oracle_sql() -> dict:
     from .queries60 import ORACLES60
     from .queries61 import ORACLES61
     from .queries62 import ORACLES62
+    from .queries63 import ORACLES63
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1460,6 +1464,7 @@ def build_oracle_sql() -> dict:
         **ORACLES60,
         **ORACLES61,
         **ORACLES62,
+        **ORACLES63,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
