@@ -1137,6 +1137,7 @@ _PRIORITY_ORDER = [
     "pareto_8020_point",
     "benford_prices",
     "spearman_qty_discount", "kendall_tau_daily", "cramers_v_priority_status",
+    "ljung_box", "durbin_watson", "dominant_period",
 ]
 
 
@@ -1209,6 +1210,7 @@ def build_queries() -> dict:
     from .queries61 import QUERIES61
     from .queries62 import QUERIES62
     from .queries63 import QUERIES63
+    from .queries64 import QUERIES64
 
     return _reorder({
         **QUERIES11,
@@ -1264,6 +1266,7 @@ def build_queries() -> dict:
         **QUERIES61,
         **QUERIES62,
         **QUERIES63,
+        **QUERIES64,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1409,6 +1412,7 @@ def build_oracle_sql() -> dict:
     from .queries61 import ORACLES61
     from .queries62 import ORACLES62
     from .queries63 import ORACLES63
+    from .queries64 import ORACLES64
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1465,6 +1469,7 @@ def build_oracle_sql() -> dict:
         **ORACLES61,
         **ORACLES62,
         **ORACLES63,
+        **ORACLES64,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
