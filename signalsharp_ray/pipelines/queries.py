@@ -1211,6 +1211,7 @@ def build_queries() -> dict:
     from .queries62 import QUERIES62
     from .queries63 import QUERIES63
     from .queries64 import QUERIES64
+    from .queries65 import QUERIES65
 
     return _reorder({
         **QUERIES11,
@@ -1267,6 +1268,7 @@ def build_queries() -> dict:
         **QUERIES62,
         **QUERIES63,
         **QUERIES64,
+        **QUERIES65,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1413,6 +1415,7 @@ def build_oracle_sql() -> dict:
     from .queries62 import ORACLES62
     from .queries63 import ORACLES63
     from .queries64 import ORACLES64
+    from .queries65 import ORACLES65
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1470,6 +1473,7 @@ def build_oracle_sql() -> dict:
         **ORACLES62,
         **ORACLES63,
         **ORACLES64,
+        **ORACLES65,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
