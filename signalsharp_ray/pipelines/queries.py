@@ -1212,6 +1212,7 @@ def build_queries() -> dict:
     from .queries63 import QUERIES63
     from .queries64 import QUERIES64
     from .queries65 import QUERIES65
+    from .queries66 import QUERIES66
 
     return _reorder({
         **QUERIES11,
@@ -1269,6 +1270,7 @@ def build_queries() -> dict:
         **QUERIES63,
         **QUERIES64,
         **QUERIES65,
+        **QUERIES66,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1416,6 +1418,7 @@ def build_oracle_sql() -> dict:
     from .queries63 import ORACLES63
     from .queries64 import ORACLES64
     from .queries65 import ORACLES65
+    from .queries66 import ORACLES66
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1474,6 +1477,7 @@ def build_oracle_sql() -> dict:
         **ORACLES63,
         **ORACLES64,
         **ORACLES65,
+        **ORACLES66,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
