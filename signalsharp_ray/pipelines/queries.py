@@ -1213,6 +1213,7 @@ def build_queries() -> dict:
     from .queries64 import QUERIES64
     from .queries65 import QUERIES65
     from .queries66 import QUERIES66
+    from .queries67 import QUERIES67
 
     return _reorder({
         **QUERIES11,
@@ -1271,6 +1272,7 @@ def build_queries() -> dict:
         **QUERIES64,
         **QUERIES65,
         **QUERIES66,
+        **QUERIES67,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1419,6 +1421,7 @@ def build_oracle_sql() -> dict:
     from .queries64 import ORACLES64
     from .queries65 import ORACLES65
     from .queries66 import ORACLES66
+    from .queries67 import ORACLES67
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1478,6 +1481,7 @@ def build_oracle_sql() -> dict:
         **ORACLES64,
         **ORACLES65,
         **ORACLES66,
+        **ORACLES67,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
