@@ -1214,6 +1214,7 @@ def build_queries() -> dict:
     from .queries65 import QUERIES65
     from .queries66 import QUERIES66
     from .queries67 import QUERIES67
+    from .queries68 import QUERIES68
 
     return _reorder({
         **QUERIES11,
@@ -1273,6 +1274,7 @@ def build_queries() -> dict:
         **QUERIES65,
         **QUERIES66,
         **QUERIES67,
+        **QUERIES68,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1422,6 +1424,7 @@ def build_oracle_sql() -> dict:
     from .queries65 import ORACLES65
     from .queries66 import ORACLES66
     from .queries67 import ORACLES67
+    from .queries68 import ORACLES68
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1482,6 +1485,7 @@ def build_oracle_sql() -> dict:
         **ORACLES65,
         **ORACLES66,
         **ORACLES67,
+        **ORACLES68,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
