@@ -1215,6 +1215,7 @@ def build_queries() -> dict:
     from .queries66 import QUERIES66
     from .queries67 import QUERIES67
     from .queries68 import QUERIES68
+    from .queries69 import QUERIES69
 
     return _reorder({
         **QUERIES11,
@@ -1275,6 +1276,7 @@ def build_queries() -> dict:
         **QUERIES66,
         **QUERIES67,
         **QUERIES68,
+        **QUERIES69,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1425,6 +1427,7 @@ def build_oracle_sql() -> dict:
     from .queries66 import ORACLES66
     from .queries67 import ORACLES67
     from .queries68 import ORACLES68
+    from .queries69 import ORACLES69
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1486,6 +1489,7 @@ def build_oracle_sql() -> dict:
         **ORACLES66,
         **ORACLES67,
         **ORACLES68,
+        **ORACLES69,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
