@@ -1216,6 +1216,7 @@ def build_queries() -> dict:
     from .queries67 import QUERIES67
     from .queries68 import QUERIES68
     from .queries69 import QUERIES69
+    from .queries70 import QUERIES70
 
     return _reorder({
         **QUERIES11,
@@ -1277,6 +1278,7 @@ def build_queries() -> dict:
         **QUERIES67,
         **QUERIES68,
         **QUERIES69,
+        **QUERIES70,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1428,6 +1430,7 @@ def build_oracle_sql() -> dict:
     from .queries67 import ORACLES67
     from .queries68 import ORACLES68
     from .queries69 import ORACLES69
+    from .queries70 import ORACLES70
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1490,6 +1493,7 @@ def build_oracle_sql() -> dict:
         **ORACLES67,
         **ORACLES68,
         **ORACLES69,
+        **ORACLES70,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
