@@ -1217,6 +1217,7 @@ def build_queries() -> dict:
     from .queries68 import QUERIES68
     from .queries69 import QUERIES69
     from .queries70 import QUERIES70
+    from .queries71 import QUERIES71
 
     return _reorder({
         **QUERIES11,
@@ -1279,6 +1280,7 @@ def build_queries() -> dict:
         **QUERIES68,
         **QUERIES69,
         **QUERIES70,
+        **QUERIES71,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1431,6 +1433,7 @@ def build_oracle_sql() -> dict:
     from .queries68 import ORACLES68
     from .queries69 import ORACLES69
     from .queries70 import ORACLES70
+    from .queries71 import ORACLES71
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1494,6 +1497,7 @@ def build_oracle_sql() -> dict:
         **ORACLES68,
         **ORACLES69,
         **ORACLES70,
+        **ORACLES71,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
