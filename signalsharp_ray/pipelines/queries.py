@@ -1218,6 +1218,7 @@ def build_queries() -> dict:
     from .queries69 import QUERIES69
     from .queries70 import QUERIES70
     from .queries71 import QUERIES71
+    from .queries72 import QUERIES72
 
     return _reorder({
         **QUERIES11,
@@ -1281,6 +1282,7 @@ def build_queries() -> dict:
         **QUERIES69,
         **QUERIES70,
         **QUERIES71,
+        **QUERIES72,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1434,6 +1436,7 @@ def build_oracle_sql() -> dict:
     from .queries69 import ORACLES69
     from .queries70 import ORACLES70
     from .queries71 import ORACLES71
+    from .queries72 import ORACLES72
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1498,6 +1501,7 @@ def build_oracle_sql() -> dict:
         **ORACLES69,
         **ORACLES70,
         **ORACLES71,
+        **ORACLES72,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
