@@ -1219,6 +1219,7 @@ def build_queries() -> dict:
     from .queries70 import QUERIES70
     from .queries71 import QUERIES71
     from .queries72 import QUERIES72
+    from .queries73 import QUERIES73
 
     return _reorder({
         **QUERIES11,
@@ -1283,6 +1284,7 @@ def build_queries() -> dict:
         **QUERIES70,
         **QUERIES71,
         **QUERIES72,
+        **QUERIES73,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1437,6 +1439,7 @@ def build_oracle_sql() -> dict:
     from .queries70 import ORACLES70
     from .queries71 import ORACLES71
     from .queries72 import ORACLES72
+    from .queries73 import ORACLES73
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1502,6 +1505,7 @@ def build_oracle_sql() -> dict:
         **ORACLES70,
         **ORACLES71,
         **ORACLES72,
+        **ORACLES73,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
