@@ -1220,6 +1220,7 @@ def build_queries() -> dict:
     from .queries71 import QUERIES71
     from .queries72 import QUERIES72
     from .queries73 import QUERIES73
+    from .queries74 import QUERIES74
 
     return _reorder({
         **QUERIES11,
@@ -1285,6 +1286,7 @@ def build_queries() -> dict:
         **QUERIES71,
         **QUERIES72,
         **QUERIES73,
+        **QUERIES74,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1440,6 +1442,7 @@ def build_oracle_sql() -> dict:
     from .queries71 import ORACLES71
     from .queries72 import ORACLES72
     from .queries73 import ORACLES73
+    from .queries74 import ORACLES74
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1506,6 +1509,7 @@ def build_oracle_sql() -> dict:
         **ORACLES71,
         **ORACLES72,
         **ORACLES73,
+        **ORACLES74,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
