@@ -1221,6 +1221,7 @@ def build_queries() -> dict:
     from .queries72 import QUERIES72
     from .queries73 import QUERIES73
     from .queries74 import QUERIES74
+    from .queries75 import QUERIES75
 
     return _reorder({
         **QUERIES11,
@@ -1287,6 +1288,7 @@ def build_queries() -> dict:
         **QUERIES72,
         **QUERIES73,
         **QUERIES74,
+        **QUERIES75,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1443,6 +1445,7 @@ def build_oracle_sql() -> dict:
     from .queries72 import ORACLES72
     from .queries73 import ORACLES73
     from .queries74 import ORACLES74
+    from .queries75 import ORACLES75
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1510,6 +1513,7 @@ def build_oracle_sql() -> dict:
         **ORACLES72,
         **ORACLES73,
         **ORACLES74,
+        **ORACLES75,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
