@@ -1222,6 +1222,7 @@ def build_queries() -> dict:
     from .queries73 import QUERIES73
     from .queries74 import QUERIES74
     from .queries75 import QUERIES75
+    from .queries76 import QUERIES76
 
     return _reorder({
         **QUERIES11,
@@ -1289,6 +1290,7 @@ def build_queries() -> dict:
         **QUERIES73,
         **QUERIES74,
         **QUERIES75,
+        **QUERIES76,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1446,6 +1448,7 @@ def build_oracle_sql() -> dict:
     from .queries73 import ORACLES73
     from .queries74 import ORACLES74
     from .queries75 import ORACLES75
+    from .queries76 import ORACLES76
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1514,6 +1517,7 @@ def build_oracle_sql() -> dict:
         **ORACLES73,
         **ORACLES74,
         **ORACLES75,
+        **ORACLES76,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
