@@ -1223,6 +1223,7 @@ def build_queries() -> dict:
     from .queries74 import QUERIES74
     from .queries75 import QUERIES75
     from .queries76 import QUERIES76
+    from .queries77 import QUERIES77
 
     return _reorder({
         **QUERIES11,
@@ -1291,6 +1292,7 @@ def build_queries() -> dict:
         **QUERIES74,
         **QUERIES75,
         **QUERIES76,
+        **QUERIES77,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1449,6 +1451,7 @@ def build_oracle_sql() -> dict:
     from .queries74 import ORACLES74
     from .queries75 import ORACLES75
     from .queries76 import ORACLES76
+    from .queries77 import ORACLES77
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1518,6 +1521,7 @@ def build_oracle_sql() -> dict:
         **ORACLES74,
         **ORACLES75,
         **ORACLES76,
+        **ORACLES77,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
