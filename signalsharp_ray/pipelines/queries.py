@@ -1224,6 +1224,7 @@ def build_queries() -> dict:
     from .queries75 import QUERIES75
     from .queries76 import QUERIES76
     from .queries77 import QUERIES77
+    from .queries78 import QUERIES78
 
     return _reorder({
         **QUERIES11,
@@ -1293,6 +1294,7 @@ def build_queries() -> dict:
         **QUERIES75,
         **QUERIES76,
         **QUERIES77,
+        **QUERIES78,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1452,6 +1454,7 @@ def build_oracle_sql() -> dict:
     from .queries75 import ORACLES75
     from .queries76 import ORACLES76
     from .queries77 import ORACLES77
+    from .queries78 import ORACLES78
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1522,6 +1525,7 @@ def build_oracle_sql() -> dict:
         **ORACLES75,
         **ORACLES76,
         **ORACLES77,
+        **ORACLES78,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
