@@ -1225,6 +1225,7 @@ def build_queries() -> dict:
     from .queries76 import QUERIES76
     from .queries77 import QUERIES77
     from .queries78 import QUERIES78
+    from .queries79 import QUERIES79
 
     return _reorder({
         **QUERIES11,
@@ -1295,6 +1296,7 @@ def build_queries() -> dict:
         **QUERIES76,
         **QUERIES77,
         **QUERIES78,
+        **QUERIES79,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1455,6 +1457,7 @@ def build_oracle_sql() -> dict:
     from .queries76 import ORACLES76
     from .queries77 import ORACLES77
     from .queries78 import ORACLES78
+    from .queries79 import ORACLES79
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1526,6 +1529,7 @@ def build_oracle_sql() -> dict:
         **ORACLES76,
         **ORACLES77,
         **ORACLES78,
+        **ORACLES79,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
