@@ -1226,6 +1226,10 @@ def build_queries() -> dict:
     from .queries77 import QUERIES77
     from .queries78 import QUERIES78
     from .queries79 import QUERIES79
+    from .queries80 import QUERIES80
+    from .queries81 import QUERIES81
+    from .queries82 import QUERIES82
+    from .queries83 import QUERIES83
 
     return _reorder({
         **QUERIES11,
@@ -1297,6 +1301,10 @@ def build_queries() -> dict:
         **QUERIES77,
         **QUERIES78,
         **QUERIES79,
+        **QUERIES80,
+        **QUERIES81,
+        **QUERIES82,
+        **QUERIES83,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1458,6 +1466,10 @@ def build_oracle_sql() -> dict:
     from .queries77 import ORACLES77
     from .queries78 import ORACLES78
     from .queries79 import ORACLES79
+    from .queries80 import ORACLES80
+    from .queries81 import ORACLES81
+    from .queries82 import ORACLES82
+    from .queries83 import ORACLES83
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1530,6 +1542,10 @@ def build_oracle_sql() -> dict:
         **ORACLES77,
         **ORACLES78,
         **ORACLES79,
+        **ORACLES80,
+        **ORACLES81,
+        **ORACLES82,
+        **ORACLES83,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
