@@ -1230,6 +1230,7 @@ def build_queries() -> dict:
     from .queries81 import QUERIES81
     from .queries82 import QUERIES82
     from .queries83 import QUERIES83
+    from .queries84 import QUERIES84
 
     return _reorder({
         **QUERIES11,
@@ -1305,6 +1306,7 @@ def build_queries() -> dict:
         **QUERIES81,
         **QUERIES82,
         **QUERIES83,
+        **QUERIES84,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1470,6 +1472,7 @@ def build_oracle_sql() -> dict:
     from .queries81 import ORACLES81
     from .queries82 import ORACLES82
     from .queries83 import ORACLES83
+    from .queries84 import ORACLES84
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1546,6 +1549,7 @@ def build_oracle_sql() -> dict:
         **ORACLES81,
         **ORACLES82,
         **ORACLES83,
+        **ORACLES84,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
