@@ -1231,6 +1231,7 @@ def build_queries() -> dict:
     from .queries82 import QUERIES82
     from .queries83 import QUERIES83
     from .queries84 import QUERIES84
+    from .queries85 import QUERIES85
 
     return _reorder({
         **QUERIES11,
@@ -1307,6 +1308,7 @@ def build_queries() -> dict:
         **QUERIES82,
         **QUERIES83,
         **QUERIES84,
+        **QUERIES85,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1473,6 +1475,7 @@ def build_oracle_sql() -> dict:
     from .queries82 import ORACLES82
     from .queries83 import ORACLES83
     from .queries84 import ORACLES84
+    from .queries85 import ORACLES85
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1550,6 +1553,7 @@ def build_oracle_sql() -> dict:
         **ORACLES82,
         **ORACLES83,
         **ORACLES84,
+        **ORACLES85,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
