@@ -1232,6 +1232,7 @@ def build_queries() -> dict:
     from .queries83 import QUERIES83
     from .queries84 import QUERIES84
     from .queries85 import QUERIES85
+    from .queries86 import QUERIES86
 
     return _reorder({
         **QUERIES11,
@@ -1309,6 +1310,7 @@ def build_queries() -> dict:
         **QUERIES83,
         **QUERIES84,
         **QUERIES85,
+        **QUERIES86,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1476,6 +1478,7 @@ def build_oracle_sql() -> dict:
     from .queries83 import ORACLES83
     from .queries84 import ORACLES84
     from .queries85 import ORACLES85
+    from .queries86 import ORACLES86
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1554,6 +1557,7 @@ def build_oracle_sql() -> dict:
         **ORACLES83,
         **ORACLES84,
         **ORACLES85,
+        **ORACLES86,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
