@@ -1233,6 +1233,7 @@ def build_queries() -> dict:
     from .queries84 import QUERIES84
     from .queries85 import QUERIES85
     from .queries86 import QUERIES86
+    from .queries87 import QUERIES87
 
     return _reorder({
         **QUERIES11,
@@ -1311,6 +1312,7 @@ def build_queries() -> dict:
         **QUERIES84,
         **QUERIES85,
         **QUERIES86,
+        **QUERIES87,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1479,6 +1481,7 @@ def build_oracle_sql() -> dict:
     from .queries84 import ORACLES84
     from .queries85 import ORACLES85
     from .queries86 import ORACLES86
+    from .queries87 import ORACLES87
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1558,6 +1561,7 @@ def build_oracle_sql() -> dict:
         **ORACLES84,
         **ORACLES85,
         **ORACLES86,
+        **ORACLES87,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
