@@ -1234,6 +1234,7 @@ def build_queries() -> dict:
     from .queries85 import QUERIES85
     from .queries86 import QUERIES86
     from .queries87 import QUERIES87
+    from .queries88 import QUERIES88
 
     return _reorder({
         **QUERIES11,
@@ -1313,6 +1314,7 @@ def build_queries() -> dict:
         **QUERIES85,
         **QUERIES86,
         **QUERIES87,
+        **QUERIES88,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1482,6 +1484,7 @@ def build_oracle_sql() -> dict:
     from .queries85 import ORACLES85
     from .queries86 import ORACLES86
     from .queries87 import ORACLES87
+    from .queries88 import ORACLES88
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1562,6 +1565,7 @@ def build_oracle_sql() -> dict:
         **ORACLES85,
         **ORACLES86,
         **ORACLES87,
+        **ORACLES88,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
