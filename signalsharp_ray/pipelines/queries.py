@@ -1235,6 +1235,7 @@ def build_queries() -> dict:
     from .queries86 import QUERIES86
     from .queries87 import QUERIES87
     from .queries88 import QUERIES88
+    from .queries89 import QUERIES89
 
     return _reorder({
         **QUERIES11,
@@ -1315,6 +1316,7 @@ def build_queries() -> dict:
         **QUERIES86,
         **QUERIES87,
         **QUERIES88,
+        **QUERIES89,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1485,6 +1487,7 @@ def build_oracle_sql() -> dict:
     from .queries86 import ORACLES86
     from .queries87 import ORACLES87
     from .queries88 import ORACLES88
+    from .queries89 import ORACLES89
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1566,6 +1569,7 @@ def build_oracle_sql() -> dict:
         **ORACLES86,
         **ORACLES87,
         **ORACLES88,
+        **ORACLES89,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
