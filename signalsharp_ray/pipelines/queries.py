@@ -1236,6 +1236,7 @@ def build_queries() -> dict:
     from .queries87 import QUERIES87
     from .queries88 import QUERIES88
     from .queries89 import QUERIES89
+    from .queries90 import QUERIES90
 
     return _reorder({
         **QUERIES11,
@@ -1317,6 +1318,7 @@ def build_queries() -> dict:
         **QUERIES87,
         **QUERIES88,
         **QUERIES89,
+        **QUERIES90,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1488,6 +1490,7 @@ def build_oracle_sql() -> dict:
     from .queries87 import ORACLES87
     from .queries88 import ORACLES88
     from .queries89 import ORACLES89
+    from .queries90 import ORACLES90
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1570,6 +1573,7 @@ def build_oracle_sql() -> dict:
         **ORACLES87,
         **ORACLES88,
         **ORACLES89,
+        **ORACLES90,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
