@@ -1237,6 +1237,7 @@ def build_queries() -> dict:
     from .queries88 import QUERIES88
     from .queries89 import QUERIES89
     from .queries90 import QUERIES90
+    from .queries91 import QUERIES91
 
     return _reorder({
         **QUERIES11,
@@ -1319,6 +1320,7 @@ def build_queries() -> dict:
         **QUERIES88,
         **QUERIES89,
         **QUERIES90,
+        **QUERIES91,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1491,6 +1493,7 @@ def build_oracle_sql() -> dict:
     from .queries88 import ORACLES88
     from .queries89 import ORACLES89
     from .queries90 import ORACLES90
+    from .queries91 import ORACLES91
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1574,6 +1577,7 @@ def build_oracle_sql() -> dict:
         **ORACLES88,
         **ORACLES89,
         **ORACLES90,
+        **ORACLES91,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
