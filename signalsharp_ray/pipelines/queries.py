@@ -1238,6 +1238,7 @@ def build_queries() -> dict:
     from .queries89 import QUERIES89
     from .queries90 import QUERIES90
     from .queries91 import QUERIES91
+    from .queries92 import QUERIES92
 
     return _reorder({
         **QUERIES11,
@@ -1321,6 +1322,7 @@ def build_queries() -> dict:
         **QUERIES89,
         **QUERIES90,
         **QUERIES91,
+        **QUERIES92,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1494,6 +1496,7 @@ def build_oracle_sql() -> dict:
     from .queries89 import ORACLES89
     from .queries90 import ORACLES90
     from .queries91 import ORACLES91
+    from .queries92 import ORACLES92
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1578,6 +1581,7 @@ def build_oracle_sql() -> dict:
         **ORACLES89,
         **ORACLES90,
         **ORACLES91,
+        **ORACLES92,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
