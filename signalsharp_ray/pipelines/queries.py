@@ -1239,6 +1239,7 @@ def build_queries() -> dict:
     from .queries90 import QUERIES90
     from .queries91 import QUERIES91
     from .queries92 import QUERIES92
+    from .queries93 import QUERIES93
 
     return _reorder({
         **QUERIES11,
@@ -1323,6 +1324,7 @@ def build_queries() -> dict:
         **QUERIES90,
         **QUERIES91,
         **QUERIES92,
+        **QUERIES93,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1497,6 +1499,7 @@ def build_oracle_sql() -> dict:
     from .queries90 import ORACLES90
     from .queries91 import ORACLES91
     from .queries92 import ORACLES92
+    from .queries93 import ORACLES93
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1582,6 +1585,7 @@ def build_oracle_sql() -> dict:
         **ORACLES90,
         **ORACLES91,
         **ORACLES92,
+        **ORACLES93,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
