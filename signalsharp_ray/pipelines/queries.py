@@ -1240,6 +1240,7 @@ def build_queries() -> dict:
     from .queries91 import QUERIES91
     from .queries92 import QUERIES92
     from .queries93 import QUERIES93
+    from .queries94 import QUERIES94
 
     return _reorder({
         **QUERIES11,
@@ -1325,6 +1326,7 @@ def build_queries() -> dict:
         **QUERIES91,
         **QUERIES92,
         **QUERIES93,
+        **QUERIES94,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1500,6 +1502,7 @@ def build_oracle_sql() -> dict:
     from .queries91 import ORACLES91
     from .queries92 import ORACLES92
     from .queries93 import ORACLES93
+    from .queries94 import ORACLES94
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1586,6 +1589,7 @@ def build_oracle_sql() -> dict:
         **ORACLES91,
         **ORACLES92,
         **ORACLES93,
+        **ORACLES94,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
