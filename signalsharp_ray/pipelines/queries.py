@@ -1241,6 +1241,7 @@ def build_queries() -> dict:
     from .queries92 import QUERIES92
     from .queries93 import QUERIES93
     from .queries94 import QUERIES94
+    from .queries95 import QUERIES95
 
     return _reorder({
         **QUERIES11,
@@ -1327,6 +1328,7 @@ def build_queries() -> dict:
         **QUERIES92,
         **QUERIES93,
         **QUERIES94,
+        **QUERIES95,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1503,6 +1505,7 @@ def build_oracle_sql() -> dict:
     from .queries92 import ORACLES92
     from .queries93 import ORACLES93
     from .queries94 import ORACLES94
+    from .queries95 import ORACLES95
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1590,6 +1593,7 @@ def build_oracle_sql() -> dict:
         **ORACLES92,
         **ORACLES93,
         **ORACLES94,
+        **ORACLES95,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
