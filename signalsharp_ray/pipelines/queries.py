@@ -1242,6 +1242,7 @@ def build_queries() -> dict:
     from .queries93 import QUERIES93
     from .queries94 import QUERIES94
     from .queries95 import QUERIES95
+    from .queries96 import QUERIES96
 
     return _reorder({
         **QUERIES11,
@@ -1329,6 +1330,7 @@ def build_queries() -> dict:
         **QUERIES93,
         **QUERIES94,
         **QUERIES95,
+        **QUERIES96,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1506,6 +1508,7 @@ def build_oracle_sql() -> dict:
     from .queries93 import ORACLES93
     from .queries94 import ORACLES94
     from .queries95 import ORACLES95
+    from .queries96 import ORACLES96
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1594,6 +1597,7 @@ def build_oracle_sql() -> dict:
         **ORACLES93,
         **ORACLES94,
         **ORACLES95,
+        **ORACLES96,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
