@@ -1243,6 +1243,7 @@ def build_queries() -> dict:
     from .queries94 import QUERIES94
     from .queries95 import QUERIES95
     from .queries96 import QUERIES96
+    from .queries97 import QUERIES97
 
     return _reorder({
         **QUERIES11,
@@ -1331,6 +1332,7 @@ def build_queries() -> dict:
         **QUERIES94,
         **QUERIES95,
         **QUERIES96,
+        **QUERIES97,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1509,6 +1511,7 @@ def build_oracle_sql() -> dict:
     from .queries94 import ORACLES94
     from .queries95 import ORACLES95
     from .queries96 import ORACLES96
+    from .queries97 import ORACLES97
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1598,6 +1601,7 @@ def build_oracle_sql() -> dict:
         **ORACLES94,
         **ORACLES95,
         **ORACLES96,
+        **ORACLES97,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
