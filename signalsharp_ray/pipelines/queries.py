@@ -1244,6 +1244,7 @@ def build_queries() -> dict:
     from .queries95 import QUERIES95
     from .queries96 import QUERIES96
     from .queries97 import QUERIES97
+    from .queries98 import QUERIES98
 
     return _reorder({
         **QUERIES11,
@@ -1333,6 +1334,7 @@ def build_queries() -> dict:
         **QUERIES95,
         **QUERIES96,
         **QUERIES97,
+        **QUERIES98,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1512,6 +1514,7 @@ def build_oracle_sql() -> dict:
     from .queries95 import ORACLES95
     from .queries96 import ORACLES96
     from .queries97 import ORACLES97
+    from .queries98 import ORACLES98
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1602,6 +1605,7 @@ def build_oracle_sql() -> dict:
         **ORACLES95,
         **ORACLES96,
         **ORACLES97,
+        **ORACLES98,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
