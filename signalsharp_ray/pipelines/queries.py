@@ -1245,6 +1245,7 @@ def build_queries() -> dict:
     from .queries96 import QUERIES96
     from .queries97 import QUERIES97
     from .queries98 import QUERIES98
+    from .queries99 import QUERIES99
 
     return _reorder({
         **QUERIES11,
@@ -1335,6 +1336,7 @@ def build_queries() -> dict:
         **QUERIES96,
         **QUERIES97,
         **QUERIES98,
+        **QUERIES99,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1515,6 +1517,7 @@ def build_oracle_sql() -> dict:
     from .queries96 import ORACLES96
     from .queries97 import ORACLES97
     from .queries98 import ORACLES98
+    from .queries99 import ORACLES99
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1606,6 +1609,7 @@ def build_oracle_sql() -> dict:
         **ORACLES96,
         **ORACLES97,
         **ORACLES98,
+        **ORACLES99,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
