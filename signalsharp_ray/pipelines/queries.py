@@ -1246,6 +1246,7 @@ def build_queries() -> dict:
     from .queries97 import QUERIES97
     from .queries98 import QUERIES98
     from .queries99 import QUERIES99
+    from .queries100 import QUERIES100
 
     return _reorder({
         **QUERIES11,
@@ -1337,6 +1338,7 @@ def build_queries() -> dict:
         **QUERIES97,
         **QUERIES98,
         **QUERIES99,
+        **QUERIES100,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1518,6 +1520,7 @@ def build_oracle_sql() -> dict:
     from .queries97 import ORACLES97
     from .queries98 import ORACLES98
     from .queries99 import ORACLES99
+    from .queries100 import ORACLES100
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1610,6 +1613,7 @@ def build_oracle_sql() -> dict:
         **ORACLES97,
         **ORACLES98,
         **ORACLES99,
+        **ORACLES100,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
