@@ -1247,6 +1247,7 @@ def build_queries() -> dict:
     from .queries98 import QUERIES98
     from .queries99 import QUERIES99
     from .queries100 import QUERIES100
+    from .queries101 import QUERIES101
 
     return _reorder({
         **QUERIES11,
@@ -1339,6 +1340,7 @@ def build_queries() -> dict:
         **QUERIES98,
         **QUERIES99,
         **QUERIES100,
+        **QUERIES101,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1521,6 +1523,7 @@ def build_oracle_sql() -> dict:
     from .queries98 import ORACLES98
     from .queries99 import ORACLES99
     from .queries100 import ORACLES100
+    from .queries101 import ORACLES101
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1614,6 +1617,7 @@ def build_oracle_sql() -> dict:
         **ORACLES98,
         **ORACLES99,
         **ORACLES100,
+        **ORACLES101,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
