@@ -1248,6 +1248,7 @@ def build_queries() -> dict:
     from .queries99 import QUERIES99
     from .queries100 import QUERIES100
     from .queries101 import QUERIES101
+    from .queries102 import QUERIES102
 
     return _reorder({
         **QUERIES11,
@@ -1341,6 +1342,7 @@ def build_queries() -> dict:
         **QUERIES99,
         **QUERIES100,
         **QUERIES101,
+        **QUERIES102,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1524,6 +1526,7 @@ def build_oracle_sql() -> dict:
     from .queries99 import ORACLES99
     from .queries100 import ORACLES100
     from .queries101 import ORACLES101
+    from .queries102 import ORACLES102
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1618,6 +1621,7 @@ def build_oracle_sql() -> dict:
         **ORACLES99,
         **ORACLES100,
         **ORACLES101,
+        **ORACLES102,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
