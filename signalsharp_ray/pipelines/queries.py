@@ -1249,6 +1249,7 @@ def build_queries() -> dict:
     from .queries100 import QUERIES100
     from .queries101 import QUERIES101
     from .queries102 import QUERIES102
+    from .queries103 import QUERIES103
 
     return _reorder({
         **QUERIES11,
@@ -1343,6 +1344,7 @@ def build_queries() -> dict:
         **QUERIES100,
         **QUERIES101,
         **QUERIES102,
+        **QUERIES103,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1527,6 +1529,7 @@ def build_oracle_sql() -> dict:
     from .queries100 import ORACLES100
     from .queries101 import ORACLES101
     from .queries102 import ORACLES102
+    from .queries103 import ORACLES103
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1622,6 +1625,7 @@ def build_oracle_sql() -> dict:
         **ORACLES100,
         **ORACLES101,
         **ORACLES102,
+        **ORACLES103,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
