@@ -1250,6 +1250,7 @@ def build_queries() -> dict:
     from .queries101 import QUERIES101
     from .queries102 import QUERIES102
     from .queries103 import QUERIES103
+    from .queries104 import QUERIES104
 
     return _reorder({
         **QUERIES11,
@@ -1345,6 +1346,7 @@ def build_queries() -> dict:
         **QUERIES101,
         **QUERIES102,
         **QUERIES103,
+        **QUERIES104,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1530,6 +1532,7 @@ def build_oracle_sql() -> dict:
     from .queries101 import ORACLES101
     from .queries102 import ORACLES102
     from .queries103 import ORACLES103
+    from .queries104 import ORACLES104
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1626,6 +1629,7 @@ def build_oracle_sql() -> dict:
         **ORACLES101,
         **ORACLES102,
         **ORACLES103,
+        **ORACLES104,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
