@@ -1251,6 +1251,7 @@ def build_queries() -> dict:
     from .queries102 import QUERIES102
     from .queries103 import QUERIES103
     from .queries104 import QUERIES104
+    from .queries105 import QUERIES105
 
     return _reorder({
         **QUERIES11,
@@ -1347,6 +1348,7 @@ def build_queries() -> dict:
         **QUERIES102,
         **QUERIES103,
         **QUERIES104,
+        **QUERIES105,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1533,6 +1535,7 @@ def build_oracle_sql() -> dict:
     from .queries102 import ORACLES102
     from .queries103 import ORACLES103
     from .queries104 import ORACLES104
+    from .queries105 import ORACLES105
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1630,6 +1633,7 @@ def build_oracle_sql() -> dict:
         **ORACLES102,
         **ORACLES103,
         **ORACLES104,
+        **ORACLES105,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
