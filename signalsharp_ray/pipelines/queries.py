@@ -1252,6 +1252,7 @@ def build_queries() -> dict:
     from .queries103 import QUERIES103
     from .queries104 import QUERIES104
     from .queries105 import QUERIES105
+    from .queries106 import QUERIES106
 
     return _reorder({
         **QUERIES11,
@@ -1349,6 +1350,7 @@ def build_queries() -> dict:
         **QUERIES103,
         **QUERIES104,
         **QUERIES105,
+        **QUERIES106,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1536,6 +1538,7 @@ def build_oracle_sql() -> dict:
     from .queries103 import ORACLES103
     from .queries104 import ORACLES104
     from .queries105 import ORACLES105
+    from .queries106 import ORACLES106
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1634,6 +1637,7 @@ def build_oracle_sql() -> dict:
         **ORACLES103,
         **ORACLES104,
         **ORACLES105,
+        **ORACLES106,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
