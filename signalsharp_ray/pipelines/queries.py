@@ -1253,6 +1253,7 @@ def build_queries() -> dict:
     from .queries104 import QUERIES104
     from .queries105 import QUERIES105
     from .queries106 import QUERIES106
+    from .queries107 import QUERIES107
 
     return _reorder({
         **QUERIES11,
@@ -1351,6 +1352,7 @@ def build_queries() -> dict:
         **QUERIES104,
         **QUERIES105,
         **QUERIES106,
+        **QUERIES107,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1539,6 +1541,7 @@ def build_oracle_sql() -> dict:
     from .queries104 import ORACLES104
     from .queries105 import ORACLES105
     from .queries106 import ORACLES106
+    from .queries107 import ORACLES107
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1638,6 +1641,7 @@ def build_oracle_sql() -> dict:
         **ORACLES104,
         **ORACLES105,
         **ORACLES106,
+        **ORACLES107,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
