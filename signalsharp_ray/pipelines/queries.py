@@ -1254,6 +1254,7 @@ def build_queries() -> dict:
     from .queries105 import QUERIES105
     from .queries106 import QUERIES106
     from .queries107 import QUERIES107
+    from .queries108 import QUERIES108
 
     return _reorder({
         **QUERIES11,
@@ -1353,6 +1354,7 @@ def build_queries() -> dict:
         **QUERIES105,
         **QUERIES106,
         **QUERIES107,
+        **QUERIES108,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1542,6 +1544,7 @@ def build_oracle_sql() -> dict:
     from .queries105 import ORACLES105
     from .queries106 import ORACLES106
     from .queries107 import ORACLES107
+    from .queries108 import ORACLES108
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1642,6 +1645,7 @@ def build_oracle_sql() -> dict:
         **ORACLES105,
         **ORACLES106,
         **ORACLES107,
+        **ORACLES108,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
