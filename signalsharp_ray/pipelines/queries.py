@@ -1255,6 +1255,7 @@ def build_queries() -> dict:
     from .queries106 import QUERIES106
     from .queries107 import QUERIES107
     from .queries108 import QUERIES108
+    from .queries109 import QUERIES109
 
     return _reorder({
         **QUERIES11,
@@ -1355,6 +1356,7 @@ def build_queries() -> dict:
         **QUERIES106,
         **QUERIES107,
         **QUERIES108,
+        **QUERIES109,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1545,6 +1547,7 @@ def build_oracle_sql() -> dict:
     from .queries106 import ORACLES106
     from .queries107 import ORACLES107
     from .queries108 import ORACLES108
+    from .queries109 import ORACLES109
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1646,6 +1649,7 @@ def build_oracle_sql() -> dict:
         **ORACLES106,
         **ORACLES107,
         **ORACLES108,
+        **ORACLES109,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
