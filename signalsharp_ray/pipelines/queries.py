@@ -1256,6 +1256,7 @@ def build_queries() -> dict:
     from .queries107 import QUERIES107
     from .queries108 import QUERIES108
     from .queries109 import QUERIES109
+    from .queries110 import QUERIES110
 
     return _reorder({
         **QUERIES11,
@@ -1357,6 +1358,7 @@ def build_queries() -> dict:
         **QUERIES107,
         **QUERIES108,
         **QUERIES109,
+        **QUERIES110,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1548,6 +1550,7 @@ def build_oracle_sql() -> dict:
     from .queries107 import ORACLES107
     from .queries108 import ORACLES108
     from .queries109 import ORACLES109
+    from .queries110 import ORACLES110
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1650,6 +1653,7 @@ def build_oracle_sql() -> dict:
         **ORACLES107,
         **ORACLES108,
         **ORACLES109,
+        **ORACLES110,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
