@@ -1257,6 +1257,7 @@ def build_queries() -> dict:
     from .queries108 import QUERIES108
     from .queries109 import QUERIES109
     from .queries110 import QUERIES110
+    from .queries111 import QUERIES111
 
     return _reorder({
         **QUERIES11,
@@ -1359,6 +1360,7 @@ def build_queries() -> dict:
         **QUERIES108,
         **QUERIES109,
         **QUERIES110,
+        **QUERIES111,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1551,6 +1553,7 @@ def build_oracle_sql() -> dict:
     from .queries108 import ORACLES108
     from .queries109 import ORACLES109
     from .queries110 import ORACLES110
+    from .queries111 import ORACLES111
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1654,6 +1657,7 @@ def build_oracle_sql() -> dict:
         **ORACLES108,
         **ORACLES109,
         **ORACLES110,
+        **ORACLES111,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
