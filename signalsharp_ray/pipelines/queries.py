@@ -1258,6 +1258,7 @@ def build_queries() -> dict:
     from .queries109 import QUERIES109
     from .queries110 import QUERIES110
     from .queries111 import QUERIES111
+    from .queries112 import QUERIES112
 
     return _reorder({
         **QUERIES11,
@@ -1361,6 +1362,7 @@ def build_queries() -> dict:
         **QUERIES109,
         **QUERIES110,
         **QUERIES111,
+        **QUERIES112,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1554,6 +1556,7 @@ def build_oracle_sql() -> dict:
     from .queries109 import ORACLES109
     from .queries110 import ORACLES110
     from .queries111 import ORACLES111
+    from .queries112 import ORACLES112
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1658,6 +1661,7 @@ def build_oracle_sql() -> dict:
         **ORACLES109,
         **ORACLES110,
         **ORACLES111,
+        **ORACLES112,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
