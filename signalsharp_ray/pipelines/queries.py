@@ -1259,6 +1259,7 @@ def build_queries() -> dict:
     from .queries110 import QUERIES110
     from .queries111 import QUERIES111
     from .queries112 import QUERIES112
+    from .queries113 import QUERIES113
 
     return _reorder({
         **QUERIES11,
@@ -1363,6 +1364,7 @@ def build_queries() -> dict:
         **QUERIES110,
         **QUERIES111,
         **QUERIES112,
+        **QUERIES113,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1557,6 +1559,7 @@ def build_oracle_sql() -> dict:
     from .queries110 import ORACLES110
     from .queries111 import ORACLES111
     from .queries112 import ORACLES112
+    from .queries113 import ORACLES113
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1662,6 +1665,7 @@ def build_oracle_sql() -> dict:
         **ORACLES110,
         **ORACLES111,
         **ORACLES112,
+        **ORACLES113,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
