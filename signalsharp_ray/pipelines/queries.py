@@ -1062,8 +1062,16 @@ _PRIORITY_ORDER = [
     "distinct_daily_users", "distinct_users_hll",
     "heavy_hitters_exact", "heavy_hitters",
     "lttb_grid", "lttb_downsample",
-    # fixed/added this round — make sure the driver checks them
-    "profile_events", "grid_search_fanout", "embedding_near_dups_centroid",
+    # LLM-data family interleaved into the driver's 50-name sample window
+    # (round-3 VERDICT item 3: positions 386-513 were never driver-graded).
+    # Exactly two ~40s entries (jaccard_pairs, dedup_clusters) per the
+    # driver-budget guidance; the rest are seconds each at sf0.01.
+    "exact_dedup", "minhash_signatures", "lsh_candidates", "lsh_verify",
+    "jaccard_pairs", "dedup_clusters", "knn_cosine",
+    "embedding_near_dups_centroid", "token_count", "quality_scores",
+    "language_id", "corpus_filter",
+    # fixed/added in earlier rounds — keep driver coverage
+    "profile_events", "grid_search_fanout",
     "rolling_corr_24h", "vwap_daily", "mad_anomalies",
     "topk_terms_by_source", "duplicate_ngram_fraction",
     "binseg_step_detection", "theil_sen_trend", "hampel_filter",

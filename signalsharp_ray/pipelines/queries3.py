@@ -919,16 +919,26 @@ def q_profile_events(sf_dir: str):
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         v = batch["value"].to_numpy(np.float64)
+        # n_null_value is in-contract: NULLs arrive here as NaN, and the
+        # oracle's MIN/MAX/SUM skip them — mask before aggregating so an
+        # all-NaN propagation can never poison min/max/sum
+        vv = v[~np.isnan(v)]
         ts = batch["ts"]
-        vc = np.sign(v * 100.0) * np.floor(np.abs(v * 100.0) + 0.5)
+        if len(vv) == 0:
+            # neutral partials: max-int min / min-int max / zero sum fold
+            # away in `final` against any batch that has real values
+            mn, mx, sm = np.iinfo(np.int64).max, np.iinfo(np.int64).min, 0
+        else:
+            vc = np.sign(vv * 100.0) * np.floor(np.abs(vv * 100.0) + 0.5)
+            mn, mx, sm = _c100(vv.min()), _c100(vv.max()), np.int64(vc.sum())
         return pd.DataFrame(
             {
                 "g": [0],
                 "n_rows": [np.int64(len(batch))],
                 "n_null_value": [np.int64(batch["value"].isna().sum())],
-                "min_value_c": [_c100(v.min())],
-                "max_value_c": [_c100(v.max())],
-                "sum_value_c": [np.int64(vc.sum())],
+                "min_value_c": [np.int64(mn)],
+                "max_value_c": [np.int64(mx)],
+                "sum_value_c": [np.int64(sm)],
                 "min_ts_us": [np.int64(ts.min().value // 1000)],
                 "max_ts_us": [np.int64(ts.max().value // 1000)],
             }
