@@ -446,29 +446,54 @@ def map_partition_tables(
     return paths.map_batches(process, batch_size=1, batch_format="pandas")
 
 
-def hash_exchange(ds, n_buckets: int, reduce_fn, bucket_col: str = "__bucket"):
-    """Manual map/reduce hash exchange with raw Ray tasks.
+def hash_exchange(
+    ds,
+    n_buckets: int,
+    reduce_fn,
+    bucket_col: str = "__bucket",
+    target_map_bytes: int = 256 << 20,
+    max_blocks_per_map: int = 32,
+):
+    """STREAMING map/reduce hash exchange with raw Ray tasks.
 
     Ray Data's sort-based shuffle spends ~30s serializing a 5M-row exchange
-    that this two-phase task graph does in a few seconds: each map task
-    splits its block into n_buckets sub-tables (one remote call, n_buckets
-    returns); each reduce task concatenates its bucket's slices and applies
-    reduce_fn(table) -> table. Returns a Dataset over the reduced buckets
+    that this two-phase task graph does in a few seconds. The map side is
+    PIPELINED with upstream production: blocks are consumed from
+    `iter_internal_ref_bundles()` as the streaming executor emits them and
+    split into n_buckets sub-tables immediately (one remote call, n_buckets
+    returns), so the peak object-store footprint is the partitioned split
+    output plus a small in-flight window — never the whole exchange input
+    materialized up front AND its split copy side by side. Upstream extract
+    work overlaps the splitting. Each reduce task then concatenates its
+    bucket's slices and applies reduce_fn(table) -> table; reduces start as
+    soon as the last map finishes (a hash exchange is a barrier at the
+    reduce, not at the map). Returns a Dataset over the reduced buckets
     (ray.data.from_arrow_refs), so downstream stays in the Dataset API.
 
+    Map tasks are sized by BYTES (target_map_bytes per split group, capped
+    at max_blocks_per_map tiny blocks), keeping per-task memory bounded at
+    100-TB inputs while bounding the shuffle object count at
+    ceil(total/target) x n_buckets. Driver refs to consumed input blocks
+    are dropped as each group is submitted, so upstream blocks become
+    reclaimable the moment their split task completes.
+
     This is the brief's 'raw Ray tasks as a last resort' case: the Dataset
-    API cannot express a hash exchange without its sort machinery. Blocks
-    are materialized in the object store for the exchange (bounded: the
-    exchange input, not the raw pages).
+    API cannot express a hash exchange without its sort machinery.
     """
     import ray
     import ray.data as rd
 
     @ray.remote(num_returns=n_buckets)
-    def split_block(table: pa.Table):
-        if table.num_rows == 0:
-            empty = table
+    def split_blocks(*tables):
+        tables = [
+            t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+            for t in tables
+        ]
+        nonempty = [t for t in tables if t.num_rows]
+        if not nonempty:
+            empty = tables[0]
             return tuple(empty for _ in range(n_buckets)) if n_buckets > 1 else empty
+        table = nonempty[0] if len(nonempty) == 1 else pa.concat_tables(nonempty)
         buckets = table[bucket_col].to_numpy(zero_copy_only=False)
         order = np.argsort(buckets, kind="stable")
         table = table.take(pa.array(order))
@@ -486,36 +511,39 @@ def hash_exchange(ds, n_buckets: int, reduce_fn, bucket_col: str = "__bucket"):
         merged = pa.concat_tables(tables)
         return reduce_fn(merged)
 
-    # coalesce the map side: fewer, larger splits keep the object count at
-    # n_map x n_buckets instead of n_input_blocks x n_buckets. n_map is
-    # sized by BYTES (~256MB per map task), not a constant cap — a fixed 64
-    # would mean ~1.5TB per task at 100TB input. When the input block count
-    # is already in range, stream the blocks as-is (no pre-coalesce pass,
-    # no doubled object-store footprint).
-    import ray as _ray
+    per_block: list = []
+    group: list = []
+    group_bytes = 0
 
-    mat = ds.materialize()
-    block_refs = mat.to_arrow_refs()
-    total_bytes = mat.size_bytes() or 0
-    target_map_bytes = 256 << 20
-    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-    # floor at 2x CPUs so the split phase saturates the cluster even when
-    # the input is small in bytes; byte-based growth keeps per-task memory
-    # bounded at scale
-    n_map = max(2 * ncpu, -(-total_bytes // target_map_bytes))  # ceil
-    if len(block_refs) > n_map * 2:
-        groups = np.array_split(np.arange(len(block_refs)), n_map)
+    def flush():
+        nonlocal group, group_bytes
+        refs = split_blocks.remote(*group)
+        per_block.append([refs] if n_buckets == 1 else refs)
+        # drop driver refs: the pending split task keeps the blocks alive;
+        # once it completes they are reclaimable (the streaming property)
+        group = []
+        group_bytes = 0
 
-        @ray.remote
-        def coalesce(*tables):
-            return pa.concat_tables([t for t in tables if t.num_rows])
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            group.append(block_ref)
+            group_bytes += meta.size_bytes or 0
+            if group_bytes >= target_map_bytes or len(group) >= max_blocks_per_map:
+                flush()
+    if group:
+        flush()
 
-        block_refs = [
-            coalesce.remote(*[block_refs[i] for i in idx]) for idx in groups if len(idx)
-        ]
-    per_block = [split_block.remote(ref) for ref in block_refs]
-    if n_buckets == 1:
-        per_block = [[r] for r in per_block]
+    if not per_block:
+        # empty input: no bundles were produced; preserve the input schema
+        # (minus the bucket column) so downstream stages see typed columns
+        schema = ds.schema()
+        empty = pa.table(
+            {n: pa.nulls(0, t) for n, t in zip(schema.names, schema.types)}
+        )
+        if bucket_col in empty.column_names:
+            empty = empty.drop_columns([bucket_col])
+        return rd.from_arrow(empty)
+
     reduced = [
         reduce_bucket.remote(*[slots[b] for slots in per_block])
         for b in range(n_buckets)
