@@ -353,20 +353,25 @@ def map_partition_dirs(
     partition's slice of the side table onto its output — a fully
     co-partitioned dictionary join with no shuffle and no driver-side
     broadcast (the dictionary can be arbitrarily large).
+
+    Roots may be plain local paths OR URIs (s3://, file://, any fsspec
+    scheme): partition dirs resolve through pyarrow.fs, and each task
+    re-resolves the filesystem from the path string in-process.
     """
-    import glob
-    import os
+    import posixpath
 
     import ray.data as rd
 
-    dirs = sorted(glob.glob(os.path.join(root, "series_bucket=*")))
+    from . import fsio
+
+    dirs = fsio.list_partition_dirs(root, "series_bucket=")
     if not dirs:
         raise FileNotFoundError(f"No series_bucket=* partitions under {root}")
 
     def process(batch: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for path in batch["path"]:
-            df = pd.read_parquet(path)
+            df = fsio.read_parquet_dir(path)
             df = df.drop(columns=[c for c in drop_cols if c in df.columns])
             part_outs = []
             for _, g in df.groupby(key_cols, sort=False):
@@ -377,9 +382,10 @@ def map_partition_dirs(
                 continue
             part = pd.concat(part_outs, ignore_index=True)
             if attach_root is not None:
-                side_dir = os.path.join(attach_root, os.path.basename(path))
-                if os.path.isdir(side_dir):
-                    side = pd.read_parquet(side_dir)
+                side_dir = fsio.join(attach_root, posixpath.basename(path))
+                sfs, spath = fsio.resolve_fs(side_dir)
+                if fsio.is_dir(sfs, spath):
+                    side = fsio.read_parquet_dir(side_dir)
                     side = side.drop(
                         columns=[c for c in drop_cols if c in side.columns]
                     )
@@ -406,30 +412,36 @@ def map_partition_tables(
 
     attach_root: a side dataset hive-partitioned on the SAME bucket hash
     (e.g. the url dictionary) — each task left-merges its own partition's
-    slice onto its output (co-partitioned join, no shuffle/broadcast)."""
-    import glob
-    import os
+    slice onto its output (co-partitioned join, no shuffle/broadcast).
+
+    Roots may be plain local paths OR URIs (s3://, file://, any fsspec
+    scheme): partition dirs resolve through pyarrow.fs, and each task
+    re-resolves the filesystem from the path string in-process."""
+    import posixpath
 
     import ray.data as rd
 
-    dirs = sorted(glob.glob(os.path.join(root, f"{bucket_col}=*")))
+    from . import fsio
+
+    dirs = fsio.list_partition_dirs(root, f"{bucket_col}=")
     if not dirs:
         raise FileNotFoundError(f"No {bucket_col}=* partitions under {root}")
 
     def process(batch: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for path in batch["path"]:
-            bucket = int(os.path.basename(path).split("=")[-1])
-            df = pd.read_parquet(path)
+            bucket = int(posixpath.basename(path).split("=")[-1])
+            df = fsio.read_parquet_dir(path)
             df = df.drop(columns=[c for c in (bucket_col, "__bucket") if c in df.columns])
             out = fn(df)
             if out is None or len(out) == 0:
                 continue
             out = out.copy()
             if attach_root is not None:
-                side_dir = os.path.join(attach_root, os.path.basename(path))
-                if os.path.isdir(side_dir):
-                    side = pd.read_parquet(side_dir)
+                side_dir = fsio.join(attach_root, posixpath.basename(path))
+                sfs, spath = fsio.resolve_fs(side_dir)
+                if fsio.is_dir(sfs, spath):
+                    side = fsio.read_parquet_dir(side_dir)
                     side = side.drop(
                         columns=[
                             c for c in (bucket_col, "__bucket") if c in side.columns

@@ -6,19 +6,31 @@ records a manifest entry with the input fingerprint, row count, byte count,
 and upstream lineage. On restart, a stage whose manifest entry matches the
 current fingerprint is skipped and its parquet output is reused.
 
-Writes are atomic: output goes to `<stage>.tmp-<pid>` and is renamed into
-place before the manifest entry is committed, so a killed run never leaves a
-half-written stage that the manifest claims is complete.
+The root may be a plain local path or a URI (s3://, file://, any fsspec
+scheme): all filesystem access goes through pyarrow.fs via common.fsio.
+
+Commit protocol by filesystem:
+- LOCAL: output goes to `<stage>.tmp-<pid>` and is renamed into place
+  before the manifest entry is committed, so a killed run never leaves a
+  half-written stage that the manifest claims is complete.
+- OBJECT STORES (no atomic directory rename exists there): the stage
+  writes directly into `<stage>/` — any pre-existing incomplete dir is
+  deleted first — and the MANIFEST entry is the commit point (a
+  single-object PUT is atomic). A killed run may leave partial parquet in
+  the stage dir, but resume ignores it: the fingerprint check fails and
+  the stage re-runs from scratch, deleting the partial output first.
 """
 
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import threading
 import time
 from dataclasses import asdict, dataclass, field
+
+import pyarrow.fs as pafs
+
+from ..common import fsio
 
 
 @dataclass
@@ -41,34 +53,43 @@ class PipelineManifest:
     FILENAME = "MANIFEST.json"
 
     def __init__(self, root: str):
-        self.root = root
-        os.makedirs(root, exist_ok=True)
-        self._path = os.path.join(root, self.FILENAME)
+        self.root = str(root).rstrip("/")
+        self._fs, self._root_path = fsio.resolve_fs(self.root)
+        self._local = isinstance(self._fs, pafs.LocalFileSystem)
+        fsio.makedirs(self._fs, self._root_path)
+        self._path = fsio.join(self._root_path, self.FILENAME)
         self._records: dict[str, dict] = {}
         self._lock = threading.Lock()  # stages may complete concurrently
-        if os.path.exists(self._path):
-            with open(self._path) as f:
-                self._records = json.load(f)
+        if fsio.exists(self._fs, self._path):
+            self._records = json.loads(fsio.read_text(self._fs, self._path))
 
     def stage_dir(self, stage: str) -> str:
-        return os.path.join(self.root, stage)
+        """URI-form stage directory (what write_parquet and the partition
+        mappers consume)."""
+        return fsio.join(self.root, stage)
+
+    def _stage_path(self, stage: str) -> str:
+        """Filesystem-relative stage path (what self._fs operates on)."""
+        return fsio.join(self._root_path, stage)
 
     def is_complete(self, stage: str, fingerprint: str) -> bool:
         rec = self._records.get(stage)
         return (
             rec is not None
             and rec.get("fingerprint") == fingerprint
-            and os.path.isdir(self.stage_dir(stage))
+            and fsio.is_dir(self._fs, self._stage_path(stage))
         )
 
     def record(self, rec: StageRecord) -> None:
         rec.completed_at = time.time()
         with self._lock:
             self._records[rec.stage] = asdict(rec)
-            tmp = f"{self._path}.tmp-{threading.get_ident()}"
-            with open(tmp, "w") as f:
-                json.dump(self._records, f, indent=2)
-            os.replace(tmp, self._path)
+            fsio.write_text_atomic(
+                self._fs,
+                self._path,
+                json.dumps(self._records, indent=2),
+                tmp_suffix=f".tmp-{threading.get_ident()}",
+            )
 
     def records(self) -> dict[str, dict]:
         return dict(self._records)
@@ -80,18 +101,26 @@ class PipelineManifest:
         Returns (stage_dir, skipped: bool).
         """
         out_dir = self.stage_dir(stage)
+        out_path = self._stage_path(stage)
         if self.is_complete(stage, fingerprint):
             return out_dir, True
-        tmp_dir = f"{out_dir}.tmp-{os.getpid()}"
-        if os.path.isdir(tmp_dir):
-            shutil.rmtree(tmp_dir)
-        os.makedirs(tmp_dir, exist_ok=True)
         t0 = time.time()
-        write_fn(tmp_dir)
-        if os.path.isdir(out_dir):
-            shutil.rmtree(out_dir)
-        os.replace(tmp_dir, out_dir)
-        parts = _partition_stats(out_dir)  # one footer walk; totals derive
+        if self._local:
+            import os
+
+            tmp_path = f"{out_path}.tmp-{os.getpid()}"
+            fsio.rmtree(self._fs, tmp_path)
+            fsio.makedirs(self._fs, tmp_path)
+            write_fn(fsio.join(self.root, f"{stage}.tmp-{os.getpid()}"))
+            fsio.rmtree(self._fs, out_path)
+            os.replace(tmp_path, out_path)
+        else:
+            # no atomic dir rename on object stores: write in place, commit
+            # via the manifest entry below (see module docstring)
+            fsio.rmtree(self._fs, out_path)
+            fsio.makedirs(self._fs, out_path)
+            write_fn(out_dir)
+        parts = _partition_stats(self._fs, out_path)  # one footer walk
         self.record(
             StageRecord(
                 stage=stage,
@@ -106,22 +135,22 @@ class PipelineManifest:
         return out_dir, False
 
 
-def _partition_stats(directory: str) -> dict:
+def _partition_stats(fs: pafs.FileSystem, directory: str) -> dict:
     """Per-hive-partition (first-level `key=value` dir) rows/bytes from the
     parquet footers — the per-partition lineage record. Flat outputs (no
     hive dirs) record a single '.' partition."""
     import pyarrow.parquet as pq
 
+    sel = pafs.FileSelector(directory, recursive=True, allow_not_found=True)
     out: dict[str, dict] = {}
-    for dirpath, _, files in os.walk(directory):
-        pq_files = [f for f in files if f.endswith(".parquet")]
-        if not pq_files:
+    base = directory.rstrip("/") + "/"
+    for info in fs.get_file_info(sel):
+        if info.type != pafs.FileType.File or not info.path.endswith(".parquet"):
             continue
-        rel = os.path.relpath(dirpath, directory)
-        part = "." if rel == "." else rel.split(os.sep)[0]
+        rel = info.path[len(base):] if info.path.startswith(base) else info.path
+        part = rel.split("/")[0] if "/" in rel else "."
         slot = out.setdefault(part, {"rows": 0, "bytes": 0})
-        for fn in pq_files:
-            p = os.path.join(dirpath, fn)
-            slot["rows"] += pq.ParquetFile(p).metadata.num_rows
-            slot["bytes"] += os.path.getsize(p)
+        with fs.open_input_file(info.path) as f:
+            slot["rows"] += pq.ParquetFile(f).metadata.num_rows
+        slot["bytes"] += info.size or 0
     return out
