@@ -222,24 +222,56 @@ FROM mx GROUP BY 1
 
 def q_zero_discount_share_by_brand(sf_dir: str):
     """Per p_brand: shipments and the share with zero discount — which
-    brands never go on sale."""
-    import ray
+    brands never go on sale.
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
-    dim = dict(zip(part["p_partkey"].astype(np.int64), part["p_brand"]))
-    dim_ref = ray.put(dim)
+    Scale shape: lineitem pre-reduces per partkey FIRST (so only |part|
+    rows cross the join exchange), then the part dimension attaches via
+    one co-partitioned bucketed_join — never a driver dict (part is
+    O(sf): 2e7 rows at sf100)."""
+    from ..common.raytools import bucketed_join
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(dim_ref)
+    def per_part(batch: pd.DataFrame) -> pd.DataFrame:
         bp = np.rint(
             batch["l_discount"].to_numpy(np.float64) * 10000
         ).astype(np.int64)
         return (
             pd.DataFrame(
                 {
-                    "brand": batch["l_partkey"].astype(np.int64).map(d),
+                    "partkey": batch["l_partkey"].astype(np.int64),
                     "n": np.ones(len(bp), dtype=np.int64),
                     "z": (bp == 0).astype(np.int64),
+                }
+            )
+            .groupby("partkey", sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    per_key = hash_bucket_aggregate(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_discount"]).map_batches(
+            per_part, batch_format="pandas"
+        ),
+        ["partkey"],
+        [("n", "sum"), ("z", "sum")],
+    )
+    dim = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "partkey": b["p_partkey"].astype(np.int64),
+                "brand": b["p_brand"].astype(str),
+            }
+        ),
+        batch_format="pandas",
+    )
+    joined = bucketed_join(per_key, dim, on=["partkey"])
+
+    def by_brand(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "brand": batch["brand"].astype(str),
+                    "n": batch["n_sum"].astype(np.int64),
+                    "z": batch["z_sum"].astype(np.int64),
                 }
             )
             .groupby("brand", sort=False)
@@ -247,15 +279,14 @@ def q_zero_discount_share_by_brand(sf_dir: str):
             .reset_index()
         )
 
+    # brand cardinality is bounded (25), so the driver-side combine is tiny
     agg = (
-        hash_bucket_aggregate(
-            _read(sf_dir, "lineitem", ["l_partkey", "l_discount"]).map_batches(
-                partial, batch_format="pandas"
-            ),
-            ["brand"],
-            [("n", "sum"), ("z", "sum")],
-        )
+        joined.map_batches(by_brand, batch_format="pandas")
         .to_pandas()
+        .groupby("brand", sort=True)
+        .sum()
+        .reset_index()
+        .rename(columns={"n": "n_sum", "z": "z_sum"})
         .sort_values("brand")
     )
     return pd.DataFrame(

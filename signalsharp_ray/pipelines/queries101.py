@@ -36,34 +36,63 @@ ORACLES101: dict = {}
 def q_size_quantity_corr(sf_dir: str):
     """One global row: Pearson correlation between p_size and the
     rounded shipped quantity over lineitems."""
-    import ray
+    from ..common.raytools import bucketed_join
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_size"]).to_pandas()
-    dim = dict(
-        zip(part["p_partkey"].astype(np.int64), part["p_size"].astype(np.int64))
+    # scale shape: lineitem pre-reduces per partkey (n, sum q, sum q^2 —
+    # all exact ints), only |part| rows cross the join exchange, and the
+    # global moments recombine exactly: ss = sum(s_k * n_k),
+    # sss = sum(s_k^2 * n_k), ssq = sum(s_k * sq_k). No driver dict.
+    def per_part(batch: pd.DataFrame) -> pd.DataFrame:
+        q = np.rint(batch["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {
+                    "partkey": batch["l_partkey"].astype(np.int64),
+                    "n": np.ones(len(q), dtype=np.int64),
+                    "sq": q,
+                    "sqq": q * q,
+                }
+            )
+            .groupby("partkey", sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    per_key = hash_bucket_aggregate(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]).map_batches(
+            per_part, batch_format="pandas"
+        ),
+        ["partkey"],
+        [("n", "sum"), ("sq", "sum"), ("sqq", "sum")],
     )
-    dim_ref = ray.put(dim)
+    dim = _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "partkey": b["p_partkey"].astype(np.int64),
+                "s": b["p_size"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    joined = bucketed_join(per_key, dim, on=["partkey"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(dim_ref)
-        s = batch["l_partkey"].astype(np.int64).map(d).astype(np.int64).to_numpy()
-        q = np.rint(batch["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        s = batch["s"].astype(np.int64).to_numpy()
+        nk = batch["n_sum"].astype(np.int64).to_numpy()
+        sqk = batch["sq_sum"].astype(np.int64).to_numpy()
+        sqqk = batch["sqq_sum"].astype(np.int64).to_numpy()
         return pd.DataFrame(
             {
-                "n": np.array([len(s)], dtype=np.int64),
-                "ss": np.array([int(s.sum())], dtype=np.int64),
-                "sq": np.array([int(q.sum())], dtype=np.int64),
-                "sss": np.array([int((s * s).sum())], dtype=np.int64),
-                "sqq": np.array([int((q * q).sum())], dtype=np.int64),
-                "ssq": np.array([int((s * q).sum())], dtype=np.int64),
+                "n": np.array([int(nk.sum())], dtype=np.int64),
+                "ss": np.array([int((s * nk).sum())], dtype=np.int64),
+                "sq": np.array([int(sqk.sum())], dtype=np.int64),
+                "sss": np.array([int((s * s * nk).sum())], dtype=np.int64),
+                "sqq": np.array([int(sqqk.sum())], dtype=np.int64),
+                "ssq": np.array([int((s * sqk).sum())], dtype=np.int64),
             }
         )
 
-    parts = (
-        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
-        .map_batches(partial, batch_format="pandas")
-        .to_pandas()
-    )
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
     out_empty = pd.DataFrame(
         {"n_items": pd.Series(dtype=np.int64),
          "r": pd.Series(dtype=np.float64)}

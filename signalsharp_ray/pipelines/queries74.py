@@ -185,33 +185,46 @@ FROM rk GROUP BY 1
 def q_median_order_value_by_nation(sf_dir: str):
     """Per nation: order count, median and p90 of order total value.
     Quantiles run over exact integer cents (np.quantile linear ==
-    quantile_cont bitwise at these magnitudes); /100 on output."""
-    import ray
+    quantile_cont bitwise at these magnitudes); /100 on output.
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    Customer attaches through ONE co-partitioned bucketed_join (customer
+    is O(sf) — never a driver dict); only the 25-row nation table
+    broadcasts as a plain dict."""
+    from ..common.raytools import bucketed_join
+
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust_to_nation = dict(
-        zip(
-            cust["c_custkey"].astype(np.int64),
-            cust["c_nationkey"].map(
-                dict(zip(nation["n_nationkey"], nation["n_name"]))
-            ).astype(str),
-        )
+    nat_names = dict(
+        zip(nation["n_nationkey"].astype(np.int64), nation["n_name"].astype(str))
     )
-    dim_ref = ray.put(cust_to_nation)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "custkey": b["c_custkey"].astype(np.int64),
+                "nationkey": b["c_nationkey"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    ord_proj = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "custkey": b["o_custkey"].astype(np.int64),
+                "cents": _cents(b["o_totalprice"]),
+            }
+        ),
+        batch_format="pandas",
+    )
+    joined = bucketed_join(ord_proj, cust, on=["custkey"])
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        dim = ray.get(dim_ref)
         return pd.DataFrame(
             {
-                "nation": batch["o_custkey"].astype(np.int64).map(dim),
-                "cents": _cents(batch["o_totalprice"]),
+                "nation": batch["nationkey"].astype(np.int64).map(nat_names),
+                "cents": batch["cents"].astype(np.int64),
             }
         )
 
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        tag, batch_format="pandas"
-    )
+    orders = joined.map_batches(tag, batch_format="pandas")
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         c = df["cents"].to_numpy(np.float64)

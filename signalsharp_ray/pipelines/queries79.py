@@ -45,14 +45,10 @@ def q_supplier_count_by_part_class(sf_dir: str):
     class, derived from observed lineitem (partkey, suppkey) pairs —
     the TPC-H Q16 shape over the shipment-derived supply graph.
     Ordered by (supplier_cnt DESC, brand ASC, size_band ASC)."""
-    import ray
-
-    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).to_pandas()
-    dim = {
-        int(k): (str(b), int(s) // 10)
-        for k, b, s in zip(part["p_partkey"], part["p_brand"], part["p_size"])
-    }
-    dim_ref = ray.put(dim)
+    # part class attaches to the distinct (partkey, suppkey) pairs through
+    # one co-partitioned bucketed_join — never a driver dict (part is
+    # O(sf): 2e7 rows at sf100)
+    from ..common.raytools import bucketed_join
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
         lambda b: pd.DataFrame(
@@ -67,21 +63,32 @@ def q_supplier_count_by_part_class(sf_dir: str):
     pairs = hash_bucket_aggregate(
         li, ["partkey", "suppkey"], [("one", "max")]
     )
+    dim = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "partkey": b["p_partkey"].astype(np.int64),
+                "brand": b["p_brand"].astype(str),
+                "size_band": (b["p_size"].astype(np.int64) // 10).astype(
+                    np.int64
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+    joined = bucketed_join(pairs, dim, on=["partkey"])
 
     def classify(batch: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(dim_ref)
-        keys = [d[int(k)] for k in batch["partkey"]]
         return pd.DataFrame(
             {
-                "brand": [k[0] for k in keys],
-                "size_band": np.array([k[1] for k in keys], dtype=np.int64),
+                "brand": batch["brand"].astype(str),
+                "size_band": batch["size_band"].astype(np.int64),
                 "suppkey": batch["suppkey"].astype(np.int64),
                 "one": np.ones(len(batch), dtype=np.int64),
             }
         ).drop_duplicates(subset=["brand", "size_band", "suppkey"])
 
     cls = hash_bucket_aggregate(
-        pairs.map_batches(classify, batch_format="pandas"),
+        joined.map_batches(classify, batch_format="pandas"),
         ["brand", "size_band", "suppkey"],
         [("one", "max")],
     ).to_pandas()

@@ -147,24 +147,49 @@ FROM b GROUP BY 1
 
 def q_segment_priority_matrix(sf_dir: str):
     """Counts and within-segment share per (c_mktsegment,
-    o_orderpriority) — does the segment drive urgency. Customer
-    dimension broadcast once; exact integers."""
-    import ray
+    o_orderpriority) — does the segment drive urgency. Exact integers.
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    dim = dict(
-        zip(cust["c_custkey"].astype(np.int64), cust["c_mktsegment"].astype(str))
+    Scale shape: orders pre-reduce per (custkey, priority) — at most
+    5 x |customer| rows cross the join exchange — then the customer
+    segment attaches via one co-partitioned bucketed_join (customer is
+    O(sf); never a driver dict)."""
+    from ..common.raytools import bucketed_join
+
+    per_cust = hash_bucket_aggregate(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "custkey": b["o_custkey"].astype(np.int64),
+                    "priority": b["o_orderpriority"].astype(str),
+                    "n": np.ones(len(b), dtype=np.int64),
+                }
+            )
+            .groupby(["custkey", "priority"], sort=False)
+            .sum()
+            .reset_index(),
+            batch_format="pandas",
+        ),
+        ["custkey", "priority"],
+        [("n", "sum")],
     )
-    dim_ref = ray.put(dim)
+    dim = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "custkey": b["c_custkey"].astype(np.int64),
+                "segment": b["c_mktsegment"].astype(str),
+            }
+        ),
+        batch_format="pandas",
+    )
+    joined = bucketed_join(per_cust, dim, on=["custkey"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(dim_ref)
+    def by_cell(batch: pd.DataFrame) -> pd.DataFrame:
         return (
             pd.DataFrame(
                 {
-                    "segment": batch["o_custkey"].astype(np.int64).map(d),
-                    "priority": batch["o_orderpriority"],
-                    "n": np.ones(len(batch), dtype=np.int64),
+                    "segment": batch["segment"].astype(str),
+                    "priority": batch["priority"].astype(str),
+                    "n": batch["n_sum"].astype(np.int64),
                 }
             )
             .groupby(["segment", "priority"], sort=False)
@@ -172,14 +197,14 @@ def q_segment_priority_matrix(sf_dir: str):
             .reset_index()
         )
 
+    # 5 segments x 5 priorities: the driver-side combine is 25 cells
     agg = (
-        hash_bucket_aggregate(
-            _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-            .map_batches(partial, batch_format="pandas"),
-            ["segment", "priority"],
-            [("n", "sum")],
-        )
+        joined.map_batches(by_cell, batch_format="pandas")
         .to_pandas()
+        .groupby(["segment", "priority"], sort=True)
+        .sum()
+        .reset_index()
+        .rename(columns={"n": "n_sum"})
         .sort_values(["segment", "priority"])
     )
     seg_tot = (

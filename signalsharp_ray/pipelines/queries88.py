@@ -145,46 +145,85 @@ def q_supplier_balance_volume_corr(sf_dir: str):
     """One global row: Pearson correlation between supplier account
     balance (cents) and shipment count across suppliers (suppliers
     with zero shipments count as volume 0)."""
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
-    vol = (
-        hash_bucket_aggregate(
-            _read(sf_dir, "lineitem", ["l_suppkey"]).map_batches(
-                lambda b: pd.DataFrame(
-                    {
-                        "suppkey": b["l_suppkey"].astype(np.int64),
-                        "n": np.ones(len(b), dtype=np.int64),
-                    }
-                )
-                .groupby("suppkey", sort=False)
-                .sum()
-                .reset_index(),
-                batch_format="pandas",
-            ),
-            ["suppkey"],
-            [("n", "sum")],
+    # scale shape: shipment counts pre-reduce per suppkey, then the
+    # supplier dimension attaches via one co-partitioned bucketed_join
+    # (how='right' keeps zero-shipment suppliers); the moment sums reduce
+    # per batch — supplier is O(sf) and never touches the driver whole
+    from ..common.raytools import bucketed_join
+
+    vol = hash_bucket_aggregate(
+        _read(sf_dir, "lineitem", ["l_suppkey"]).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "suppkey": b["l_suppkey"].astype(np.int64),
+                    "n": np.ones(len(b), dtype=np.int64),
+                }
+            )
+            .groupby("suppkey", sort=False)
+            .sum()
+            .reset_index(),
+            batch_format="pandas",
+        ),
+        ["suppkey"],
+        [("n", "sum")],
+    )
+    dim = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).map_batches(
+        lambda b: (
+            lambda v: pd.DataFrame(
+                {
+                    "suppkey": b["s_suppkey"].astype(np.int64),
+                    "cents": (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(
+                        np.int64
+                    ),
+                }
+            )
+        )(b["s_acctbal"].to_numpy(np.float64) * 100),
+        batch_format="pandas",
+    )
+    joined = bucketed_join(vol, dim, on=["suppkey"], how="right")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # 2^32-limb pattern: cents^2 sums overflow int64 at scale, so each
+        # per-batch exact Python-int sum ships as (hi, lo) int64 limbs
+        b_ = batch["cents"].astype(np.int64).to_numpy()
+        c_ = batch["n_sum"].fillna(0).astype(np.int64).to_numpy()
+        sbb = sum(int(x) * int(x) for x in b_)
+        scc = sum(int(x) * int(x) for x in c_)
+        sbc = sum(int(x) * int(y) for x, y in zip(b_, c_))
+        m = (1 << 32) - 1
+        return pd.DataFrame(
+            {
+                "n": np.array([len(b_)], dtype=np.int64),
+                "sb": np.array([int(b_.sum())], dtype=np.int64),
+                "sc": np.array([int(c_.sum())], dtype=np.int64),
+                "sbb_hi": np.array([sbb >> 32], dtype=np.int64),
+                "sbb_lo": np.array([sbb & m], dtype=np.int64),
+                "scc_hi": np.array([scc >> 32], dtype=np.int64),
+                "scc_lo": np.array([scc & m], dtype=np.int64),
+                "sbc_hi": np.array([sbc >> 32], dtype=np.int64),
+                "sbc_lo": np.array([sbc & m], dtype=np.int64),
+            }
         )
-        .to_pandas()
-        .set_index("suppkey")["n_sum"]
-        .astype(np.int64)
-    )
-    v = supp["s_acctbal"].to_numpy(np.float64) * 100
-    cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
-    counts = (
-        supp["s_suppkey"].astype(np.int64).map(vol).fillna(0).astype(np.int64)
-    )
-    n = len(supp)
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
     out_empty = pd.DataFrame(
         {"n_suppliers": pd.Series(dtype=np.int64),
          "r": pd.Series(dtype=np.float64)}
     )
     if n < 2:
         return out_empty
-    b_ = [int(x) for x in cents]
-    c_ = [int(x) for x in counts]
-    sb, sc = sum(b_), sum(c_)
-    sbb = sum(x * x for x in b_)
-    scc = sum(x * x for x in c_)
-    sbc = sum(x * y for x, y in zip(b_, c_))
+
+    def _limb(hi_col, lo_col):
+        return sum(
+            (int(h) << 32) + int(l)
+            for h, l in zip(parts[hi_col], parts[lo_col])
+        )
+
+    sb, sc = int(parts["sb"].sum()), int(parts["sc"].sum())
+    sbb = _limb("sbb_hi", "sbb_lo")
+    scc = _limb("scc_hi", "scc_lo")
+    sbc = _limb("sbc_hi", "sbc_lo")
     db = float(n * sbb - sb * sb)
     dc = float(n * scc - sc * sc)
     if db <= 0.0 or dc <= 0.0:

@@ -122,24 +122,51 @@ FROM v GROUP BY 1, 2
 
 def q_discount_by_part_type(sf_dir: str):
     """Per p_type: item count and mean discount percent — which
-    catalog categories get discounted. Part dimension broadcast once;
-    exact basis points."""
-    import ray
+    catalog categories get discounted. Exact basis points.
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
-    dim = dict(zip(part["p_partkey"].astype(np.int64), part["p_type"]))
-    dim_ref = ray.put(dim)
+    Scale shape: lineitem pre-reduces per partkey (only |part| rows
+    cross the join exchange), the part type attaches via one
+    co-partitioned bucketed_join — never a driver dict (part is O(sf)),
+    and the 150-type combine is bounded."""
+    from ..common.raytools import bucketed_join
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(dim_ref)
+    per_key = hash_bucket_aggregate(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_discount"]).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "partkey": b["l_partkey"].astype(np.int64),
+                    "n": np.ones(len(b), dtype=np.int64),
+                    "bp": np.rint(
+                        b["l_discount"].to_numpy(np.float64) * 10000
+                    ).astype(np.int64),
+                }
+            )
+            .groupby("partkey", sort=False)
+            .sum()
+            .reset_index(),
+            batch_format="pandas",
+        ),
+        ["partkey"],
+        [("n", "sum"), ("bp", "sum")],
+    )
+    dim = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "partkey": b["p_partkey"].astype(np.int64),
+                "p_type": b["p_type"].astype(str),
+            }
+        ),
+        batch_format="pandas",
+    )
+    joined = bucketed_join(per_key, dim, on=["partkey"])
+
+    def by_type(batch: pd.DataFrame) -> pd.DataFrame:
         return (
             pd.DataFrame(
                 {
-                    "p_type": batch["l_partkey"].astype(np.int64).map(d),
-                    "n": np.ones(len(batch), dtype=np.int64),
-                    "bp": np.rint(
-                        batch["l_discount"].to_numpy(np.float64) * 10000
-                    ).astype(np.int64),
+                    "p_type": batch["p_type"].astype(str),
+                    "n": batch["n_sum"].astype(np.int64),
+                    "bp": batch["bp_sum"].astype(np.int64),
                 }
             )
             .groupby("p_type", sort=False)
@@ -148,14 +175,12 @@ def q_discount_by_part_type(sf_dir: str):
         )
 
     agg = (
-        hash_bucket_aggregate(
-            _read(sf_dir, "lineitem", ["l_partkey", "l_discount"]).map_batches(
-                partial, batch_format="pandas"
-            ),
-            ["p_type"],
-            [("n", "sum"), ("bp", "sum")],
-        )
+        joined.map_batches(by_type, batch_format="pandas")
         .to_pandas()
+        .groupby("p_type", sort=True)
+        .sum()
+        .reset_index()
+        .rename(columns={"n": "n_sum", "bp": "bp_sum"})
         .sort_values("p_type")
     )
     return pd.DataFrame(

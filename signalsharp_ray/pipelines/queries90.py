@@ -37,23 +37,49 @@ ORACLES90: dict = {}
 
 def q_order_value_by_segment(sf_dir: str):
     """Per c_mktsegment: order count, total and mean order value —
-    exact cents through the broadcast dimension join."""
-    import ray
+    exact cents.
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    dim = dict(
-        zip(cust["c_custkey"].astype(np.int64), cust["c_mktsegment"].astype(str))
+    Scale shape: orders pre-reduce per custkey (only |customer| rows
+    cross the join exchange), the segment attaches via one
+    co-partitioned bucketed_join — never a driver dict (customer is
+    O(sf)) — and the 5-segment combine is bounded."""
+    from ..common.raytools import bucketed_join
+
+    per_cust = hash_bucket_aggregate(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "custkey": b["o_custkey"].astype(np.int64),
+                    "n": np.ones(len(b), dtype=np.int64),
+                    "cents": _cents(b["o_totalprice"]),
+                }
+            )
+            .groupby("custkey", sort=False)
+            .sum()
+            .reset_index(),
+            batch_format="pandas",
+        ),
+        ["custkey"],
+        [("n", "sum"), ("cents", "sum")],
     )
-    dim_ref = ray.put(dim)
+    dim = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "custkey": b["c_custkey"].astype(np.int64),
+                "segment": b["c_mktsegment"].astype(str),
+            }
+        ),
+        batch_format="pandas",
+    )
+    joined = bucketed_join(per_cust, dim, on=["custkey"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(dim_ref)
+    def by_segment(batch: pd.DataFrame) -> pd.DataFrame:
         return (
             pd.DataFrame(
                 {
-                    "segment": batch["o_custkey"].astype(np.int64).map(d),
-                    "n": np.ones(len(batch), dtype=np.int64),
-                    "cents": _cents(batch["o_totalprice"]),
+                    "segment": batch["segment"].astype(str),
+                    "n": batch["n_sum"].astype(np.int64),
+                    "cents": batch["cents_sum"].astype(np.int64),
                 }
             )
             .groupby("segment", sort=False)
@@ -62,14 +88,12 @@ def q_order_value_by_segment(sf_dir: str):
         )
 
     agg = (
-        hash_bucket_aggregate(
-            _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-                partial, batch_format="pandas"
-            ),
-            ["segment"],
-            [("n", "sum"), ("cents", "sum")],
-        )
+        joined.map_batches(by_segment, batch_format="pandas")
         .to_pandas()
+        .groupby("segment", sort=True)
+        .sum()
+        .reset_index()
+        .rename(columns={"n": "n_sum", "cents": "cents_sum"})
         .sort_values("segment")
     )
     return pd.DataFrame(

@@ -110,20 +110,18 @@ FROM m, t
 
 def q_repeat_rate_by_nation(sf_dir: str):
     """Per nation: customers with >= 1 order, customers with >= 2
-    orders, and the repeat rate."""
-    import ray
+    orders, and the repeat rate.
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    Scale shape: per-customer order counts (|customer| rows max) attach
+    the customer nationkey via one co-partitioned bucketed_join — never
+    a driver dict (customer is O(sf)); only the 25-row nation name table
+    broadcasts."""
+    from ..common.raytools import bucketed_join
+
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    dim = dict(
-        zip(
-            cust["c_custkey"].astype(np.int64),
-            cust["c_nationkey"].map(
-                dict(zip(nation["n_nationkey"], nation["n_name"]))
-            ).astype(str),
-        )
+    nat_names = dict(
+        zip(nation["n_nationkey"].astype(np.int64), nation["n_name"].astype(str))
     )
-    dim_ref = ray.put(dim)
 
     per_cust = hash_bucket_aggregate(
         _read(sf_dir, "orders", ["o_custkey"]).map_batches(
@@ -141,13 +139,22 @@ def q_repeat_rate_by_nation(sf_dir: str):
         ["custkey"],
         [("n", "sum")],
     )
+    dim = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "custkey": b["c_custkey"].astype(np.int64),
+                "nationkey": b["c_nationkey"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    per_cust = bucketed_join(per_cust, dim, on=["custkey"])
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(dim_ref)
         return (
             pd.DataFrame(
                 {
-                    "nation": batch["custkey"].astype(np.int64).map(d),
+                    "nation": batch["nationkey"].astype(np.int64).map(nat_names),
                     "c": np.ones(len(batch), dtype=np.int64),
                     "r": (batch["n_sum"].astype(np.int64) >= 2).astype(
                         np.int64
@@ -207,27 +214,55 @@ FROM tag GROUP BY 1
 
 def q_weekend_order_share_by_segment(sf_dir: str):
     """Per c_mktsegment: order count and the share placed on weekends
-    (Sat/Sun by order date)."""
-    import ray
+    (Sat/Sun by order date).
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    dim = dict(
-        zip(cust["c_custkey"].astype(np.int64), cust["c_mktsegment"].astype(str))
-    )
-    dim_ref = ray.put(dim)
+    Scale shape: orders pre-reduce per custkey (only |customer| rows
+    cross the join exchange), the segment attaches via one
+    co-partitioned bucketed_join — never a driver dict (customer is
+    O(sf))."""
+    from ..common.raytools import bucketed_join
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(dim_ref)
-        us = (
-            batch["o_orderdate"].astype("datetime64[us]").astype("int64")
-        )
+    def per_cust_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        us = batch["o_orderdate"].astype("datetime64[us]").astype("int64")
         wk = (((us // DAY_US) + 3) % 7 >= 5).astype(np.int64)
         return (
             pd.DataFrame(
                 {
-                    "segment": batch["o_custkey"].astype(np.int64).map(d),
+                    "custkey": batch["o_custkey"].astype(np.int64),
                     "n": np.ones(len(batch), dtype=np.int64),
                     "wk": wk,
+                }
+            )
+            .groupby("custkey", sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    per_cust = hash_bucket_aggregate(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+            per_cust_partial, batch_format="pandas"
+        ),
+        ["custkey"],
+        [("n", "sum"), ("wk", "sum")],
+    )
+    dim = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "custkey": b["c_custkey"].astype(np.int64),
+                "segment": b["c_mktsegment"].astype(str),
+            }
+        ),
+        batch_format="pandas",
+    )
+    joined = bucketed_join(per_cust, dim, on=["custkey"])
+
+    def by_segment(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "segment": batch["segment"].astype(str),
+                    "n": batch["n_sum"].astype(np.int64),
+                    "wk": batch["wk_sum"].astype(np.int64),
                 }
             )
             .groupby("segment", sort=False)
@@ -236,14 +271,12 @@ def q_weekend_order_share_by_segment(sf_dir: str):
         )
 
     agg = (
-        hash_bucket_aggregate(
-            _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
-                partial, batch_format="pandas"
-            ),
-            ["segment"],
-            [("n", "sum"), ("wk", "sum")],
-        )
+        joined.map_batches(by_segment, batch_format="pandas")
         .to_pandas()
+        .groupby("segment", sort=True)
+        .sum()
+        .reset_index()
+        .rename(columns={"n": "n_sum", "wk": "wk_sum"})
         .sort_values("segment")
     )
     return pd.DataFrame(

@@ -148,25 +148,52 @@ def q_order_rate_by_balance_band(sf_dir: str):
     orders per customer (customers with no orders count as zero). Bands
     shift positive before the floor division so negative balances band
     correctly on both sides."""
-    import ray
+    # scale shape: orders pre-reduce per custkey, the customer band
+    # attaches via one co-partitioned bucketed_join (how='right' keeps
+    # zero-order customers) — never a driver dict (customer is O(sf));
+    # the band combine is bounded (~200 $1000-bands)
+    from ..common.raytools import bucketed_join
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).to_pandas()
-    v = cust["c_acctbal"].to_numpy(np.float64) * 100
-    cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
-    band = (cents + BAND_SHIFT * 100000) // 100000 - BAND_SHIFT
-    dim = dict(zip(cust["c_custkey"].astype(np.int64), band))
-    dim_ref = ray.put(dim)
-    cust_per_band = (
-        pd.Series(band).value_counts().sort_index().astype(np.int64)
+    per_cust = hash_bucket_aggregate(
+        _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "custkey": b["o_custkey"].astype(np.int64),
+                    "n": np.ones(len(b), dtype=np.int64),
+                }
+            )
+            .groupby("custkey", sort=False)
+            .sum()
+            .reset_index(),
+            batch_format="pandas",
+        ),
+        ["custkey"],
+        [("n", "sum")],
     )
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(dim_ref)
+    def cust_bands(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["c_acctbal"].to_numpy(np.float64) * 100
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        band = (cents + BAND_SHIFT * 100000) // 100000 - BAND_SHIFT
+        return pd.DataFrame(
+            {
+                "custkey": b["c_custkey"].astype(np.int64),
+                "band": band.astype(np.int64),
+            }
+        )
+
+    dim = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        cust_bands, batch_format="pandas"
+    )
+    joined = bucketed_join(per_cust, dim, on=["custkey"], how="right")
+
+    def by_band(batch: pd.DataFrame) -> pd.DataFrame:
         return (
             pd.DataFrame(
                 {
-                    "band": batch["o_custkey"].astype(np.int64).map(d),
-                    "n": np.ones(len(batch), dtype=np.int64),
+                    "band": batch["band"].astype(np.int64),
+                    "nc": np.ones(len(batch), dtype=np.int64),
+                    "no": batch["n_sum"].fillna(0).astype(np.int64),
                 }
             )
             .groupby("band", sort=False)
@@ -174,31 +201,24 @@ def q_order_rate_by_balance_band(sf_dir: str):
             .reset_index()
         )
 
-    orders = (
-        hash_bucket_aggregate(
-            _read(sf_dir, "orders", ["o_custkey"]).map_batches(
-                partial, batch_format="pandas"
-            ),
-            ["band"],
-            [("n", "sum")],
-        )
+    agg = (
+        joined.map_batches(by_band, batch_format="pandas")
         .to_pandas()
-        .set_index("band")["n_sum"]
-        .astype(np.int64)
+        .groupby("band", sort=True)
+        .sum()
+        .reset_index()
     )
-    rows = []
-    for b in cust_per_band.index:
-        nc = int(cust_per_band.loc[b])
-        no = int(orders.get(b, 0))
-        rows.append(
-            (int(b), nc, no, float(_r6away(float(no) / float(nc))))
-        )
     return pd.DataFrame(
-        rows,
-        columns=["balance_band", "n_customers", "n_orders",
-                 "orders_per_customer"],
-    ).astype({"balance_band": np.int64, "n_customers": np.int64,
-              "n_orders": np.int64})
+        {
+            "balance_band": agg["band"].astype(np.int64),
+            "n_customers": agg["nc"].astype(np.int64),
+            "n_orders": agg["no"].astype(np.int64),
+            "orders_per_customer": _r6away(
+                agg["no"].to_numpy(np.float64)
+                / agg["nc"].to_numpy(np.float64)
+            ),
+        }
+    ).reset_index(drop=True)
 
 
 ORACLES94["order_rate_by_balance_band"] = """

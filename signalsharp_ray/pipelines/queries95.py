@@ -154,23 +154,46 @@ def q_retail_unit_price_gap(sf_dir: str):
     (exact integer sums; the ratio averages cross-multiplied exact
     cents through one float fold... simplified to sum-of-units over
     sum-of-retail, a ratio of two exact integer totals)."""
-    import ray
+    # scale shape: the per-item up > retail comparison needs every
+    # lineitem against its part's retail price, so lineitem flows through
+    # ONE co-partitioned bucketed_join with the part projection — never a
+    # driver dict (part is O(sf)); the moment sums reduce per batch
+    from ..common.raytools import bucketed_join
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_retailprice"]).to_pandas()
-    v = part["p_retailprice"].to_numpy(np.float64) * 100
-    rc = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
-    dim = dict(zip(part["p_partkey"].astype(np.int64), rc))
-    dim_ref = ray.put(dim)
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_quantity"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "partkey": b["l_partkey"].astype(np.int64),
+                "up": _unit_cents(
+                    b["l_extendedprice"].to_numpy(np.float64),
+                    b["l_quantity"].to_numpy(np.float64),
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def part_cents(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["p_retailprice"].to_numpy(np.float64) * 100
+        return pd.DataFrame(
+            {
+                "partkey": b["p_partkey"].astype(np.int64),
+                "rc": (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    dim = _read(sf_dir, "part", ["p_partkey", "p_retailprice"]).map_batches(
+        part_cents, batch_format="pandas"
+    )
+    joined = bucketed_join(li, dim, on=["partkey"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(dim_ref)
-        up = _unit_cents(
-            batch["l_extendedprice"].to_numpy(np.float64),
-            batch["l_quantity"].to_numpy(np.float64),
-        )
-        retail = (
-            batch["l_partkey"].astype(np.int64).map(d).astype(np.int64)
-        ).to_numpy()
+        up = batch["up"].astype(np.int64).to_numpy()
+        retail = batch["rc"].astype(np.int64).to_numpy()
         return pd.DataFrame(
             {
                 "n": np.array([len(up)], dtype=np.int64),
@@ -180,12 +203,7 @@ def q_retail_unit_price_gap(sf_dir: str):
             }
         )
 
-    parts = (
-        _read(sf_dir, "lineitem",
-              ["l_partkey", "l_extendedprice", "l_quantity"])
-        .map_batches(partial, batch_format="pandas")
-        .to_pandas()
-    )
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
     n = int(parts["n"].sum())
     out_empty = pd.DataFrame(
         {"n_items": pd.Series(dtype=np.int64),

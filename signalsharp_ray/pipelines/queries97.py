@@ -148,23 +148,57 @@ QUALIFY row_number() OVER (ORDER BY cv ASC, user_id ASC) <= 10
 def q_part_name_term_price(sf_dir: str, k: int = 10):
     """For the 10 most common part-name terms (count DESC, term ASC):
     how many parts carry the term and their mean retail price — exact
-    cents, house tokenizer over lowered names."""
-    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).to_pandas()
-    cents = _cents(part["p_retailprice"])
-    term_parts: dict = {}
-    for pk, name, c in zip(part["p_partkey"], part["p_name"], cents):
-        for t in set(_TOKEN_RE.findall((name or "").lower())):
-            cnt, s = term_parts.get(t, (0, 0))
-            term_parts[t] = (cnt + 1, s + int(c))
-    terms = sorted(term_parts.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
-    rows = []
-    for t, (cnt, s) in terms:
-        rows.append(
-            (t, cnt, float(_r6away(float(s) / float(cnt) / 100.0)))
+    cents, house tokenizer over lowered names.
+
+    Scale shape: the term explode runs distributed over part batches and
+    reduces per term through one bucketed exchange — the part table never
+    touches the driver (O(sf): 2e7 rows at sf100); only the
+    bounded-vocabulary per-term aggregate does."""
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(batch["p_retailprice"])
+        terms, cnts, sums = [], [], []
+        for name, c in zip(batch["p_name"], cents):
+            for t in set(_TOKEN_RE.findall((name or "").lower())):
+                terms.append(t)
+                cnts.append(1)
+                sums.append(int(c))
+        return (
+            pd.DataFrame(
+                {
+                    "term": terms,
+                    "cnt": np.array(cnts, dtype=np.int64),
+                    "s": np.array(sums, dtype=np.int64),
+                }
+            )
+            .groupby("term", sort=False)
+            .sum()
+            .reset_index()
         )
+
+    agg = (
+        hash_bucket_aggregate(
+            _read(
+                sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]
+            ).map_batches(explode, batch_format="pandas"),
+            ["term"],
+            [("cnt", "sum"), ("s", "sum")],
+        )
+        .to_pandas()
+        .sort_values(["cnt_sum", "term"], ascending=[False, True])
+        .head(k)
+    )
     return pd.DataFrame(
-        rows, columns=["term", "n_parts", "mean_price"]
-    ).astype({"n_parts": np.int64})
+        {
+            "term": agg["term"].astype(str),
+            "n_parts": agg["cnt_sum"].astype(np.int64),
+            "mean_price": _r6away(
+                agg["s_sum"].to_numpy(np.float64)
+                / agg["cnt_sum"].to_numpy(np.float64)
+                / 100.0
+            ),
+        }
+    ).reset_index(drop=True)
 
 
 ORACLES97["part_name_term_price"] = """

@@ -150,53 +150,83 @@ FROM t, e WHERE e.exp != 0
 def q_supplier_brand_hhi(sf_dir: str):
     """Per supplier: shipments, distinct brands shipped, and the brand
     HHI (sum of squared brand shares, brand-ascending fold) — 1.0 =
-    single-brand shipper."""
-    import ray
+    single-brand shipper.
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
-    dim = dict(zip(part["p_partkey"].astype(np.int64), part["p_brand"]))
-    dim_ref = ray.put(dim)
+    Scale shape: lineitem pre-reduces per (suppkey, partkey), the part
+    brand attaches via one co-partitioned bucketed_join — never a driver
+    dict (part is O(sf)) — and the per-supplier HHI folds run distributed
+    in bucketed_map_groups (the result is per-supplier, so only the
+    output rows reach the driver)."""
+    from ..common.raytools import bucketed_join, bucketed_map_groups
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(dim_ref)
-        return (
-            pd.DataFrame(
+    per_pair = hash_bucket_aggregate(
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"]).map_batches(
+            lambda b: pd.DataFrame(
                 {
-                    "suppkey": batch["l_suppkey"].astype(np.int64),
-                    "brand": batch["l_partkey"].astype(np.int64).map(d),
-                    "n": np.ones(len(batch), dtype=np.int64),
+                    "suppkey": b["l_suppkey"].astype(np.int64),
+                    "partkey": b["l_partkey"].astype(np.int64),
+                    "n": np.ones(len(b), dtype=np.int64),
                 }
             )
-            .groupby(["suppkey", "brand"], sort=False)
+            .groupby(["suppkey", "partkey"], sort=False)
             .sum()
-            .reset_index()
-        )
-
-    agg = (
-        hash_bucket_aggregate(
-            _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"]).map_batches(
-                partial, batch_format="pandas"
-            ),
-            ["suppkey", "brand"],
-            [("n", "sum")],
-        )
-        .to_pandas()
-        .sort_values(["suppkey", "brand"])
+            .reset_index(),
+            batch_format="pandas",
+        ),
+        ["suppkey", "partkey"],
+        [("n", "sum")],
     )
-    rows = []
-    for sk, g in agg.groupby("suppkey", sort=True):
+    dim = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "partkey": b["p_partkey"].astype(np.int64),
+                "brand": b["p_brand"].astype(str),
+            }
+        ),
+        batch_format="pandas",
+    )
+    joined = bucketed_join(per_pair, dim, on=["partkey"])
+    per_brand = hash_bucket_aggregate(
+        joined.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "suppkey": b["suppkey"].astype(np.int64),
+                    "brand": b["brand"].astype(str),
+                    "n": b["n_sum"].astype(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        ["suppkey", "brand"],
+        [("n", "sum")],
+    )
+
+    def hhi_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("brand")
         tot = int(g["n_sum"].sum())
         hhi = _fold(
             [
-                (float(int(r["n_sum"])) / float(tot))
-                * (float(int(r["n_sum"])) / float(tot))
-                for _, r in g.iterrows()
+                (float(int(v)) / float(tot)) * (float(int(v)) / float(tot))
+                for v in g["n_sum"]
             ]
         )
-        rows.append((int(sk), tot, len(g), float(_r6away(hhi))))
-    return pd.DataFrame(
-        rows, columns=["suppkey", "n_items", "n_brands", "brand_hhi"]
-    ).astype({"suppkey": np.int64, "n_items": np.int64, "n_brands": np.int64})
+        return pd.DataFrame(
+            {
+                "suppkey": np.array([int(g["suppkey"].iloc[0])], dtype=np.int64),
+                "n_items": np.array([tot], dtype=np.int64),
+                "n_brands": np.array([len(g)], dtype=np.int64),
+                "brand_hhi": [float(_r6away(hhi))],
+            }
+        )
+
+    out = bucketed_map_groups(per_brand, ["suppkey"], hhi_group)
+    return (
+        out.to_pandas()
+        .sort_values("suppkey")
+        .reset_index(drop=True)
+        .astype({"suppkey": np.int64, "n_items": np.int64,
+                 "n_brands": np.int64})
+    )
 
 
 ORACLES98["supplier_brand_hhi"] = """
