@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import itertools
 import math
+import time
 from dataclasses import dataclass, field
 from typing import Callable, Mapping, Sequence
 
@@ -143,6 +144,11 @@ class GridSearchOptions:
     enable_adaptive_refinement: bool = False
     refinement_range_factor: float = 0.2
     refinement_grid_steps: int = 5
+    # wall-clock budget (IParameterOptimizer.cs:50-55 semantics: a C#
+    # caller passes CancellationTokenSource(timeout); here the budget is a
+    # first-class option). On expiry the partial best found so far returns
+    # with success=False, like an explicit cancellation.
+    timeout_s: float | None = None
 
     def __post_init__(self):
         if self.default_grid_steps < 2:
@@ -193,6 +199,10 @@ class GridSearchOptimizer:
             )
         evals = 0
         cancelled = False
+        timed_out = False
+        deadline = (
+            None if opts.timeout_s is None else time.monotonic() + opts.timeout_s
+        )
 
         def run_grid(defs: Sequence[ParameterDefinition], steps_map) -> tuple[dict, float, int]:
             nonlocal evals
@@ -211,7 +221,7 @@ class GridSearchOptimizer:
                 budget = max(1, opts.max_function_evaluations - evals)
                 stride = max(1, len(combos) // budget)
                 combos = combos[::stride][:budget]
-            nonlocal cancelled
+            nonlocal cancelled, timed_out
             best_params: dict[str, float] | None = None
             best_metric = math.inf
             for combo in combos:
@@ -220,6 +230,9 @@ class GridSearchOptimizer:
                     and cancellation_token.is_cancellation_requested
                 ):
                     cancelled = True
+                    break
+                if deadline is not None and time.monotonic() > deadline:
+                    timed_out = True
                     break
                 params = {p.name: float(v) for p, v in zip(defs, combo)}
                 try:
@@ -256,6 +269,7 @@ class GridSearchOptimizer:
             and opts.enable_adaptive_refinement
             and math.isfinite(best_metric)
             and has_budget
+            and not timed_out
         ):
             refined_defs = []
             for p in parameters:
@@ -276,9 +290,16 @@ class GridSearchOptimizer:
             if r_params and r_metric < best_metric:
                 best_params, best_metric = r_params, r_metric
 
-        success = bool(best_params) and math.isfinite(best_metric) and not cancelled
+        success = (
+            bool(best_params)
+            and math.isfinite(best_metric)
+            and not cancelled
+            and not timed_out
+        )
         if cancelled:
             message = "Optimization was cancelled."
+        elif timed_out:
+            message = f"Optimization timed out after {opts.timeout_s}s."
         elif success:
             warns = _boundary_warnings_grid(best_params, parameters)
             message = (_BOUNDS_WARNING_PREFIX + ", ".join(warns)) if warns else None
@@ -331,6 +352,10 @@ class NelderMeadOptions:
     # reference EnableAdaptiveParameters (NelderMeadOptimizerOptions.cs:58):
     # coefficients adjusted by iteration count and dimensionality
     enable_adaptive_parameters: bool = False
+    # wall-clock budget (IParameterOptimizer.cs:50-55 semantics); on expiry
+    # the partial best returns with success=False, like a cancellation —
+    # guards against pathological per-series hangs inside map_groups
+    timeout_s: float | None = None
 
     def algorithm_parameters(self, iteration: int, dims: int) -> tuple[float, float, float, float]:
         """Reference GetAlgorithmParameters (NelderMeadOptimizer.cs:687-722):
@@ -378,6 +403,10 @@ class NelderMeadOptimizer:
                 function_evaluations=0,
             )
         cancelled = False
+        timed_out = False
+        deadline = (
+            None if opts.timeout_s is None else time.monotonic() + opts.timeout_s
+        )
         lo = np.array([p.min_value for p in parameters])
         hi = np.array([p.max_value for p in parameters])
         names = [p.name for p in parameters]
@@ -435,6 +464,10 @@ class NelderMeadOptimizer:
                     nonlocal cancelled
                     cancelled = True
                     break
+                if deadline is not None and time.monotonic() > deadline:
+                    nonlocal timed_out
+                    timed_out = True
+                    break
                 if (
                     opts.max_function_evaluations is not None
                     and evals >= opts.max_function_evaluations
@@ -491,7 +524,7 @@ class NelderMeadOptimizer:
         restarts = opts.max_restarts if opts.enable_multi_start else 0
         best_x, best_f = None, math.inf
         for r in range(restarts + 1):
-            if cancelled:
+            if cancelled or timed_out:
                 break
             x, fx, _ = solve_from(clamp(initial_guess(r)))
             if fx < best_f:
@@ -500,9 +533,16 @@ class NelderMeadOptimizer:
         best_params = (
             {} if best_x is None else {n: float(v) for n, v in zip(names, best_x)}
         )
-        success = best_x is not None and math.isfinite(best_f) and not cancelled
+        success = (
+            best_x is not None
+            and math.isfinite(best_f)
+            and not cancelled
+            and not timed_out
+        )
         if cancelled:
             message = "Optimization was cancelled."
+        elif timed_out:
+            message = f"Optimization timed out after {opts.timeout_s}s."
         elif success:
             warns = _boundary_warnings_nm(best_params, parameters)
             message = (_BOUNDS_WARNING_PREFIX + ", ".join(warns)) if warns else None

@@ -1053,6 +1053,7 @@ _PRIORITY_ORDER = [
     "ema", "savgol", "sma", "wma", "kalman",
     "ses_forecast", "holt_forecast", "holt_damped", "holt_multiplicative",
     "holt_winters", "linear_forecast", "optimize_grid_alpha",
+    "optimize_nm_level",
     "zscore", "series_stats",
     "segment_mean", "segment_median", "segment_min", "segment_max",
     "downsample", "rollup_1m", "rollup_1h_cascade", "rollup_1d_cascade",
@@ -1433,6 +1434,7 @@ def build_queries() -> dict:
         "pelt_multivariate": q_pelt_multivariate,
         "optimize_ses_alpha": q_optimize_ses_alpha,
         "optimize_grid_alpha": q_optimize_grid_alpha,
+        "optimize_nm_level": q_optimize_nm_level,
         "grid_search_fanout": q_grid_search_fanout,
         "lineitem_rollup_1d": q_lineitem_rollup_1d,
         "sliding_window_3h": q_sliding_window_3h,
@@ -2020,6 +2022,17 @@ final AS (
 SELECT event_type, ROUND(alpha, 6) AS alpha, ROUND(sse, 6) AS sse
 FROM final WHERE rk = 1
 """,
+        "optimize_nm_level": """
+WITH s AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(ABS(CAST(ROUND(value * 100) AS BIGINT))) AS sa
+  FROM events GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       CAST((2 * sa + n) // (2 * n) AS DOUBLE) / 100.0 AS nm_level,
+       TRUE AS nm_success
+FROM s
+""",
         "kalman": """
 WITH RECURSIVE r AS MATERIALIZED (
   SELECT event_type, value,
@@ -2543,6 +2556,87 @@ def q_optimize_grid_alpha(sf_dir: str):
         )
 
     return _per_series(sf_dir, fn)
+
+
+def q_optimize_nm_level(sf_dir: str):
+    """Nelder-Mead oracle twin (§2.6): per event_type the REAL
+    NelderMeadOptimizer minimizes the exact quadratic
+    f(level) = (10 * (level - t))^2 whose argmin t is the round-half-up
+    mean absolute centivalue (a pure-integer derivation, so SQL pins it
+    bit-exactly: t_cents = (2*sum_abs_cents + n) // (2*n)). NM converges
+    to within ~1e-4 of t (function tolerance 1e-6 on the x100-scaled
+    metric); rounding the converged level to cents recovers t exactly,
+    making the NM code path CORRECTNESS-gradable — the free-form SSE
+    variant stays in optimize_ses_alpha (rows-only by design).
+
+    Scale shape: events pre-reduce per type to (n, sum_abs_cents) through
+    one bucketed exchange; NM runs distributed in the final map over the
+    bounded per-type aggregate. Reference behaviors:
+    Optimization/NelderMead/NelderMeadOptimizer.cs:29-220."""
+    from ..common.raytools import hash_bucket_aggregate
+    from ..kernels.optimize import (
+        NelderMeadOptimizer,
+        NelderMeadOptions,
+        ParameterDefinition,
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["value"].to_numpy(np.float64)
+        cents = np.abs(
+            (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(np.int64)
+        )
+        return (
+            pd.DataFrame(
+                {
+                    "event_type": batch["event_type"].astype(str),
+                    "n": np.ones(len(v), dtype=np.int64),
+                    "sa": cents,
+                }
+            )
+            .groupby("event_type", sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    agg = hash_bucket_aggregate(
+        _events(sf_dir, ["event_type", "value"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["event_type"],
+        [("n", "sum"), ("sa", "sum")],
+    )
+
+    def run_nm(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in batch.iterrows():
+            n, sa = int(r["n_sum"]), int(r["sa_sum"])
+            t = float((2 * sa + n) // (2 * n)) / 100.0
+
+            def objective(params, t=t):
+                d = 10.0 * (params["level"] - t)
+                return d * d
+
+            res = NelderMeadOptimizer(
+                NelderMeadOptions(max_iterations=200)
+            ).optimize(
+                objective, [ParameterDefinition("level", 0.0, 20000.0)]
+            )
+            lv = float(res.best_parameters["level"])
+            rows.append(
+                (
+                    str(r["event_type"]),
+                    np.int64(n),
+                    # snap the converged level back to the cent grid: NM
+                    # lands within ~1e-4 of t, half a cent is 5e-3
+                    float(np.floor(lv * 100.0 + 0.5) / 100.0),
+                    bool(res.success),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["event_type", "n_events", "nm_level", "nm_success"]
+        ).astype({"n_events": np.int64})
+
+    return agg.map_batches(run_nm, batch_format="pandas")
 
 
 def q_grid_search_fanout(sf_dir: str):

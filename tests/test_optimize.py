@@ -356,6 +356,55 @@ class TestNelderMeadReferenceParity:
 class TestCancellationAndAsync:
     """Async + cancellation surface (IParameterOptimizer.cs:50-55)."""
 
+    def test_grid_timeout_returns_partial_best(self):
+        import time as _time
+
+        def slow_obj(p):
+            _time.sleep(0.02)
+            return (p["x"] - 2.0) ** 2
+
+        res = GridSearchOptimizer(
+            GridSearchOptions(default_grid_steps=500, timeout_s=0.1)
+        ).optimize(slow_obj, [ParameterDefinition("x", 0.0, 5.0)])
+        assert res.success is False
+        assert "timed out" in (res.message or "")
+        # partial best: some evaluations happened and the best-so-far
+        # parameters are returned, not an empty dict
+        assert 0 < res.function_evaluations < 500
+        assert "x" in res.best_parameters
+
+    def test_nm_timeout_returns_partial_best(self):
+        import time as _time
+
+        def slow_obj(p):
+            _time.sleep(0.02)
+            return (p["x"] - 2.0) ** 2 + (p["y"] + 1.0) ** 2
+
+        res = NelderMeadOptimizer(
+            NelderMeadOptions(max_iterations=100000, timeout_s=0.1,
+                              function_value_convergence_tolerance=0.0,
+                              enable_parameter_convergence=False,
+                              stagnation_threshold_count=10**9)
+        ).optimize(
+            slow_obj,
+            [
+                ParameterDefinition("x", -5.0, 5.0, initial_guess=4.0),
+                ParameterDefinition("y", -5.0, 5.0, initial_guess=4.0),
+            ],
+        )
+        assert res.success is False
+        assert "timed out" in (res.message or "")
+        assert "x" in res.best_parameters
+
+    def test_timeout_not_hit_keeps_success(self):
+        res = GridSearchOptimizer(
+            GridSearchOptions(default_grid_steps=11, timeout_s=30.0)
+        ).optimize(
+            lambda p: (p["x"] - 2.0) ** 2, [ParameterDefinition("x", 0.0, 5.0)]
+        )
+        assert res.success
+        assert abs(res.best_parameters["x"] - 2.0) < 1e-6
+
     def test_grid_cancellation_midway(self):
         from signalsharp_ray.kernels.optimize import CancellationToken
 
