@@ -138,8 +138,13 @@ def main() -> None:
     rd.read_parquet(input_dir).count()
 
     # run twice; report the warm (faster) run — the first pays one-off Ray
-    # worker spawning / import costs that are not pipeline throughput
+    # worker spawning / import costs that are not pipeline throughput.
+    # Ambient-load + per-run metadata ride along so cross-round comparisons
+    # are load-qualified (BASELINE.md documents an 11.9-27.2s ambient band
+    # on byte-identical binaries — a bare number is not comparable).
+    load_before = os.getloadavg()
     best = None
+    walls: list[float] = []
     n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "2"))
     for _ in range(max(1, n_runs)):
         t0 = time.time()
@@ -151,9 +156,14 @@ def main() -> None:
             encode_concurrency=max(2, num_cpus // 4),
         )
         w = time.time() - t0
+        walls.append(round(w, 2))
         if best is None or w < best[0]:
             best = (w, res)
     wall, res = best
+    swalls = sorted(walls)
+    median = swalls[len(swalls) // 2] if len(swalls) % 2 else round(
+        (swalls[len(swalls) // 2 - 1] + swalls[len(swalls) // 2]) / 2, 2
+    )
 
     out = {
         "metric": "end-to-end pages->tiers->encode->changepoints wall time",
@@ -166,6 +176,11 @@ def main() -> None:
         "rows_per_s": round(spec.n_rows / wall),
         "input_gb": round(input_gb, 3),
         "gb_per_s": round(input_gb / wall, 4),
+        "runs": walls,
+        "best": round(wall, 2),
+        "median": median,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
     }
     print(json.dumps(out))
     ray.shutdown()
@@ -220,12 +235,18 @@ def run_compute_leg() -> None:
         analyze, batch_format="pandas", batch_size=1
     ).count()
 
-    t0 = time.time()
-    res = rd.range(n_series).map_batches(
-        analyze, batch_format="pandas", batch_size=4
-    )
-    total_cp = int(res.sum("n_cp"))
-    wall = time.time() - t0
+    load_before = os.getloadavg()
+    walls: list[float] = []
+    total_cp = 0
+    n_runs = max(1, int(os.environ.get("GRAFT_BENCH_RUNS", "1")))
+    for _ in range(n_runs):
+        t0 = time.time()
+        res = rd.range(n_series).map_batches(
+            analyze, batch_format="pandas", batch_size=4
+        )
+        total_cp = int(res.sum("n_cp"))
+        walls.append(round(time.time() - t0, 2))
+    wall = min(walls)
     print(
         json.dumps(
             {
@@ -236,6 +257,9 @@ def run_compute_leg() -> None:
                 "series": n_series,
                 "series_per_s": round(n_series / wall, 1),
                 "total_changepoints": total_cp,
+                "runs": walls,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )
@@ -277,6 +301,12 @@ def run_scaling(sf_dir: str) -> None:
         f"gb_per_s_{hi}": r_hi["gb_per_s"],
         "scaling_efficiency": round(eff, 3),
         "sf": r_lo["sf"],
+        # load-qualification: each leg's run list + ambient load (the
+        # efficiency number is only comparable across rounds on a quiet box)
+        f"runs_{lo}": r_lo.get("runs"),
+        f"runs_{hi}": r_hi.get("runs"),
+        f"loadavg_{lo}": r_lo.get("loadavg_before"),
+        f"loadavg_{hi}": r_hi.get("loadavg_before"),
     }
     if os.environ.get("GRAFT_SKIP_COMPUTE_LEG") != "1":
         # compute-bound leg: CPU-limited (not node-bandwidth-limited), so
