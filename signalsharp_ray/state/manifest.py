@@ -108,6 +108,15 @@ class PipelineManifest:
         if self._local:
             import os
 
+            # clear stale tmp dirs a KILLED prior run left behind (their
+            # pid differs, so the per-pid cleanup below won't match them)
+            sel = pafs.FileSelector(self._root_path, allow_not_found=True)
+            for info in self._fs.get_file_info(sel):
+                if (
+                    info.type == pafs.FileType.Directory
+                    and info.base_name.startswith(f"{stage}.tmp-")
+                ):
+                    fsio.rmtree(self._fs, info.path)
             tmp_path = f"{out_path}.tmp-{os.getpid()}"
             fsio.rmtree(self._fs, tmp_path)
             fsio.makedirs(self._fs, tmp_path)
