@@ -1022,8 +1022,9 @@ def q_lsh_knn(sf_dir: str, k: int = 10):
 
 
 def q_media_features(sf_dir: str):
-    """Native media decode (REAL byte-level PNM/WAV parsing, no codec
-    library) -> per-item feature vectors; deterministic synthetic
+    """Native media decode (REAL byte-level PNM/WAV parsing plus the
+    pure-numpy baseline-JPEG codec — every 2nd image payload is a real
+    compressed JPEG) -> per-item feature vectors; deterministic synthetic
     payloads, rows-only (no parquet-table equivalent)."""
     import ray.data as rd
 

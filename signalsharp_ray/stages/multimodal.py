@@ -108,8 +108,10 @@ def _parse_pnm_stream(payload: bytes) -> np.ndarray:
 
 class MediaDecoder:
     """Actor-pool decode stage. native mode decodes library-free formats
-    for real (PNM images, WAV audio, concatenated-PNM video); strict is
-    the honest stub for codec-library formats; fake generates
+    for real (PNM + baseline-JPEG images via the pure-numpy codec in
+    codecs/jpeg.py, WAV audio, concatenated-PNM video); strict decodes
+    baseline JPEG and raises the honest stub for formats that need a
+    codec library (MP3/H.264/progressive JPEG); fake generates
     deterministic arrays from arbitrary bytes for plumbing tests."""
 
     def __init__(self, mode: str = "fake"):
@@ -119,15 +121,25 @@ class MediaDecoder:
 
     def decode(self, payload: bytes, kind: str) -> np.ndarray:
         if self.mode == "strict":
+            payload = bytes(payload)
+            if kind == "image" and payload[:3] == b"\xff\xd8\xff":
+                # baseline JPEG decodes for real (pure-numpy codec)
+                from ..codecs.jpeg import decode_jpeg
+
+                return decode_jpeg(payload)
             raise NotImplementedError(
-                "Compressed-media decoding is stubbed: no codec library "
-                "(JPEG/MP3/H.264) ships in this environment. Use "
-                "mode='native' for PNM/WAV payloads, or plug a codec in "
-                "__init__."
+                "Compressed-media decoding beyond baseline JPEG is "
+                "stubbed: no codec library (MP3/H.264/progressive JPEG) "
+                "ships in this environment. Use mode='native' for "
+                "PNM/WAV/JPEG payloads, or plug a codec in __init__."
             )
         if self.mode == "native":
             payload = bytes(payload)
             if kind == "image":
+                if payload[:3] == b"\xff\xd8\xff":
+                    from ..codecs.jpeg import decode_jpeg
+
+                    return decode_jpeg(payload)
                 return _parse_pnm(payload)[0]
             if kind == "audio":
                 return _parse_wav(payload)
@@ -285,17 +297,25 @@ def _synth_wav(rng: np.random.Generator, n_samples: int = 1600, rate: int = 1600
 
 def synth_media_table(n: int = 64, seed: int = 0, real_payloads: bool = False) -> pd.DataFrame:
     """Deterministic media rows. real_payloads=True emits VALID binary
-    payloads for the native decoder: P5/P6 PNM images, 16-bit PCM WAV,
-    and video as 8 concatenated P6 frames."""
+    payloads for the native decoder: P5/P6 PNM images (every 2nd image a
+    COMPRESSED baseline JPEG — the pure-numpy codec round-trips them),
+    16-bit PCM WAV, and video as 8 concatenated P6 frames."""
+    from ..codecs.jpeg import encode_jpeg
+
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
     payloads = []
+    n_img = 0
     for kind in kinds:
         if not real_payloads:
             payloads.append(rng.bytes(256))
         elif kind == "image":
             img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
-            payloads.append(encode_pnm(img))
+            n_img += 1
+            if n_img % 2 == 0:
+                payloads.append(encode_jpeg(img, quality=85))
+            else:
+                payloads.append(encode_pnm(img))
         elif kind == "audio":
             payloads.append(_synth_wav(rng))
         else:
