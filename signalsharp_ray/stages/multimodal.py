@@ -235,22 +235,29 @@ def sample_frames(media_ds, every_n: int = 2, mode: str = "fake",
 
 
 class ImageResizer:
-    """Actor-pool nearest-neighbor image resize over native PNM payloads —
-    a REAL pixel transform (index-gather downsample/upsample), emitting
-    valid PNM bytes back out."""
+    """Actor-pool nearest-neighbor image resize over native payloads (PNM
+    or baseline JPEG, dispatched by magic) — a REAL pixel transform
+    (index-gather downsample/upsample), emitting valid PNM bytes back
+    out (PNM: the output of a lossy-decode stage should not re-lose)."""
 
     def __init__(self, new_width: int, new_height: int):
         self.new_w = int(new_width)
         self.new_h = int(new_height)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..codecs.jpeg import decode_jpeg
+
         ids, payloads = [], []
         for media_id, payload, kind in zip(
             batch["media_id"], batch["payload"], batch["kind"]
         ):
             if kind != "image":
                 continue
-            img, _ = _parse_pnm(bytes(payload))
+            payload = bytes(payload)
+            if payload[:3] == b"\xff\xd8\xff":
+                img = decode_jpeg(payload)
+            else:
+                img, _ = _parse_pnm(payload)
             h, w = img.shape[:2]
             yi = (np.arange(self.new_h) * h // self.new_h).astype(np.int64)
             xi = (np.arange(self.new_w) * w // self.new_w).astype(np.int64)
