@@ -1270,6 +1270,9 @@ def build_queries() -> dict:
     from .queries111 import QUERIES111
     from .queries112 import QUERIES112
     from .queries113 import QUERIES113
+    from .queries116 import QUERIES116
+    from .queries117 import QUERIES117
+    from .queries118 import QUERIES118
 
     return _reorder({
         **QUERIES11,
@@ -1375,6 +1378,9 @@ def build_queries() -> dict:
         **QUERIES111,
         **QUERIES112,
         **QUERIES113,
+        **QUERIES116,
+        **QUERIES117,
+        **QUERIES118,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1571,6 +1577,9 @@ def build_oracle_sql() -> dict:
     from .queries111 import ORACLES111
     from .queries112 import ORACLES112
     from .queries113 import ORACLES113
+    from .queries116 import ORACLES116
+    from .queries117 import ORACLES117
+    from .queries118 import ORACLES118
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1677,6 +1686,9 @@ def build_oracle_sql() -> dict:
         **ORACLES111,
         **ORACLES112,
         **ORACLES113,
+        **ORACLES116,
+        **ORACLES117,
+        **ORACLES118,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
