@@ -523,6 +523,13 @@ def hash_exchange(
         merged = pa.concat_tables(tables)
         return reduce_fn(merged)
 
+    @ray.remote
+    def concat_slices(*slices):
+        tables = [t for t in slices if t.num_rows > 0]
+        if not tables:
+            return slices[0].schema.empty_table() if slices else pa.table({})
+        return pa.concat_tables(tables)
+
     per_block: list = []
     group: list = []
     group_bytes = 0
@@ -556,9 +563,21 @@ def hash_exchange(
             empty = empty.drop_columns([bucket_col])
         return rd.from_arrow(empty)
 
-    reduced = [
-        reduce_bucket.remote(*[slots[b] for slots in per_block])
-        for b in range(n_buckets)
-    ]
+    # tree fan-in: a 100-TB input yields ~4e5 map tasks, and a single
+    # remote call with 4e5 ObjectRef args is not a reasonable task spec —
+    # pre-concatenate each bucket's slices in chunks of FANIN so every
+    # task (intermediate and final) takes a bounded argument list
+    FANIN = 256
+
+    def gather(b: int):
+        slices = [slots[b] for slots in per_block]
+        while len(slices) > FANIN:
+            slices = [
+                concat_slices.remote(*slices[i: i + FANIN])
+                for i in range(0, len(slices), FANIN)
+            ]
+        return reduce_bucket.remote(*slices)
+
+    reduced = [gather(b) for b in range(n_buckets)]
     # refs stay in the object store; the Dataset consumes them lazily
     return rd.from_arrow_refs(reduced)
