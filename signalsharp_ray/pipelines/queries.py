@@ -1273,6 +1273,7 @@ def build_queries() -> dict:
     from .queries116 import QUERIES116
     from .queries117 import QUERIES117
     from .queries118 import QUERIES118
+    from .queries119 import QUERIES119
 
     return _reorder({
         **QUERIES11,
@@ -1381,6 +1382,7 @@ def build_queries() -> dict:
         **QUERIES116,
         **QUERIES117,
         **QUERIES118,
+        **QUERIES119,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1580,6 +1582,7 @@ def build_oracle_sql() -> dict:
     from .queries116 import ORACLES116
     from .queries117 import ORACLES117
     from .queries118 import ORACLES118
+    from .queries119 import ORACLES119
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1689,6 +1692,7 @@ def build_oracle_sql() -> dict:
         **ORACLES116,
         **ORACLES117,
         **ORACLES118,
+        **ORACLES119,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
