@@ -1274,6 +1274,7 @@ def build_queries() -> dict:
     from .queries117 import QUERIES117
     from .queries118 import QUERIES118
     from .queries119 import QUERIES119
+    from .queries120 import QUERIES120
 
     return _reorder({
         **QUERIES11,
@@ -1383,6 +1384,7 @@ def build_queries() -> dict:
         **QUERIES117,
         **QUERIES118,
         **QUERIES119,
+        **QUERIES120,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1583,6 +1585,7 @@ def build_oracle_sql() -> dict:
     from .queries117 import ORACLES117
     from .queries118 import ORACLES118
     from .queries119 import ORACLES119
+    from .queries120 import ORACLES120
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1693,6 +1696,7 @@ def build_oracle_sql() -> dict:
         **ORACLES117,
         **ORACLES118,
         **ORACLES119,
+        **ORACLES120,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
