@@ -1275,6 +1275,7 @@ def build_queries() -> dict:
     from .queries118 import QUERIES118
     from .queries119 import QUERIES119
     from .queries120 import QUERIES120
+    from .queries121 import QUERIES121
 
     return _reorder({
         **QUERIES11,
@@ -1385,6 +1386,7 @@ def build_queries() -> dict:
         **QUERIES118,
         **QUERIES119,
         **QUERIES120,
+        **QUERIES121,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1586,6 +1588,7 @@ def build_oracle_sql() -> dict:
     from .queries118 import ORACLES118
     from .queries119 import ORACLES119
     from .queries120 import ORACLES120
+    from .queries121 import ORACLES121
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1697,6 +1700,7 @@ def build_oracle_sql() -> dict:
         **ORACLES118,
         **ORACLES119,
         **ORACLES120,
+        **ORACLES121,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
