@@ -1276,6 +1276,7 @@ def build_queries() -> dict:
     from .queries119 import QUERIES119
     from .queries120 import QUERIES120
     from .queries121 import QUERIES121
+    from .queries122 import QUERIES122
 
     return _reorder({
         **QUERIES11,
@@ -1387,6 +1388,7 @@ def build_queries() -> dict:
         **QUERIES119,
         **QUERIES120,
         **QUERIES121,
+        **QUERIES122,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1589,6 +1591,7 @@ def build_oracle_sql() -> dict:
     from .queries119 import ORACLES119
     from .queries120 import ORACLES120
     from .queries121 import ORACLES121
+    from .queries122 import ORACLES122
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1701,6 +1704,7 @@ def build_oracle_sql() -> dict:
         **ORACLES119,
         **ORACLES120,
         **ORACLES121,
+        **ORACLES122,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
