@@ -1277,6 +1277,7 @@ def build_queries() -> dict:
     from .queries120 import QUERIES120
     from .queries121 import QUERIES121
     from .queries122 import QUERIES122
+    from .queries123 import QUERIES123
 
     return _reorder({
         **QUERIES11,
@@ -1389,6 +1390,7 @@ def build_queries() -> dict:
         **QUERIES120,
         **QUERIES121,
         **QUERIES122,
+        **QUERIES123,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1592,6 +1594,7 @@ def build_oracle_sql() -> dict:
     from .queries120 import ORACLES120
     from .queries121 import ORACLES121
     from .queries122 import ORACLES122
+    from .queries123 import ORACLES123
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1705,6 +1708,7 @@ def build_oracle_sql() -> dict:
         **ORACLES120,
         **ORACLES121,
         **ORACLES122,
+        **ORACLES123,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
