@@ -1278,6 +1278,7 @@ def build_queries() -> dict:
     from .queries121 import QUERIES121
     from .queries122 import QUERIES122
     from .queries123 import QUERIES123
+    from .queries124 import QUERIES124
 
     return _reorder({
         **QUERIES11,
@@ -1391,6 +1392,7 @@ def build_queries() -> dict:
         **QUERIES121,
         **QUERIES122,
         **QUERIES123,
+        **QUERIES124,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1595,6 +1597,7 @@ def build_oracle_sql() -> dict:
     from .queries121 import ORACLES121
     from .queries122 import ORACLES122
     from .queries123 import ORACLES123
+    from .queries124 import ORACLES124
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1709,6 +1712,7 @@ def build_oracle_sql() -> dict:
         **ORACLES121,
         **ORACLES122,
         **ORACLES123,
+        **ORACLES124,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
