@@ -1279,6 +1279,7 @@ def build_queries() -> dict:
     from .queries122 import QUERIES122
     from .queries123 import QUERIES123
     from .queries124 import QUERIES124
+    from .queries125 import QUERIES125
 
     return _reorder({
         **QUERIES11,
@@ -1393,6 +1394,7 @@ def build_queries() -> dict:
         **QUERIES122,
         **QUERIES123,
         **QUERIES124,
+        **QUERIES125,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1598,6 +1600,7 @@ def build_oracle_sql() -> dict:
     from .queries122 import ORACLES122
     from .queries123 import ORACLES123
     from .queries124 import ORACLES124
+    from .queries125 import ORACLES125
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1713,6 +1716,7 @@ def build_oracle_sql() -> dict:
         **ORACLES122,
         **ORACLES123,
         **ORACLES124,
+        **ORACLES125,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
