@@ -1280,6 +1280,7 @@ def build_queries() -> dict:
     from .queries123 import QUERIES123
     from .queries124 import QUERIES124
     from .queries125 import QUERIES125
+    from .queries126 import QUERIES126
 
     return _reorder({
         **QUERIES11,
@@ -1395,6 +1396,7 @@ def build_queries() -> dict:
         **QUERIES123,
         **QUERIES124,
         **QUERIES125,
+        **QUERIES126,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1601,6 +1603,7 @@ def build_oracle_sql() -> dict:
     from .queries123 import ORACLES123
     from .queries124 import ORACLES124
     from .queries125 import ORACLES125
+    from .queries126 import ORACLES126
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1717,6 +1720,7 @@ def build_oracle_sql() -> dict:
         **ORACLES123,
         **ORACLES124,
         **ORACLES125,
+        **ORACLES126,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
