@@ -1281,6 +1281,7 @@ def build_queries() -> dict:
     from .queries124 import QUERIES124
     from .queries125 import QUERIES125
     from .queries126 import QUERIES126
+    from .queries127 import QUERIES127
 
     return _reorder({
         **QUERIES11,
@@ -1397,6 +1398,7 @@ def build_queries() -> dict:
         **QUERIES124,
         **QUERIES125,
         **QUERIES126,
+        **QUERIES127,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1604,6 +1606,7 @@ def build_oracle_sql() -> dict:
     from .queries124 import ORACLES124
     from .queries125 import ORACLES125
     from .queries126 import ORACLES126
+    from .queries127 import ORACLES127
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1721,6 +1724,7 @@ def build_oracle_sql() -> dict:
         **ORACLES124,
         **ORACLES125,
         **ORACLES126,
+        **ORACLES127,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
