@@ -1282,6 +1282,7 @@ def build_queries() -> dict:
     from .queries125 import QUERIES125
     from .queries126 import QUERIES126
     from .queries127 import QUERIES127
+    from .queries128 import QUERIES128
 
     return _reorder({
         **QUERIES11,
@@ -1399,6 +1400,7 @@ def build_queries() -> dict:
         **QUERIES125,
         **QUERIES126,
         **QUERIES127,
+        **QUERIES128,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1607,6 +1609,7 @@ def build_oracle_sql() -> dict:
     from .queries125 import ORACLES125
     from .queries126 import ORACLES126
     from .queries127 import ORACLES127
+    from .queries128 import ORACLES128
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1725,6 +1728,7 @@ def build_oracle_sql() -> dict:
         **ORACLES125,
         **ORACLES126,
         **ORACLES127,
+        **ORACLES128,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
