@@ -1283,6 +1283,7 @@ def build_queries() -> dict:
     from .queries126 import QUERIES126
     from .queries127 import QUERIES127
     from .queries128 import QUERIES128
+    from .queries129 import QUERIES129
 
     return _reorder({
         **QUERIES11,
@@ -1401,6 +1402,7 @@ def build_queries() -> dict:
         **QUERIES126,
         **QUERIES127,
         **QUERIES128,
+        **QUERIES129,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1610,6 +1612,7 @@ def build_oracle_sql() -> dict:
     from .queries126 import ORACLES126
     from .queries127 import ORACLES127
     from .queries128 import ORACLES128
+    from .queries129 import ORACLES129
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1729,6 +1732,7 @@ def build_oracle_sql() -> dict:
         **ORACLES126,
         **ORACLES127,
         **ORACLES128,
+        **ORACLES129,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
