@@ -1284,6 +1284,7 @@ def build_queries() -> dict:
     from .queries127 import QUERIES127
     from .queries128 import QUERIES128
     from .queries129 import QUERIES129
+    from .queries130 import QUERIES130
 
     return _reorder({
         **QUERIES11,
@@ -1403,6 +1404,7 @@ def build_queries() -> dict:
         **QUERIES127,
         **QUERIES128,
         **QUERIES129,
+        **QUERIES130,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1613,6 +1615,7 @@ def build_oracle_sql() -> dict:
     from .queries127 import ORACLES127
     from .queries128 import ORACLES128
     from .queries129 import ORACLES129
+    from .queries130 import ORACLES130
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1733,6 +1736,7 @@ def build_oracle_sql() -> dict:
         **ORACLES127,
         **ORACLES128,
         **ORACLES129,
+        **ORACLES130,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
