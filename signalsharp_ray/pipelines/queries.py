@@ -1285,6 +1285,7 @@ def build_queries() -> dict:
     from .queries128 import QUERIES128
     from .queries129 import QUERIES129
     from .queries130 import QUERIES130
+    from .queries131 import QUERIES131
 
     return _reorder({
         **QUERIES11,
@@ -1405,6 +1406,7 @@ def build_queries() -> dict:
         **QUERIES128,
         **QUERIES129,
         **QUERIES130,
+        **QUERIES131,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1616,6 +1618,7 @@ def build_oracle_sql() -> dict:
     from .queries128 import ORACLES128
     from .queries129 import ORACLES129
     from .queries130 import ORACLES130
+    from .queries131 import ORACLES131
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1737,6 +1740,7 @@ def build_oracle_sql() -> dict:
         **ORACLES128,
         **ORACLES129,
         **ORACLES130,
+        **ORACLES131,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
