@@ -1286,6 +1286,7 @@ def build_queries() -> dict:
     from .queries129 import QUERIES129
     from .queries130 import QUERIES130
     from .queries131 import QUERIES131
+    from .queries132 import QUERIES132
 
     return _reorder({
         **QUERIES11,
@@ -1407,6 +1408,7 @@ def build_queries() -> dict:
         **QUERIES129,
         **QUERIES130,
         **QUERIES131,
+        **QUERIES132,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1619,6 +1621,7 @@ def build_oracle_sql() -> dict:
     from .queries129 import ORACLES129
     from .queries130 import ORACLES130
     from .queries131 import ORACLES131
+    from .queries132 import ORACLES132
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1741,6 +1744,7 @@ def build_oracle_sql() -> dict:
         **ORACLES129,
         **ORACLES130,
         **ORACLES131,
+        **ORACLES132,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
