@@ -274,7 +274,7 @@ def q_token_length_histogram(sf_dir: str):
     )
 
 
-ORACLES126["token_length_histogram"] = """
+ORACLES126["token_length_by_lang"] = """
 WITH t AS (
   SELECT lang,
          unnest(list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
@@ -294,4 +294,4 @@ FROM g
 
 QUERIES126["bpe_token_estimate"] = q_bpe_token_estimate
 QUERIES126["oov_rate"] = q_oov_rate
-QUERIES126["token_length_histogram"] = q_token_length_histogram
+QUERIES126["token_length_by_lang"] = q_token_length_histogram

@@ -219,7 +219,7 @@ def q_crest_factor(sf_dir: str):
     )
 
 
-ORACLES129["crest_factor"] = """
+ORACLES129["dense_crest_factor"] = """
 WITH h AS (
   SELECT event_type, date_trunc('hour', ts) AS bh, COUNT(*) AS n
   FROM events GROUP BY 1, 2
@@ -310,5 +310,5 @@ FROM dense GROUP BY 1
 
 QUERIES129["event_duplicate_audit"] = q_event_duplicate_audit
 QUERIES129["value_precision_audit"] = q_value_precision_audit
-QUERIES129["crest_factor"] = q_crest_factor
+QUERIES129["dense_crest_factor"] = q_crest_factor
 QUERIES129["grid_sparsity"] = q_grid_sparsity

@@ -262,7 +262,7 @@ def q_variogram(sf_dir: str):
 
 _LAG_VALUES = ", ".join(f"({h})" for h in VARIO_LAGS)
 
-ORACLES130["variogram"] = f"""
+ORACLES130["semivariogram"] = f"""
 WITH h AS (
   SELECT event_type, date_trunc('hour', ts) AS bh, COUNT(*) AS n
   FROM events GROUP BY 1, 2
@@ -299,4 +299,4 @@ FROM s
 
 QUERIES130["periodogram"] = q_periodogram
 QUERIES130["theils_u"] = q_theils_u
-QUERIES130["variogram"] = q_variogram
+QUERIES130["semivariogram"] = q_variogram
