@@ -1287,6 +1287,7 @@ def build_queries() -> dict:
     from .queries130 import QUERIES130
     from .queries131 import QUERIES131
     from .queries132 import QUERIES132
+    from .queries133 import QUERIES133
 
     return _reorder({
         **QUERIES11,
@@ -1409,6 +1410,7 @@ def build_queries() -> dict:
         **QUERIES130,
         **QUERIES131,
         **QUERIES132,
+        **QUERIES133,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1622,6 +1624,7 @@ def build_oracle_sql() -> dict:
     from .queries130 import ORACLES130
     from .queries131 import ORACLES131
     from .queries132 import ORACLES132
+    from .queries133 import ORACLES133
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1745,6 +1748,7 @@ def build_oracle_sql() -> dict:
         **ORACLES130,
         **ORACLES131,
         **ORACLES132,
+        **ORACLES133,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
