@@ -1288,6 +1288,7 @@ def build_queries() -> dict:
     from .queries131 import QUERIES131
     from .queries132 import QUERIES132
     from .queries133 import QUERIES133
+    from .queries134 import QUERIES134
 
     return _reorder({
         **QUERIES11,
@@ -1411,6 +1412,7 @@ def build_queries() -> dict:
         **QUERIES131,
         **QUERIES132,
         **QUERIES133,
+        **QUERIES134,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1625,6 +1627,7 @@ def build_oracle_sql() -> dict:
     from .queries131 import ORACLES131
     from .queries132 import ORACLES132
     from .queries133 import ORACLES133
+    from .queries134 import ORACLES134
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1749,6 +1752,7 @@ def build_oracle_sql() -> dict:
         **ORACLES131,
         **ORACLES132,
         **ORACLES133,
+        **ORACLES134,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
