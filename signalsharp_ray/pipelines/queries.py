@@ -1289,6 +1289,7 @@ def build_queries() -> dict:
     from .queries132 import QUERIES132
     from .queries133 import QUERIES133
     from .queries134 import QUERIES134
+    from .queries135 import QUERIES135
 
     return _reorder({
         **QUERIES11,
@@ -1413,6 +1414,7 @@ def build_queries() -> dict:
         **QUERIES132,
         **QUERIES133,
         **QUERIES134,
+        **QUERIES135,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1628,6 +1630,7 @@ def build_oracle_sql() -> dict:
     from .queries132 import ORACLES132
     from .queries133 import ORACLES133
     from .queries134 import ORACLES134
+    from .queries135 import ORACLES135
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1753,6 +1756,7 @@ def build_oracle_sql() -> dict:
         **ORACLES132,
         **ORACLES133,
         **ORACLES134,
+        **ORACLES135,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
