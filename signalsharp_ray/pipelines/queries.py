@@ -1290,6 +1290,7 @@ def build_queries() -> dict:
     from .queries133 import QUERIES133
     from .queries134 import QUERIES134
     from .queries135 import QUERIES135
+    from .queries136 import QUERIES136
 
     return _reorder({
         **QUERIES11,
@@ -1415,6 +1416,7 @@ def build_queries() -> dict:
         **QUERIES133,
         **QUERIES134,
         **QUERIES135,
+        **QUERIES136,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1631,6 +1633,7 @@ def build_oracle_sql() -> dict:
     from .queries133 import ORACLES133
     from .queries134 import ORACLES134
     from .queries135 import ORACLES135
+    from .queries136 import ORACLES136
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1757,6 +1760,7 @@ def build_oracle_sql() -> dict:
         **ORACLES133,
         **ORACLES134,
         **ORACLES135,
+        **ORACLES136,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
