@@ -1291,6 +1291,7 @@ def build_queries() -> dict:
     from .queries134 import QUERIES134
     from .queries135 import QUERIES135
     from .queries136 import QUERIES136
+    from .queries137 import QUERIES137
 
     return _reorder({
         **QUERIES11,
@@ -1417,6 +1418,7 @@ def build_queries() -> dict:
         **QUERIES134,
         **QUERIES135,
         **QUERIES136,
+        **QUERIES137,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1634,6 +1636,7 @@ def build_oracle_sql() -> dict:
     from .queries134 import ORACLES134
     from .queries135 import ORACLES135
     from .queries136 import ORACLES136
+    from .queries137 import ORACLES137
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1761,6 +1764,7 @@ def build_oracle_sql() -> dict:
         **ORACLES134,
         **ORACLES135,
         **ORACLES136,
+        **ORACLES137,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
