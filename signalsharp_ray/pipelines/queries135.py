@@ -290,7 +290,7 @@ def q_hill_tail_index(sf_dir: str, k: int = HILL_K):
     ).astype({"n_positive": np.int64, "pivot_c": np.int64})
 
 
-ORACLES135["hill_tail_index"] = f"""
+ORACLES135["hill_tail_index_values"] = f"""
 WITH b AS (
   SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
   FROM events WHERE CAST(ROUND(value * 100) AS BIGINT) > 0
@@ -325,4 +325,4 @@ WHERE s.h > 0
 
 QUERIES135["lindley_queue_replay"] = q_lindley_queue_replay
 QUERIES135["m4_downsample"] = q_m4_downsample
-QUERIES135["hill_tail_index"] = q_hill_tail_index
+QUERIES135["hill_tail_index_values"] = q_hill_tail_index
