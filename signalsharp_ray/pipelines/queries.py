@@ -1292,6 +1292,7 @@ def build_queries() -> dict:
     from .queries135 import QUERIES135
     from .queries136 import QUERIES136
     from .queries137 import QUERIES137
+    from .queries138 import QUERIES138
 
     return _reorder({
         **QUERIES11,
@@ -1419,6 +1420,7 @@ def build_queries() -> dict:
         **QUERIES135,
         **QUERIES136,
         **QUERIES137,
+        **QUERIES138,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1637,6 +1639,7 @@ def build_oracle_sql() -> dict:
     from .queries135 import ORACLES135
     from .queries136 import ORACLES136
     from .queries137 import ORACLES137
+    from .queries138 import ORACLES138
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1765,6 +1768,7 @@ def build_oracle_sql() -> dict:
         **ORACLES135,
         **ORACLES136,
         **ORACLES137,
+        **ORACLES138,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
