@@ -32,7 +32,10 @@ def test_seasonality_strength_high_for_pure_cycle(tmp_path):
     rows = []
     for d in range(5):
         for h in range(24):
-            n = 1 + (6 if h == 12 else 0)  # hard daily spike
+            # hard daily spike + a tiny day-level trend so the
+            # trend+resid variance is nonzero (a PERFECTLY periodic
+            # series is excluded on both sides: var(x - seasonal) = 0)
+            n = 1 + (6 if h == 12 else 0) + (1 if (d >= 3 and h == 0) else 0)
             rows += [(1, f"2024-01-{d + 1:02d} {h:02d}:00:30", "cyc")] * n
     _write_events(tmp_path, rows)
     out = q_seasonality_strength(str(tmp_path)).to_pandas()
