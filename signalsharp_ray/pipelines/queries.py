@@ -1293,6 +1293,7 @@ def build_queries() -> dict:
     from .queries136 import QUERIES136
     from .queries137 import QUERIES137
     from .queries138 import QUERIES138
+    from .queries139 import QUERIES139
 
     return _reorder({
         **QUERIES11,
@@ -1421,6 +1422,7 @@ def build_queries() -> dict:
         **QUERIES136,
         **QUERIES137,
         **QUERIES138,
+        **QUERIES139,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1640,6 +1642,7 @@ def build_oracle_sql() -> dict:
     from .queries136 import ORACLES136
     from .queries137 import ORACLES137
     from .queries138 import ORACLES138
+    from .queries139 import ORACLES139
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1769,6 +1772,7 @@ def build_oracle_sql() -> dict:
         **ORACLES136,
         **ORACLES137,
         **ORACLES138,
+        **ORACLES139,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
