@@ -1294,6 +1294,7 @@ def build_queries() -> dict:
     from .queries137 import QUERIES137
     from .queries138 import QUERIES138
     from .queries139 import QUERIES139
+    from .queries140 import QUERIES140
 
     return _reorder({
         **QUERIES11,
@@ -1423,6 +1424,7 @@ def build_queries() -> dict:
         **QUERIES137,
         **QUERIES138,
         **QUERIES139,
+        **QUERIES140,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1643,6 +1645,7 @@ def build_oracle_sql() -> dict:
     from .queries137 import ORACLES137
     from .queries138 import ORACLES138
     from .queries139 import ORACLES139
+    from .queries140 import ORACLES140
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1773,6 +1776,7 @@ def build_oracle_sql() -> dict:
         **ORACLES137,
         **ORACLES138,
         **ORACLES139,
+        **ORACLES140,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
