@@ -1295,6 +1295,7 @@ def build_queries() -> dict:
     from .queries138 import QUERIES138
     from .queries139 import QUERIES139
     from .queries140 import QUERIES140
+    from .queries141 import QUERIES141
 
     return _reorder({
         **QUERIES11,
@@ -1425,6 +1426,7 @@ def build_queries() -> dict:
         **QUERIES138,
         **QUERIES139,
         **QUERIES140,
+        **QUERIES141,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1646,6 +1648,7 @@ def build_oracle_sql() -> dict:
     from .queries138 import ORACLES138
     from .queries139 import ORACLES139
     from .queries140 import ORACLES140
+    from .queries141 import ORACLES141
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1777,6 +1780,7 @@ def build_oracle_sql() -> dict:
         **ORACLES138,
         **ORACLES139,
         **ORACLES140,
+        **ORACLES141,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
