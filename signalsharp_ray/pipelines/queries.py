@@ -1059,6 +1059,8 @@ _PRIORITY_ORDER = [
     "segment_mean", "segment_median", "segment_min", "segment_max",
     "downsample", "rollup_1m", "rollup_1h_cascade", "rollup_1d_cascade",
     "gapfill_locf_1h", "gapfill_linear_1h",
+    # the codec leg (north-rule compressed-block contract), hash-verified
+    "gorilla_roundtrip_audit",
     # exact twin immediately before each approximate sketch
     "quantiles", "quantiles_tdigest",
     "distinct_daily_users", "distinct_users_hll",
@@ -1068,7 +1070,7 @@ _PRIORITY_ORDER = [
     # (round-3 VERDICT item 3: positions 386-513 were never driver-graded).
     # Exactly two ~40s entries (jaccard_pairs, dedup_clusters) per the
     # driver-budget guidance; the rest are seconds each at sf0.01.
-    "exact_dedup", "minhash_signatures", "lsh_candidates", "lsh_verify",
+    "exact_dedup", "minhash_signatures", "lsh_verify",
     "jaccard_pairs", "dedup_clusters", "knn_cosine",
     "embedding_near_dups_centroid", "token_count", "quality_scores",
     "language_id", "corpus_filter",
