@@ -1298,6 +1298,7 @@ def build_queries() -> dict:
     from .queries139 import QUERIES139
     from .queries140 import QUERIES140
     from .queries141 import QUERIES141
+    from .queries142 import QUERIES142
 
     return _reorder({
         **QUERIES11,
@@ -1429,6 +1430,7 @@ def build_queries() -> dict:
         **QUERIES139,
         **QUERIES140,
         **QUERIES141,
+        **QUERIES142,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1651,6 +1653,7 @@ def build_oracle_sql() -> dict:
     from .queries139 import ORACLES139
     from .queries140 import ORACLES140
     from .queries141 import ORACLES141
+    from .queries142 import ORACLES142
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1783,6 +1786,7 @@ def build_oracle_sql() -> dict:
         **ORACLES139,
         **ORACLES140,
         **ORACLES141,
+        **ORACLES142,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
