@@ -1299,6 +1299,7 @@ def build_queries() -> dict:
     from .queries140 import QUERIES140
     from .queries141 import QUERIES141
     from .queries142 import QUERIES142
+    from .queries143 import QUERIES143
 
     return _reorder({
         **QUERIES11,
@@ -1431,6 +1432,7 @@ def build_queries() -> dict:
         **QUERIES140,
         **QUERIES141,
         **QUERIES142,
+        **QUERIES143,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1654,6 +1656,7 @@ def build_oracle_sql() -> dict:
     from .queries140 import ORACLES140
     from .queries141 import ORACLES141
     from .queries142 import ORACLES142
+    from .queries143 import ORACLES143
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1787,6 +1790,7 @@ def build_oracle_sql() -> dict:
         **ORACLES140,
         **ORACLES141,
         **ORACLES142,
+        **ORACLES143,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
