@@ -1300,6 +1300,7 @@ def build_queries() -> dict:
     from .queries141 import QUERIES141
     from .queries142 import QUERIES142
     from .queries143 import QUERIES143
+    from .queries144 import QUERIES144
 
     return _reorder({
         **QUERIES11,
@@ -1433,6 +1434,7 @@ def build_queries() -> dict:
         **QUERIES141,
         **QUERIES142,
         **QUERIES143,
+        **QUERIES144,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1657,6 +1659,7 @@ def build_oracle_sql() -> dict:
     from .queries141 import ORACLES141
     from .queries142 import ORACLES142
     from .queries143 import ORACLES143
+    from .queries144 import ORACLES144
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1791,6 +1794,7 @@ def build_oracle_sql() -> dict:
         **ORACLES141,
         **ORACLES142,
         **ORACLES143,
+        **ORACLES144,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
