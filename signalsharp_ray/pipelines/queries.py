@@ -1301,6 +1301,7 @@ def build_queries() -> dict:
     from .queries142 import QUERIES142
     from .queries143 import QUERIES143
     from .queries144 import QUERIES144
+    from .queries145 import QUERIES145
 
     return _reorder({
         **QUERIES11,
@@ -1435,6 +1436,7 @@ def build_queries() -> dict:
         **QUERIES142,
         **QUERIES143,
         **QUERIES144,
+        **QUERIES145,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1660,6 +1662,7 @@ def build_oracle_sql() -> dict:
     from .queries142 import ORACLES142
     from .queries143 import ORACLES143
     from .queries144 import ORACLES144
+    from .queries145 import ORACLES145
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1795,6 +1798,7 @@ def build_oracle_sql() -> dict:
         **ORACLES142,
         **ORACLES143,
         **ORACLES144,
+        **ORACLES145,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
