@@ -1302,6 +1302,7 @@ def build_queries() -> dict:
     from .queries143 import QUERIES143
     from .queries144 import QUERIES144
     from .queries145 import QUERIES145
+    from .queries146 import QUERIES146
 
     return _reorder({
         **QUERIES11,
@@ -1437,6 +1438,7 @@ def build_queries() -> dict:
         **QUERIES143,
         **QUERIES144,
         **QUERIES145,
+        **QUERIES146,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1663,6 +1665,7 @@ def build_oracle_sql() -> dict:
     from .queries143 import ORACLES143
     from .queries144 import ORACLES144
     from .queries145 import ORACLES145
+    from .queries146 import ORACLES146
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1799,6 +1802,7 @@ def build_oracle_sql() -> dict:
         **ORACLES143,
         **ORACLES144,
         **ORACLES145,
+        **ORACLES146,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
