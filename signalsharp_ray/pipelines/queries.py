@@ -1303,6 +1303,7 @@ def build_queries() -> dict:
     from .queries144 import QUERIES144
     from .queries145 import QUERIES145
     from .queries146 import QUERIES146
+    from .queries147 import QUERIES147
 
     return _reorder({
         **QUERIES11,
@@ -1439,6 +1440,7 @@ def build_queries() -> dict:
         **QUERIES144,
         **QUERIES145,
         **QUERIES146,
+        **QUERIES147,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1666,6 +1668,7 @@ def build_oracle_sql() -> dict:
     from .queries144 import ORACLES144
     from .queries145 import ORACLES145
     from .queries146 import ORACLES146
+    from .queries147 import ORACLES147
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1803,6 +1806,7 @@ def build_oracle_sql() -> dict:
         **ORACLES144,
         **ORACLES145,
         **ORACLES146,
+        **ORACLES147,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
