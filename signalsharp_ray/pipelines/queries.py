@@ -1304,6 +1304,7 @@ def build_queries() -> dict:
     from .queries145 import QUERIES145
     from .queries146 import QUERIES146
     from .queries147 import QUERIES147
+    from .queries148 import QUERIES148
 
     return _reorder({
         **QUERIES11,
@@ -1441,6 +1442,7 @@ def build_queries() -> dict:
         **QUERIES145,
         **QUERIES146,
         **QUERIES147,
+        **QUERIES148,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1669,6 +1671,7 @@ def build_oracle_sql() -> dict:
     from .queries145 import ORACLES145
     from .queries146 import ORACLES146
     from .queries147 import ORACLES147
+    from .queries148 import ORACLES148
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1807,6 +1810,7 @@ def build_oracle_sql() -> dict:
         **ORACLES145,
         **ORACLES146,
         **ORACLES147,
+        **ORACLES148,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
