@@ -1305,6 +1305,7 @@ def build_queries() -> dict:
     from .queries146 import QUERIES146
     from .queries147 import QUERIES147
     from .queries148 import QUERIES148
+    from .queries149 import QUERIES149
 
     return _reorder({
         **QUERIES11,
@@ -1443,6 +1444,7 @@ def build_queries() -> dict:
         **QUERIES146,
         **QUERIES147,
         **QUERIES148,
+        **QUERIES149,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1672,6 +1674,7 @@ def build_oracle_sql() -> dict:
     from .queries146 import ORACLES146
     from .queries147 import ORACLES147
     from .queries148 import ORACLES148
+    from .queries149 import ORACLES149
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1811,6 +1814,7 @@ def build_oracle_sql() -> dict:
         **ORACLES146,
         **ORACLES147,
         **ORACLES148,
+        **ORACLES149,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
