@@ -1306,6 +1306,7 @@ def build_queries() -> dict:
     from .queries147 import QUERIES147
     from .queries148 import QUERIES148
     from .queries149 import QUERIES149
+    from .queries150 import QUERIES150
 
     return _reorder({
         **QUERIES11,
@@ -1445,6 +1446,7 @@ def build_queries() -> dict:
         **QUERIES147,
         **QUERIES148,
         **QUERIES149,
+        **QUERIES150,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1675,6 +1677,7 @@ def build_oracle_sql() -> dict:
     from .queries147 import ORACLES147
     from .queries148 import ORACLES148
     from .queries149 import ORACLES149
+    from .queries150 import ORACLES150
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1815,6 +1818,7 @@ def build_oracle_sql() -> dict:
         **ORACLES147,
         **ORACLES148,
         **ORACLES149,
+        **ORACLES150,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
