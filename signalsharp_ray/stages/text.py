@@ -49,51 +49,113 @@ _STOPWORDS = frozenset(
 )
 
 
+_STOPWORD_ARR = None  # built lazily (pa.array of the stopword list)
+
+
+def _tokenize_arrow(arr: "pa.Array", token_complement: str):
+    """Exact token extraction in Arrow C++: split on runs of NON-token
+    characters (identical token set to re.findall of the class complement),
+    flatten, drop boundary empties. Returns (flat_tokens, parent_doc_idx).
+    """
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern_regex(arr, token_complement)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    nonempty = pc.not_equal(flat, "")
+    flat_ne = pc.filter(flat, nonempty)
+    parent_ne = (
+        pc.filter(parent, nonempty).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    return flat_ne, parent_ne
+
+
 class QualityScorer:
-    """Actor-pool stage: per-doc quality heuristics (regexes compiled once)."""
+    """Actor-pool stage: per-doc quality heuristics, Arrow-native.
+
+    Every hot kernel is a pyarrow.compute C++ call — char-class counts via
+    count_substring_regex (RE2), tokenization via split_pattern_regex +
+    list_flatten, stopword membership via utf8_lower + is_in, and per-doc
+    reassembly via np.bincount on the list-parent indices. No per-doc (or
+    per-token) Python loop anywhere; measured ~2.7x faster per batch than
+    the round-4 pandas findall+loop formulation and exact on the same
+    inputs (see BASELINE.md). Digits count [0-9] (the SQL oracle's class;
+    the old pandas \\d also matched non-ASCII digit codepoints).
+
+    Accepts a pyarrow Table (preferred — zero-copy from the object store)
+    or a pandas DataFrame; returns the same family it was given.
+    """
+
+    _PUNCT = r"[.,;:!?'\"()\[\]{}-]"
+    _DIGIT = r"[0-9]"
+    _UPPER = r"[A-Z]"
+    _NONWORD = r"[^a-zA-Z']+"
 
     def __init__(self):
-        self.punct = re.compile(r"[.,;:!?'\"()\[\]{}-]")
-        self.digit = re.compile(r"\d")
-        self.upper = re.compile(r"[A-Z]")
-        self.word = re.compile(r"[a-zA-Z']+")
+        global _STOPWORD_ARR
+        if _STOPWORD_ARR is None:
+            _STOPWORD_ARR = pa.array(sorted(_STOPWORDS))
+        self.stop_arr = _STOPWORD_ARR
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].fillna("")
-        n_chars = text.str.len().astype(np.int64)
-        denom = n_chars.clip(lower=1).astype(np.float64)
-        n_punct = text.str.count(self.punct).astype(np.int64)
-        n_digit = text.str.count(self.digit).astype(np.int64)
-        n_upper = text.str.count(self.upper).astype(np.int64)
-        words = text.str.findall(self.word)
-        n_words = words.str.len().astype(np.int64)
-        stop_hits = words.map(
-            lambda ws: sum(1 for w in ws if w.lower() in _STOPWORDS)
+    def __call__(self, batch):
+        import pyarrow.compute as pc
+
+        is_pandas = isinstance(batch, pd.DataFrame)
+        if is_pandas:
+            text = pa.array(batch["text"].fillna("").astype(str))
+            doc_id = pa.array(batch["doc_id"].to_numpy())
+        else:
+            text = pc.fill_null(batch["text"], "")
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            doc_id = batch["doc_id"]
+        n = len(text)
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        denom = np.maximum(n_chars, 1).astype(np.float64)
+        n_punct = pc.count_substring_regex(text, self._PUNCT).to_numpy(
+            zero_copy_only=False
         ).astype(np.int64)
-        out = pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "n_chars": n_chars,
-                "n_words": n_words,
-                "punct_ratio": n_punct / denom,
-                "digit_ratio": n_digit / denom,
-                "upper_ratio": n_upper / denom,
-                "stopword_ratio": stop_hits / n_words.clip(lower=1).astype(np.float64),
-            }
+        n_digit = pc.count_substring_regex(text, self._DIGIT).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_upper = pc.count_substring_regex(text, self._UPPER).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat, parent = _tokenize_arrow(text, self._NONWORD)
+        n_words = np.bincount(parent, minlength=n).astype(np.int64)
+        hit = pc.is_in(
+            pc.utf8_lower(flat), value_set=self.stop_arr
+        ).to_numpy(zero_copy_only=False)
+        stop_hits = np.bincount(parent[hit], minlength=n).astype(np.int64)
+        stopword_ratio = stop_hits / np.maximum(n_words, 1).astype(np.float64)
+        digit_ratio = n_digit / denom
+        quality = (
+            np.clip(n_words / 100.0, 0, 1) * 0.4
+            + np.clip(stopword_ratio * 2.5, 0, 1) * 0.4
+            + (1.0 - np.clip(digit_ratio * 5, 0, 1)) * 0.2
         )
-        # composite: long-enough, low-symbol, natural-language-looking docs
-        out["quality_score"] = (
-            np.clip(out["n_words"] / 100.0, 0, 1) * 0.4
-            + np.clip(out["stopword_ratio"] * 2.5, 0, 1) * 0.4
-            + (1.0 - np.clip(out["digit_ratio"] * 5, 0, 1)) * 0.2
-        )
-        return out
+        cols = {
+            "doc_id": doc_id,
+            "n_chars": n_chars,
+            "n_words": n_words,
+            "punct_ratio": n_punct / denom,
+            "digit_ratio": digit_ratio,
+            "upper_ratio": n_upper / denom,
+            "stopword_ratio": stopword_ratio,
+            "quality_score": quality,
+        }
+        if is_pandas:
+            return pd.DataFrame(
+                {k: (v if isinstance(v, np.ndarray) else v.to_numpy(zero_copy_only=False))
+                 for k, v in cols.items()}
+            )
+        return pa.table(cols)
 
 
 def quality_scores(docs_ds, concurrency: int = 4):
     return docs_ds.map_batches(
         QualityScorer,
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=pool_size(concurrency),
         num_cpus=1,
     )
@@ -113,13 +175,32 @@ _LANG_PROFILES = {
 
 
 class LanguageId:
-    """Actor-pool heuristic language id: stopword votes + CJK char ratio."""
+    """Actor-pool heuristic language id: stopword votes + CJK char ratio,
+    Arrow-native per batch.
+
+    One split_pattern_regex tokenize pass (letters: \\p{L}+, the SQL
+    oracle's class), utf8_lower, then a C-level is_in per language profile
+    into a (docs x langs) vote matrix reassembled with np.bincount —
+    argmax (first-max wins, matching the profile dict's iteration order
+    with a strict-> comparison) picks the language. No per-doc or
+    per-token Python loop. Accepts a pyarrow Table or pandas DataFrame;
+    returns the same family.
+    """
+
+    _NONWORD = r"[^\p{L}]+"  # RE2: split on non-letters
+    _CJK = r"[一-鿿]"
 
     def __init__(self):
         self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
         self.cjk = re.compile(r"[一-鿿]")
+        self.langs = [l for l, s in _LANG_PROFILES.items() if s]
+        self.profile_arrs = [
+            pa.array(sorted(_LANG_PROFILES[l])) for l in self.langs
+        ]
 
     def _predict(self, s: str) -> str:
+        """Row-at-a-time reference implementation (kept for callers that
+        score single strings and for the vectorized-equivalence test)."""
         if not s:
             return "und"
         cjk = len(self.cjk.findall(s))
@@ -137,19 +218,47 @@ class LanguageId:
                 best, best_hits = lang, hits
         return best if best_hits > 0 else "und"
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "pred_lang": batch["text"].fillna("").map(self._predict),
-            }
+    def __call__(self, batch):
+        import pyarrow.compute as pc
+
+        is_pandas = isinstance(batch, pd.DataFrame)
+        if is_pandas:
+            text = pa.array(batch["text"].fillna("").astype(str))
+            doc_id = batch["doc_id"].to_numpy()
+        else:
+            text = pc.fill_null(batch["text"], "")
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            doc_id = batch["doc_id"]
+        n = len(text)
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        cjk_n = pc.count_substring_regex(text, self._CJK).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        zh = cjk_n > np.maximum(8, 0.05 * n_chars)
+        flat, parent = _tokenize_arrow(text, self._NONWORD)
+        low = pc.utf8_lower(flat)
+        n_toks = np.bincount(parent, minlength=n)
+        votes = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for j, stop_arr in enumerate(self.profile_arrs):
+            hit = pc.is_in(low, value_set=stop_arr).to_numpy(zero_copy_only=False)
+            votes[:, j] = np.bincount(parent[hit], minlength=n)
+        best_j = votes.argmax(axis=1)  # first max: strict-> scan order
+        best_hits = votes[np.arange(n), best_j]
+        pred = np.asarray(self.langs, dtype=object)[best_j]
+        pred[(best_hits == 0) | (n_toks == 0)] = "und"
+        pred[zh] = "zh"
+        if is_pandas:
+            return pd.DataFrame({"doc_id": doc_id, "pred_lang": pred})
+        return pa.table(
+            {"doc_id": doc_id, "pred_lang": pa.array(pred, pa.string())}
         )
 
 
 def language_id(docs_ds, concurrency: int = 4):
     return docs_ds.map_batches(
         LanguageId,
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=pool_size(concurrency),
         num_cpus=1,
     )
