@@ -7,17 +7,6 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _ensure_hash_shuffle() -> None:
-    """Key-based repartition requires the HASH_SHUFFLE strategy; the engine
-    sets it lazily (it is also the right choice for our workloads: the
-    sort-based default serializes on a single sample/sort step)."""
-    from ray.data.context import DataContext, ShuffleStrategy
-
-    ctx = DataContext.get_current()
-    if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
-        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-
-
 def hash_bucket_aggregate(
     ds,
     keys: list[str],
@@ -109,6 +98,11 @@ def hash_bucket_aggregate(
             b = b * np.int64(_subsplit) + (
                 np.arange(batch.num_rows, dtype=np.int64) % np.int64(_subsplit)
             )
+        if batch.schema.metadata:
+            # parquet/pandas-origin schema metadata is an unhashable dict:
+            # Ray's shuffle-side schema dedup then warns 'Failed to hash
+            # the schemas' per reduce task — drop it at the exchange edge
+            batch = batch.replace_schema_metadata(None)
         return batch.append_column("__bucket", pa.array(b))
 
     agg_specs = [(c, op) for c, op in aggs]
@@ -515,20 +509,29 @@ def hash_exchange(
         out = [table.slice(edges[b], edges[b + 1] - edges[b]) for b in range(n_buckets)]
         return tuple(out) if n_buckets > 1 else out[0]
 
+    def _strip_meta(t: pa.Table) -> pa.Table:
+        # pandas-origin schema metadata is an unhashable dict; Ray's
+        # schema-dedup then logs 'Failed to hash the schemas' per reduce
+        # task — strip it (metadata carries no data) for quiet, hashable
+        # schemas on every table this exchange returns
+        return t.replace_schema_metadata(None) if t.schema.metadata else t
+
     @ray.remote
     def reduce_bucket(*slices):
         tables = [t for t in slices if t.num_rows > 0]
         if not tables:
-            return slices[0].schema.empty_table() if slices else pa.table({})
+            empty = slices[0].schema.empty_table() if slices else pa.table({})
+            return _strip_meta(empty)
         merged = pa.concat_tables(tables)
-        return reduce_fn(merged)
+        return _strip_meta(reduce_fn(merged))
 
     @ray.remote
     def concat_slices(*slices):
         tables = [t for t in slices if t.num_rows > 0]
         if not tables:
-            return slices[0].schema.empty_table() if slices else pa.table({})
-        return pa.concat_tables(tables)
+            empty = slices[0].schema.empty_table() if slices else pa.table({})
+            return _strip_meta(empty)
+        return _strip_meta(pa.concat_tables(tables))
 
     per_block: list = []
     group: list = []
