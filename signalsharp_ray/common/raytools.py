@@ -7,6 +7,60 @@ import pandas as pd
 import pyarrow as pa
 
 
+_HANDOFF_SEQ = [0]
+
+
+def parquet_handoff(ds, tag: str, root: str | None = None):
+    """Stream `ds` to a scratch parquet directory ONCE and return a fresh
+    lazy read over it — the multi-consumer alternative to `.materialize()`
+    that never pins the whole dataset in the object store.
+
+    `.materialize()` holds every block alive for the life of the handle; for
+    corpus-scale intermediates (a word-shingle inverted index is ~5-10x the
+    corpus bytes) that is the dedup family's memory cliff — the object store
+    fills and the job lives or dies by spill throughput. A parquet handoff
+    costs one extra write+read of the intermediate, but the write streams
+    with backpressure (peak object store = the streaming window only) and
+    each consumer re-reads lazily with column pruning. This is the same
+    durable-boundary pattern the flagship pipeline uses between stages
+    (pipelines/flagship.py), minus the manifest.
+
+    root defaults to $SIGNALSHARP_HANDOFF_ROOT or /tmp/signalsharp_ray/
+    handoff — point it at a shared filesystem / object store URI on a real
+    multi-node cluster. Directories are left for the OS tmp reaper; callers
+    that loop can pass an explicit root and clean it themselves.
+    """
+    import os
+    import uuid
+
+    import ray.data as rd
+
+    base = root or os.environ.get(
+        "SIGNALSHARP_HANDOFF_ROOT", "/tmp/signalsharp_ray/handoff"
+    )
+    _HANDOFF_SEQ[0] += 1
+    out = f"{base}/{tag}-{os.getpid()}-{_HANDOFF_SEQ[0]}-{uuid.uuid4().hex[:8]}"
+    ds.write_parquet(out)
+    import pyarrow.fs as pafs
+
+    fs, path = pafs.FileSystem.from_uri(out) if "://" in out else (
+        pafs.LocalFileSystem(), out
+    )
+    files = [
+        f.path
+        for f in fs.get_file_info(pafs.FileSelector(path, recursive=True))
+        if f.is_file and f.path.endswith(".parquet")
+    ]
+    if not files:
+        # empty dataset: write_parquet emits no files. Only NOW pay for
+        # ds.schema() (pre-write it would re-execute the whole upstream
+        # pipeline a second time) to preserve typed columns downstream.
+        schema = ds.schema()
+        empty = pa.table({n: pa.nulls(0, t) for n, t in zip(schema.names, schema.types)})
+        return rd.from_arrow(empty)
+    return rd.read_parquet(out)
+
+
 def hash_bucket_aggregate(
     ds,
     keys: list[str],

@@ -427,18 +427,24 @@ def exact_jaccard_pairs(docs_ds, threshold: float = 0.5, shingle_k: int = 3,
     the minhash path. The filter threshold is relaxed by 1e-6 because the
     final keep compares ROUND(j, 6) >= t.
     """
-    from ..common.raytools import bucketed_join, hash_bucket_aggregate
+    from ..common.raytools import bucketed_join, hash_bucket_aggregate, parquet_handoff
 
     t_eff = max(threshold - 1e-6, 0.0)
     # the index feeds four consumers (df counts, prefix join, candidate
-    # restriction, set sizes): materialize once so the shingling pass
-    # doesn't run four times. Blocks live in the object store (spillable);
-    # at corpus scale prefer-recompute is the other valid trade.
-    index = _shingle_index(docs_ds, shingle_k).materialize()
+    # restriction, set sizes): hand it off through scratch parquet so the
+    # shingling pass runs once WITHOUT pinning the whole index in the
+    # object store — at corpus scale the word-shingle index is ~5-10x the
+    # corpus bytes, and a .materialize() here was the dedup family's
+    # memory/disk cliff (each consumer now re-reads the files lazily;
+    # peak object store is just the write's streaming window).
+    index = parquet_handoff(_shingle_index(docs_ds, shingle_k), "jaccard-index")
     dfreq = hash_bucket_aggregate(index, ["g"], [], count_alias="df", n_buckets=n_buckets)
-    cands = _prefix_candidates(
-        _prefix_index(index, dfreq, t_eff, n_buckets), t_eff, n_buckets
-    ).materialize()
+    cands = parquet_handoff(
+        _prefix_candidates(
+            _prefix_index(index, dfreq, t_eff, n_buckets), t_eff, n_buckets
+        ),
+        "jaccard-cands",
+    )
 
     # exact verification on the candidate-restricted index only
     def both_sides(batch: pd.DataFrame) -> pd.DataFrame:
@@ -457,9 +463,8 @@ def exact_jaccard_pairs(docs_ds, threshold: float = 0.5, shingle_k: int = 3,
         cands.map_batches(both_sides, batch_format="pandas"), ["doc_id"], [],
         n_buckets=n_buckets,
     )
-    cand_index = bucketed_join(
-        index, cand_ids, on=["doc_id"], n_buckets=n_buckets
-    ).materialize()
+    # single consumer (_pair_intersections) — no pin, stream straight through
+    cand_index = bucketed_join(index, cand_ids, on=["doc_id"], n_buckets=n_buckets)
     inter = bucketed_join(
         _pair_intersections(cand_index, n_buckets), cands, on=["doc_a", "doc_b"],
         n_buckets=n_buckets,
@@ -540,16 +545,17 @@ def verify_jaccard(
     result is inner-joined back to the candidate pair set, with nothing
     corpus-sized on the driver either way.
     """
-    from ..common.raytools import bucketed_join, hash_bucket_aggregate
+    from ..common.raytools import bucketed_join, hash_bucket_aggregate, parquet_handoff
 
-    # pairs are consumed more than once and gate the plan choice; they are
-    # small by construction — pin them so the LSH pipeline runs once
-    pairs_mat = pairs_ds.materialize()
-    if pairs_mat.count() <= broadcast_pair_limit:
+    # pairs are consumed more than once and gate the plan choice — hand
+    # them off through scratch parquet so the LSH pipeline runs once but
+    # nothing is pinned in the object store (the count below reads only
+    # parquet footers on the re-read dataset)
+    pairs_ds = parquet_handoff(pairs_ds, "verify-pairs")
+    if pairs_ds.count() <= broadcast_pair_limit:
         return _verify_jaccard_broadcast(
-            docs_ds, pairs_mat.to_pandas(), threshold, shingle_k
+            docs_ds, pairs_ds.to_pandas(), threshold, shingle_k
         )
-    pairs_ds = pairs_mat
 
     # 1. distinct candidate doc ids (tiny relative to the corpus)
     def both_sides(batch: pd.DataFrame) -> pd.DataFrame:
@@ -570,11 +576,13 @@ def verify_jaccard(
 
     # 2. inverted index restricted to candidate docs (bucketed semi-join);
     # restriction only filters whole docs, so set sizes stay exact. The
-    # restricted index is candidate-sized — materialize for its two
-    # consumers (pair counts + set sizes).
-    index = bucketed_join(
-        _shingle_index(docs_ds, shingle_k), cand_ids, on=["doc_id"]
-    ).materialize()
+    # restricted index feeds two consumers (pair counts + set sizes) —
+    # parquet handoff, not materialize, for the same no-pin reason as
+    # exact_jaccard_pairs.
+    index = parquet_handoff(
+        bucketed_join(_shingle_index(docs_ds, shingle_k), cand_ids, on=["doc_id"]),
+        "verify-index",
+    )
 
     # 3./4. intersections among candidate docs, then restrict to exactly
     # the candidate pair set (LSH candidates), then score
@@ -623,14 +631,30 @@ def connected_components(pairs_ds, max_rounds: int = 50, n_buckets: int | None =
 
     _MIX = np.uint64(0x9E3779B97F4A7C15)
 
-    pairs_mat = pairs_ds.select_columns(["doc_a", "doc_b"]).materialize()
-    B = int(min(default_buckets(), max(2, pairs_mat.count() // 100_000)))
+    # stream the edge blocks off the executor instead of .materialize():
+    # the driver holds only ObjectRefs + per-block row counts (from block
+    # metadata — no extra count pass), and the source blocks become
+    # reclaimable as soon as their split task finishes. The edges do
+    # necessarily live in the object store for the duration of the loop —
+    # but as B co-partitioned, spillable bucket frames, never pinned by a
+    # MaterializedDataset handle.
+    block_refs: list = []
+    n_edges = 0
+    for bundle in pairs_ds.select_columns(["doc_a", "doc_b"]).iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            block_refs.append(block_ref)
+            n_edges += meta.num_rows or 0
+    B = int(min(default_buckets(), max(2, n_edges // 100_000)))
 
     def _bucket_of(ids: np.ndarray) -> np.ndarray:
         return ((ids.astype(np.uint64) * _MIX) >> np.uint64(32)) % np.uint64(B)
 
     @ray.remote
-    def split_block(df: pd.DataFrame) -> tuple:
+    def split_block(df) -> tuple:
+        import pyarrow as _pa
+
+        if isinstance(df, _pa.Table):
+            df = df.to_pandas()
         if len(df) == 0 or "doc_a" not in df.columns:
             # upstream filters can emit schema-less empty blocks
             empty = pd.DataFrame(
@@ -692,8 +716,8 @@ def connected_components(pairs_ds, max_rounds: int = 50, n_buckets: int | None =
         changed = int((new["label"].to_numpy() < old_df["label"].to_numpy()).sum())
         return new, changed
 
-    blocks = pairs_mat.to_pandas_refs()
-    parts = [split_block.options(num_returns=B).remote(r) for r in blocks]
+    parts = [split_block.options(num_returns=B).remote(r) for r in block_refs]
+    block_refs.clear()  # split tasks keep the blocks alive; driver lets go
     if B == 1:  # options(num_returns=1) unwraps the tuple differently
         raise AssertionError("B is always >= 2")
     bucket_edges = [[pr[k] for pr in parts] for k in range(B)]
