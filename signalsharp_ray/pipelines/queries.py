@@ -1307,6 +1307,7 @@ def build_queries() -> dict:
     from .queries148 import QUERIES148
     from .queries149 import QUERIES149
     from .queries150 import QUERIES150
+    from .queries151 import QUERIES151
 
     return _reorder({
         **QUERIES11,
@@ -1447,6 +1448,7 @@ def build_queries() -> dict:
         **QUERIES148,
         **QUERIES149,
         **QUERIES150,
+        **QUERIES151,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1678,6 +1680,7 @@ def build_oracle_sql() -> dict:
     from .queries148 import ORACLES148
     from .queries149 import ORACLES149
     from .queries150 import ORACLES150
+    from .queries151 import ORACLES151
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1819,6 +1822,7 @@ def build_oracle_sql() -> dict:
         **ORACLES148,
         **ORACLES149,
         **ORACLES150,
+        **ORACLES151,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
