@@ -1041,11 +1041,85 @@ def q_media_features(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-# Names sampled FIRST by the driver (dict insertion order): the SURVEY §2
-# reference-operator family leads, then every approximate sketch is placed
-# immediately after its exact verifier so a sample that picks the sketch
-# also picks the twin, then the queries fixed/added this round. Everything
-# not listed keeps its original relative order after these.
+# Driver sample window (round-4 VERDICT items 3+7): the driver grades the
+# FIRST 50 names in dict insertion order, which before round 5 was a static
+# list — positions 51-614 (92% of the registry) would never receive
+# driver-grade rows/schema/hash signal again. The window is now
+# _FIXED_HEADS (the §2 reference-operator + LLM-family representatives,
+# permanently graded every round) + a ROTATION of the remaining slots
+# through the never-yet-graded names + exactly ONE heavy (>=40 s at
+# sf0.01) name placed last. Rotation state is the set of names appearing
+# in the accumulated CORRECTNESS_r*.json files at the repo root: ordering
+# the pool "never-graded first (alphabetical), then already-graded" means
+# each round's driver run automatically advances the rotation — no round
+# counter to maintain, deterministic within a round (the current round's
+# file doesn't exist while it runs).
+_FIXED_HEADS = [
+    # §2 changepoint / smoothing / forecast / rollup family
+    "pelt_step_detection", "cusum_changepoints", "bocd_changepoints",
+    "ema", "savgol", "kalman",
+    "ses_forecast", "holt_winters", "linear_forecast", "optimize_nm_level",
+    "zscore", "segment_mean", "downsample",
+    "rollup_1h_cascade", "gapfill_locf_1h", "gapfill_linear_1h",
+    "gorilla_roundtrip_audit",
+    # LLM-data family heads
+    "exact_dedup", "minhash_signatures", "lsh_verify", "knn_cosine",
+    "embedding_near_dups_centroid", "token_count", "quality_scores",
+    "language_id", "corpus_filter",
+]
+
+# BASELINE.md slow-oracle watchlist (>=40 s at sf0.01). At most ONE per
+# window, placed LAST so the regular names grade first under the driver's
+# budget; preference order = cheapest first when none is fresh.
+_HEAVY_NAMES = [
+    "minhash_estimate_error",      # ~40 s at sf0.01
+    "jaccard_pairs",               # ~40 s
+    "dedup_clusters",              # ~39 s
+    "lsh_recall_by_jaccard",       # ~65-95 s
+]
+
+_WINDOW_SIZE = 50
+
+
+def _driver_graded_names() -> tuple:
+    """(names graded in any prior round, number of prior rounds)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..")
+    )
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    graded: set = set()
+    for f in files:
+        try:
+            with open(f) as fh:
+                graded.update(json.load(fh).keys())
+        except (OSError, ValueError):
+            continue
+    return graded, len(files)
+
+
+def driver_window(names) -> list:
+    """The 50 names the driver will grade this round, in order."""
+    names = set(names)
+    graded, n_rounds = _driver_graded_names()
+    heads = [n for n in _FIXED_HEADS if n in names]
+    heavies = [h for h in _HEAVY_NAMES if h in names]
+    heavy_pick = []
+    if heavies:
+        fresh = [h for h in heavies if h not in graded]
+        heavy_pick = [fresh[0] if fresh else heavies[n_rounds % len(heavies)]]
+    pool = sorted(n for n in names if n not in heads and n not in heavies)
+    never = [n for n in pool if n not in graded]
+    seen = [n for n in pool if n in graded]
+    slots = max(0, _WINDOW_SIZE - len(heads) - len(heavy_pick))
+    return heads + (never + seen)[:slots] + heavy_pick
+
+
+# Legacy ordering for positions 51+ (kept so the non-window tail stays in
+# the familiar, family-grouped order; the driver never reaches it).
 _PRIORITY_ORDER = [
     # §2 changepoint / smoothing / forecast family (never driver-sampled
     # before round 3 despite being the reference-critical operators)
@@ -1154,9 +1228,11 @@ _PRIORITY_ORDER = [
 
 
 def _reorder(d: dict) -> dict:
-    head = {k: d[k] for k in _PRIORITY_ORDER if k in d}
-    tail = {k: v for k, v in d.items() if k not in head}
-    return {**head, **tail}
+    window = driver_window(d.keys())
+    head = {k: d[k] for k in window if k in d}
+    mid = {k: d[k] for k in _PRIORITY_ORDER if k in d and k not in head}
+    tail = {k: v for k, v in d.items() if k not in head and k not in mid}
+    return {**head, **mid, **tail}
 
 
 def build_queries() -> dict:
