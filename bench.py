@@ -182,8 +182,56 @@ def main() -> None:
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
     }
-    print(json.dumps(out))
     ray.shutdown()
+
+    # North-rule N -> 4N scaling evidence, machine-readable in the same JSON
+    # line the driver records (round-4 VERDICT item 9): run the CPU-bound
+    # compute leg (per-series PELT+Holt — the regime a multi-node cluster
+    # stays in, since node bandwidth scales with node count) at 8 and 32
+    # cpus in fresh subprocesses AFTER the headline session is shut down.
+    # GRAFT_SKIP_SCALING_LEGS=1 skips (used by --scaling, which measures
+    # both legs itself; see BASELINE.md for the exchange-leg analysis).
+    if (
+        os.environ.get("GRAFT_SKIP_SCALING_LEGS") != "1"
+        and "GRAFT_BENCH_ROWS" not in os.environ
+    ):
+        try:
+            out["compute_leg"] = compute_leg_pair()
+        except Exception as exc:  # never fail the headline on the rider
+            out["compute_leg"] = {"error": str(exc)[:200]}
+    print(json.dumps(out))
+
+
+def compute_leg_pair(lo: int = 8, hi: int = 32) -> dict:
+    """Run --compute-leg at two parallelism levels in fresh processes and
+    report both throughputs + efficiency (1.0 = linear in cpus)."""
+    def one(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_RUNS="1",
+            GRAFT_SKIP_SCALING_LEGS="1",
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--compute-leg"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    r_lo, r_hi = one(lo), one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"series_per_s_{lo}": r_lo["series_per_s"],
+        f"series_per_s_{hi}": r_hi["series_per_s"],
+        "scaling_efficiency": round(eff, 3),
+        "series": r_lo["series"],
+    }
 
 
 def run_compute_leg() -> None:
@@ -275,7 +323,12 @@ def run_scaling(sf_dir: str) -> None:
     see (bandwidth/object store scale with node count)."""
 
     def one(ncpu: int, extra_args: list[str] | None = None) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=sf_dir,
+            GRAFT_SKIP_SCALING_LEGS="1",  # legs are measured here, not nested
+        )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)] + (extra_args or []),
             env=env,

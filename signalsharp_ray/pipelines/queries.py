@@ -1063,7 +1063,8 @@ _FIXED_HEADS = [
     "rollup_1h_cascade", "gapfill_locf_1h", "gapfill_linear_1h",
     "gorilla_roundtrip_audit",
     # LLM-data family heads
-    "exact_dedup", "minhash_signatures", "lsh_verify", "knn_cosine",
+    "exact_dedup", "dedup_incremental", "minhash_signatures", "lsh_verify",
+    "knn_cosine",
     "embedding_near_dups_centroid", "token_count", "quality_scores",
     "language_id", "corpus_filter",
 ]

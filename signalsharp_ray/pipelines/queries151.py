@@ -34,7 +34,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .queries2 import _events
+from .queries2 import _documents, _events
 
 QUERIES151: dict = {}
 ORACLES151: dict = {}
@@ -76,4 +76,47 @@ WITH b AS (
 )
 SELECT event_type, CAST(g AS BIGINT) AS changepoint_index
 FROM b, UNNEST(generate_series(40, CAST(n AS BIGINT) - 1, 40)) AS t(g)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental cross-snapshot dedup (round-4 VERDICT item 8)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_incremental(sf_dir: str):
+    """Incremental exact dedup: the corpus arrives as TWO snapshots (a
+    deterministic doc_id % 3 split — the 'existing corpus' then the 'new
+    crawl increment'); each is applied to a persisted hive-partitioned
+    content-hash index (stages/incremental_dedup.py) that merges only the
+    touched bucket files and never re-reads the historical corpus. Because
+    min(doc_id)/count merge associatively, the final index equals the
+    batch exact_dedup of the UNIONED corpus — which is the oracle."""
+    import os
+    import uuid
+
+    from ..stages.incremental_dedup import DedupIndexStore
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def keep(is_increment: bool):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            mask = (batch["doc_id"].to_numpy(np.int64) % 3 == 2) == is_increment
+            return batch[mask]
+
+        return fn
+
+    root = (
+        os.environ.get("SIGNALSHARP_HANDOFF_ROOT", "/tmp/signalsharp_ray/handoff")
+        + f"/dedup-index-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    )
+    store = DedupIndexStore(root, n_buckets=64)
+    store.apply(docs.map_batches(keep(False), batch_format="pandas"), fingerprint="base")
+    store.apply(docs.map_batches(keep(True), batch_format="pandas"), fingerprint="increment")
+    return store.read_dataset()
+
+
+QUERIES151["dedup_incremental"] = q_dedup_incremental
+ORACLES151["dedup_incremental"] = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text
 """
