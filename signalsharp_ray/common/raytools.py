@@ -513,6 +513,8 @@ def hash_exchange(
     bucket_col: str = "__bucket",
     target_map_bytes: int = 256 << 20,
     max_blocks_per_map: int = 32,
+    partial_fn=None,
+    partial_every: int = 8,
 ):
     """STREAMING map/reduce hash exchange with raw Ray tasks.
 
@@ -539,6 +541,21 @@ def hash_exchange(
 
     This is the brief's 'raw Ray tasks as a last resort' case: the Dataset
     API cannot express a hash exchange without its sort machinery.
+
+    partial_fn: OPT-IN associative pre-reduce that overlaps the reduce
+    barrier with the map tail. When given, every `partial_every` map
+    groups each bucket's accumulated slices are folded by a
+    partial_bucket task SUBMITTED DURING the map loop (it runs as soon as
+    its split slices land — while later maps are still producing), and
+    the final reduce_bucket sees pre-shrunk partials instead of every raw
+    slice. Contract: partial_fn must be SCHEMA-PRESERVING (same columns,
+    same order, bucket_col retained) and associative with reduce_fn —
+    reduce_fn(concat(partial_fn(A), partial_fn(B), C)) ==
+    reduce_fn(concat(A, B, C)) — which holds for dedup/min/max/sum-style
+    combiners (the flagship's first-per-key dedup). Reduce-side compute
+    and memory then scale with the DISTINCT keys per bucket rather than
+    the raw exchange rows, and split slices become reclaimable as soon as
+    their partial folds them instead of living until the final reduce.
     """
     import ray
     import ray.data as rd
@@ -587,14 +604,36 @@ def hash_exchange(
             return _strip_meta(empty)
         return _strip_meta(pa.concat_tables(tables))
 
+    @ray.remote
+    def partial_bucket(*slices):
+        tables = [t for t in slices if t.num_rows > 0]
+        if not tables:
+            empty = slices[0].schema.empty_table() if slices else pa.table({})
+            return _strip_meta(empty)
+        return _strip_meta(partial_fn(pa.concat_tables(tables)))
+
     per_block: list = []
+    partials: list = [[] for _ in range(n_buckets)]
+    pending: list = [[] for _ in range(n_buckets)]
     group: list = []
     group_bytes = 0
 
     def flush():
         nonlocal group, group_bytes
         refs = split_blocks.remote(*group)
-        per_block.append([refs] if n_buckets == 1 else refs)
+        refs = [refs] if n_buckets == 1 else list(refs)
+        if partial_fn is None:
+            per_block.append(refs)
+        else:
+            # eager associative pre-reduce: the partial task is submitted
+            # NOW and runs as soon as its slices land — overlapping the
+            # still-running map tail; its inputs' refs are dropped here so
+            # split output is reclaimable the moment the partial folds it
+            for b in range(n_buckets):
+                pending[b].append(refs[b])
+                if len(pending[b]) >= partial_every:
+                    partials[b].append(partial_bucket.remote(*pending[b]))
+                    pending[b].clear()
         # drop driver refs: the pending split task keeps the blocks alive;
         # once it completes they are reclaimable (the streaming property)
         group = []
@@ -609,7 +648,7 @@ def hash_exchange(
     if group:
         flush()
 
-    if not per_block:
+    if not per_block and not any(partials) and not any(pending):
         # empty input: no bundles were produced; preserve the input schema
         # (minus the bucket column) so downstream stages see typed columns
         schema = ds.schema()
@@ -627,10 +666,17 @@ def hash_exchange(
     FANIN = 256
 
     def gather(b: int):
-        slices = [slots[b] for slots in per_block]
+        if partial_fn is None:
+            slices = [slots[b] for slots in per_block]
+            fold = concat_slices
+        else:
+            # intermediate tree levels keep folding with partial_fn, so
+            # every task's output stays distinct-keys-sized
+            slices = partials[b] + pending[b]
+            fold = partial_bucket
         while len(slices) > FANIN:
             slices = [
-                concat_slices.remote(*slices[i: i + FANIN])
+                fold.remote(*slices[i: i + FANIN])
                 for i in range(0, len(slices), FANIN)
             ]
         return reduce_bucket.remote(*slices)

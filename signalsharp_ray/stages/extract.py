@@ -342,4 +342,15 @@ def extract_dedup_exchange(pages_ds, n_buckets: int | None = None):
             pa.array(np.full(g.num_rows, bucket_val, dtype=np.int64)),
         )
 
-    return hash_exchange(bucketed, n_buckets, reduce_dedup)
+    def partial_dedup(t: pa.Table) -> pa.Table:
+        # associative, schema-preserving combiner for the overlapped
+        # exchange: min-of-min per (url_hash, ts) == one min over the
+        # concatenation, and __bucket (constant within a bucket's slices)
+        # rides through so reduce_dedup's contract is unchanged
+        g = t.group_by(["url_hash", "ts", "__bucket"], use_threads=False).aggregate(
+            [("value", "min"), ("text_hash", "min")]
+        )
+        g = g.rename_columns(["url_hash", "ts", "__bucket", "value", "text_hash"])
+        return g.select(["url_hash", "ts", "value", "text_hash", "__bucket"])
+
+    return hash_exchange(bucketed, n_buckets, reduce_dedup, partial_fn=partial_dedup)
