@@ -1056,9 +1056,13 @@ def q_media_features(sf_dir: str):
 # file doesn't exist while it runs).
 _FIXED_HEADS = [
     # §2 changepoint / smoothing / forecast / rollup family
+    # (+ the round-5 reference-roadmap additions: BOCD, Gaussian smoothing,
+    # Butterworth, DFT features, ARIMA, spline resampling)
     "pelt_step_detection", "cusum_changepoints", "bocd_changepoints",
-    "ema", "savgol", "kalman",
-    "ses_forecast", "holt_winters", "linear_forecast", "optimize_nm_level",
+    "ema", "savgol", "kalman", "gaussian_smooth", "butterworth_lowpass",
+    "dft_magnitudes", "spline_resample",
+    "ses_forecast", "holt_winters", "linear_forecast", "arima_forecast",
+    "optimize_nm_level",
     "zscore", "segment_mean", "downsample",
     "rollup_1h_cascade", "gapfill_locf_1h", "gapfill_linear_1h",
     "gorilla_roundtrip_audit",
@@ -1385,6 +1389,7 @@ def build_queries() -> dict:
     from .queries149 import QUERIES149
     from .queries150 import QUERIES150
     from .queries151 import QUERIES151
+    from .queries152 import QUERIES152
 
     return _reorder({
         **QUERIES11,
@@ -1526,6 +1531,7 @@ def build_queries() -> dict:
         **QUERIES149,
         **QUERIES150,
         **QUERIES151,
+        **QUERIES152,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1758,6 +1764,7 @@ def build_oracle_sql() -> dict:
     from .queries149 import ORACLES149
     from .queries150 import ORACLES150
     from .queries151 import ORACLES151
+    from .queries152 import ORACLES152
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1900,6 +1907,7 @@ def build_oracle_sql() -> dict:
         **ORACLES149,
         **ORACLES150,
         **ORACLES151,
+        **ORACLES152,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,

@@ -34,7 +34,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .queries2 import _documents, _events
+from .queries2 import _documents, _events, _r6
 
 QUERIES151: dict = {}
 ORACLES151: dict = {}
@@ -119,4 +119,122 @@ def q_dedup_incremental(sf_dir: str):
 QUERIES151["dedup_incremental"] = q_dedup_incremental
 ORACLES151["dedup_incremental"] = """
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gaussian smoothing + Butterworth low-pass (reference-roadmap items:
+# /root/reference/docs/docs/future-plans.md "Gaussian smoothing",
+# "Butterworth filter")
+# ---------------------------------------------------------------------------
+
+
+def q_gaussian_smooth(sf_dir: str):
+    """Per event_type: Gaussian-weighted smoothing (sigma=2, radius=6,
+    nearest-edge clamp) of the hourly count series. Bitwise SQL parity:
+    libm exp weights, ascending-j left-fold accumulation (==
+    list_sum(list_transform(...))), shared normalizer division."""
+    from ..kernels.filters import gaussian_smooth
+    from ..stages.rollup import rollup_tier
+
+    t1h = rollup_tier(
+        _events(sf_dir, ["ts", "event_type", "value"]), "1h",
+        key_cols=["event_type"],
+    )
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bucket_ts")
+        v = df["count"].to_numpy(np.float64)
+        sm = gaussian_smooth(v, sigma=2.0, radius=6)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "idx": np.arange(len(v), dtype=np.int64),
+                "smoothed": _r6(sm),
+            }
+        )
+
+    return t1h.groupby("event_type").map_groups(fn, batch_format="pandas")
+
+
+QUERIES151["gaussian_smooth"] = q_gaussian_smooth
+ORACLES151["gaussian_smooth"] = """
+WITH s AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+),
+a AS (
+  SELECT event_type, list(v ORDER BY h) AS vs, COUNT(*) AS n
+  FROM s GROUP BY 1
+),
+wt AS (
+  SELECT list_transform(range(-6, 7), j -> exp(-CAST(j*j AS DOUBLE) / 8.0)) AS w
+),
+wn AS (
+  SELECT list_transform(w, x -> x / list_sum(w)) AS w FROM wt
+)
+SELECT a.event_type,
+       CAST(t.i AS BIGINT) AS idx,
+       ROUND(list_sum(list_transform(range(0, 13),
+             jj -> wn.w[jj + 1] * a.vs[GREATEST(1, LEAST(a.n, t.i + jj - 5))])),
+             6) AS smoothed
+FROM a, wn, UNNEST(range(0, CAST(a.n AS BIGINT))) AS t(i)
+"""
+
+
+def q_butterworth_lowpass(sf_dir: str):
+    """Per event_type: causal order-2 Butterworth low-pass (normalized
+    cutoff 0.05 cycles/sample, zero initial state) over the event value
+    series ordered by (ts, event_id) — the Kalman query's series contract.
+    The biquad recursion replays in SQL as a recursive CTE carrying
+    (xcur, xprev, y, yprev); coefficients are shared libm tan/sqrt
+    expressions."""
+    from ..kernels.filters import butterworth_lowpass
+
+    ev = _events(sf_dir, ["ts", "event_id", "event_type", "value"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        y = butterworth_lowpass(df["value"].to_numpy(np.float64), cutoff=0.05)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "idx": np.arange(len(df), dtype=np.int64),
+                "filtered": _r6(y),
+            }
+        )
+
+    return ev.groupby("event_type").map_groups(fn, batch_format="pandas")
+
+
+QUERIES151["butterworth_lowpass"] = q_butterworth_lowpass
+ORACLES151["butterworth_lowpass"] = """
+WITH RECURSIVE r AS MATERIALIZED (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS idx
+  FROM events
+),
+co AS (
+  SELECT c,
+         1.0 + sqrt(2.0) * c + c * c AS d
+  FROM (SELECT 1.0 / tan(pi() * 0.05) AS c)
+),
+bw AS (
+  SELECT event_type, -1 AS idx,
+         CAST(0.0 AS DOUBLE) AS xcur, CAST(0.0 AS DOUBLE) AS xprev,
+         CAST(0.0 AS DOUBLE) AS y, CAST(0.0 AS DOUBLE) AS yprev
+  FROM r WHERE idx = 0
+  UNION ALL
+  SELECT r.event_type, r.idx,
+         r.value, bw.xcur,
+         (1.0 / co.d) * r.value + (2.0 / co.d) * bw.xcur
+           + (1.0 / co.d) * bw.xprev
+           - ((2.0 - 2.0 * co.c * co.c) / co.d) * bw.y
+           - ((1.0 - sqrt(2.0) * co.c + co.c * co.c) / co.d) * bw.yprev,
+         bw.y
+  FROM bw JOIN r ON r.event_type = bw.event_type AND r.idx = bw.idx + 1
+  CROSS JOIN co
+)
+SELECT event_type, CAST(idx AS BIGINT) AS idx, ROUND(y, 6) AS filtered
+FROM bw WHERE idx >= 0
 """
