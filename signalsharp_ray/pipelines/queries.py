@@ -1060,7 +1060,8 @@ _FIXED_HEADS = [
     # Butterworth, DFT features, ARIMA, spline resampling)
     "pelt_step_detection", "cusum_changepoints", "bocd_changepoints",
     "ema", "savgol", "kalman", "gaussian_smooth", "butterworth_lowpass",
-    "dft_magnitudes", "spline_resample",
+    "dft_magnitudes", "spline_resample", "fourier_resample",
+    "pca_top_component",
     "ses_forecast", "holt_winters", "linear_forecast", "arima_forecast",
     "optimize_nm_level",
     "zscore", "segment_mean", "downsample",

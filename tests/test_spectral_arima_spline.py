@@ -90,3 +90,41 @@ def test_spline_edge_cases():
     )
     with pytest.raises(ValueError):
         catmull_rom_resample(np.ones(5), 0)
+
+
+def test_fourier_resample_reproduces_samples_and_bandlimited():
+    from signalsharp_ray.kernels.fourier import fourier_resample
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(0, 1, 24)
+    y = fourier_resample(x, 2)
+    assert y.size == 48
+    np.testing.assert_allclose(y[::2], x, atol=1e-9)  # DFT identity
+    t = np.arange(24)
+    s = np.sin(2 * np.pi * 3 * t / 24)
+    ys = fourier_resample(s, 4)
+    t4 = np.arange(96) / 4.0
+    np.testing.assert_allclose(ys, np.sin(2 * np.pi * 3 * t4 / 24), atol=1e-9)
+    np.testing.assert_allclose(fourier_resample(x, 1), x, atol=1e-12)
+    with pytest.raises(ValueError):
+        fourier_resample(np.ones(23), 2)  # odd length
+    with pytest.raises(ValueError):
+        fourier_resample(np.ones(24), 0)
+
+
+def test_power_iteration_matches_eigh():
+    from signalsharp_ray.kernels.pca import power_iteration_top
+
+    rng = np.random.default_rng(3)
+    A = rng.normal(0, 1, (200, 6))
+    A[:, 0] *= 5.0
+    C = np.cov(A, rowvar=False, bias=True)
+    v, lam = power_iteration_top(C, 15)
+    w_true, V_true = np.linalg.eigh(C)
+    assert lam == pytest.approx(w_true[-1], rel=1e-6)
+    assert abs(float(v @ V_true[:, -1])) == pytest.approx(1.0, abs=1e-9)
+    assert v.sum() >= 0.0  # sign contract
+    with pytest.raises(ValueError):
+        power_iteration_top(np.ones((2, 3)))
+    with pytest.raises(ValueError):
+        power_iteration_top(np.eye(3), iters=0)
