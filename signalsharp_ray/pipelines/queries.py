@@ -1069,7 +1069,7 @@ _FIXED_HEADS = [
     "gorilla_roundtrip_audit",
     # LLM-data family heads
     "exact_dedup", "dedup_incremental", "minhash_signatures", "lsh_verify",
-    "knn_cosine",
+    "knn_cosine", "source_rate_sample", "mixing_weights",
     "embedding_near_dups_centroid", "token_count", "quality_scores",
     "language_id", "corpus_filter",
 ]
@@ -1391,6 +1391,7 @@ def build_queries() -> dict:
     from .queries150 import QUERIES150
     from .queries151 import QUERIES151
     from .queries152 import QUERIES152
+    from .queries153 import QUERIES153
 
     return _reorder({
         **QUERIES11,
@@ -1533,6 +1534,7 @@ def build_queries() -> dict:
         **QUERIES150,
         **QUERIES151,
         **QUERIES152,
+        **QUERIES153,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1766,6 +1768,7 @@ def build_oracle_sql() -> dict:
     from .queries150 import ORACLES150
     from .queries151 import ORACLES151
     from .queries152 import ORACLES152
+    from .queries153 import ORACLES153
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1909,6 +1912,7 @@ def build_oracle_sql() -> dict:
         **ORACLES150,
         **ORACLES151,
         **ORACLES152,
+        **ORACLES153,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,

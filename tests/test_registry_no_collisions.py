@@ -65,7 +65,12 @@ def test_driver_window_invariants():
     graded, n_rounds = _driver_graded_names()
     if n_rounds:  # round >= 2: rotation must surface fresh names
         fresh = [n for n in window if n not in graded]
-        assert len(fresh) >= 20, f"only {len(fresh)} never-graded names"
+        # every rotation slot must be fresh while ungraded names remain
+        # (round-5 carried 25; the floor shrinks only if heads grow)
+        slots = _WINDOW_SIZE - len([h for h in _FIXED_HEADS if h in q]) - 1
+        ungraded_pool = len(set(q) - set(_FIXED_HEADS) - graded)
+        want = min(20, slots, ungraded_pool)
+        assert len(fresh) >= want, f"only {len(fresh)} never-graded names"
 
 
 def test_catalog_agrees_with_registry():
