@@ -1392,6 +1392,7 @@ def build_queries() -> dict:
     from .queries151 import QUERIES151
     from .queries152 import QUERIES152
     from .queries153 import QUERIES153
+    from .queries154 import QUERIES154
 
     return _reorder({
         **QUERIES11,
@@ -1535,6 +1536,7 @@ def build_queries() -> dict:
         **QUERIES151,
         **QUERIES152,
         **QUERIES153,
+        **QUERIES154,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1769,6 +1771,7 @@ def build_oracle_sql() -> dict:
     from .queries151 import ORACLES151
     from .queries152 import ORACLES152
     from .queries153 import ORACLES153
+    from .queries154 import ORACLES154
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1913,6 +1916,7 @@ def build_oracle_sql() -> dict:
         **ORACLES151,
         **ORACLES152,
         **ORACLES153,
+        **ORACLES154,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
