@@ -1393,6 +1393,7 @@ def build_queries() -> dict:
     from .queries152 import QUERIES152
     from .queries153 import QUERIES153
     from .queries154 import QUERIES154
+    from .queries155 import QUERIES155
 
     return _reorder({
         **QUERIES11,
@@ -1537,6 +1538,7 @@ def build_queries() -> dict:
         **QUERIES152,
         **QUERIES153,
         **QUERIES154,
+        **QUERIES155,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1772,6 +1774,7 @@ def build_oracle_sql() -> dict:
     from .queries152 import ORACLES152
     from .queries153 import ORACLES153
     from .queries154 import ORACLES154
+    from .queries155 import ORACLES155
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1917,6 +1920,7 @@ def build_oracle_sql() -> dict:
         **ORACLES152,
         **ORACLES153,
         **ORACLES154,
+        **ORACLES155,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
