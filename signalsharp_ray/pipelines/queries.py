@@ -1394,6 +1394,7 @@ def build_queries() -> dict:
     from .queries153 import QUERIES153
     from .queries154 import QUERIES154
     from .queries155 import QUERIES155
+    from .queries156 import QUERIES156
 
     return _reorder({
         **QUERIES11,
@@ -1539,6 +1540,7 @@ def build_queries() -> dict:
         **QUERIES153,
         **QUERIES154,
         **QUERIES155,
+        **QUERIES156,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1775,6 +1777,7 @@ def build_oracle_sql() -> dict:
     from .queries153 import ORACLES153
     from .queries154 import ORACLES154
     from .queries155 import ORACLES155
+    from .queries156 import ORACLES156
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1921,6 +1924,7 @@ def build_oracle_sql() -> dict:
         **ORACLES153,
         **ORACLES154,
         **ORACLES155,
+        **ORACLES156,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
