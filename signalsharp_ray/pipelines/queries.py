@@ -1395,6 +1395,7 @@ def build_queries() -> dict:
     from .queries154 import QUERIES154
     from .queries155 import QUERIES155
     from .queries156 import QUERIES156
+    from .queries157 import QUERIES157
 
     return _reorder({
         **QUERIES11,
@@ -1541,6 +1542,7 @@ def build_queries() -> dict:
         **QUERIES154,
         **QUERIES155,
         **QUERIES156,
+        **QUERIES157,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1778,6 +1780,7 @@ def build_oracle_sql() -> dict:
     from .queries154 import ORACLES154
     from .queries155 import ORACLES155
     from .queries156 import ORACLES156
+    from .queries157 import ORACLES157
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1925,6 +1928,7 @@ def build_oracle_sql() -> dict:
         **ORACLES154,
         **ORACLES155,
         **ORACLES156,
+        **ORACLES157,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
