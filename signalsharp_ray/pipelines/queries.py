@@ -1396,6 +1396,7 @@ def build_queries() -> dict:
     from .queries155 import QUERIES155
     from .queries156 import QUERIES156
     from .queries157 import QUERIES157
+    from .queries158 import QUERIES158
 
     return _reorder({
         **QUERIES11,
@@ -1543,6 +1544,7 @@ def build_queries() -> dict:
         **QUERIES155,
         **QUERIES156,
         **QUERIES157,
+        **QUERIES158,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1781,6 +1783,7 @@ def build_oracle_sql() -> dict:
     from .queries155 import ORACLES155
     from .queries156 import ORACLES156
     from .queries157 import ORACLES157
+    from .queries158 import ORACLES158
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1929,6 +1932,7 @@ def build_oracle_sql() -> dict:
         **ORACLES155,
         **ORACLES156,
         **ORACLES157,
+        **ORACLES158,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
