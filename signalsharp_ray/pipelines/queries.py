@@ -1397,6 +1397,7 @@ def build_queries() -> dict:
     from .queries156 import QUERIES156
     from .queries157 import QUERIES157
     from .queries158 import QUERIES158
+    from .queries159 import QUERIES159
 
     return _reorder({
         **QUERIES11,
@@ -1545,6 +1546,7 @@ def build_queries() -> dict:
         **QUERIES156,
         **QUERIES157,
         **QUERIES158,
+        **QUERIES159,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1784,6 +1786,7 @@ def build_oracle_sql() -> dict:
     from .queries156 import ORACLES156
     from .queries157 import ORACLES157
     from .queries158 import ORACLES158
+    from .queries159 import ORACLES159
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1933,6 +1936,7 @@ def build_oracle_sql() -> dict:
         **ORACLES156,
         **ORACLES157,
         **ORACLES158,
+        **ORACLES159,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
