@@ -1398,6 +1398,7 @@ def build_queries() -> dict:
     from .queries157 import QUERIES157
     from .queries158 import QUERIES158
     from .queries159 import QUERIES159
+    from .queries160 import QUERIES160
 
     return _reorder({
         **QUERIES11,
@@ -1547,6 +1548,7 @@ def build_queries() -> dict:
         **QUERIES157,
         **QUERIES158,
         **QUERIES159,
+        **QUERIES160,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1787,6 +1789,7 @@ def build_oracle_sql() -> dict:
     from .queries157 import ORACLES157
     from .queries158 import ORACLES158
     from .queries159 import ORACLES159
+    from .queries160 import ORACLES160
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1937,6 +1940,7 @@ def build_oracle_sql() -> dict:
         **ORACLES157,
         **ORACLES158,
         **ORACLES159,
+        **ORACLES160,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
