@@ -1399,6 +1399,7 @@ def build_queries() -> dict:
     from .queries158 import QUERIES158
     from .queries159 import QUERIES159
     from .queries160 import QUERIES160
+    from .queries161 import QUERIES161
 
     return _reorder({
         **QUERIES11,
@@ -1549,6 +1550,7 @@ def build_queries() -> dict:
         **QUERIES158,
         **QUERIES159,
         **QUERIES160,
+        **QUERIES161,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1790,6 +1792,7 @@ def build_oracle_sql() -> dict:
     from .queries158 import ORACLES158
     from .queries159 import ORACLES159
     from .queries160 import ORACLES160
+    from .queries161 import ORACLES161
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1941,6 +1944,7 @@ def build_oracle_sql() -> dict:
         **ORACLES158,
         **ORACLES159,
         **ORACLES160,
+        **ORACLES161,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
