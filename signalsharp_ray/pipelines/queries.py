@@ -1400,6 +1400,7 @@ def build_queries() -> dict:
     from .queries159 import QUERIES159
     from .queries160 import QUERIES160
     from .queries161 import QUERIES161
+    from .queries162 import QUERIES162
 
     return _reorder({
         **QUERIES11,
@@ -1551,6 +1552,7 @@ def build_queries() -> dict:
         **QUERIES159,
         **QUERIES160,
         **QUERIES161,
+        **QUERIES162,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1793,6 +1795,7 @@ def build_oracle_sql() -> dict:
     from .queries159 import ORACLES159
     from .queries160 import ORACLES160
     from .queries161 import ORACLES161
+    from .queries162 import ORACLES162
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1945,6 +1948,7 @@ def build_oracle_sql() -> dict:
         **ORACLES159,
         **ORACLES160,
         **ORACLES161,
+        **ORACLES162,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
