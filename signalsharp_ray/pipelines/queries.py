@@ -1401,6 +1401,7 @@ def build_queries() -> dict:
     from .queries160 import QUERIES160
     from .queries161 import QUERIES161
     from .queries162 import QUERIES162
+    from .queries163 import QUERIES163
 
     return _reorder({
         **QUERIES11,
@@ -1553,6 +1554,7 @@ def build_queries() -> dict:
         **QUERIES160,
         **QUERIES161,
         **QUERIES162,
+        **QUERIES163,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1796,6 +1798,7 @@ def build_oracle_sql() -> dict:
     from .queries160 import ORACLES160
     from .queries161 import ORACLES161
     from .queries162 import ORACLES162
+    from .queries163 import ORACLES163
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1949,6 +1952,7 @@ def build_oracle_sql() -> dict:
         **ORACLES160,
         **ORACLES161,
         **ORACLES162,
+        **ORACLES163,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
