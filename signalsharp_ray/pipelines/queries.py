@@ -1402,6 +1402,7 @@ def build_queries() -> dict:
     from .queries161 import QUERIES161
     from .queries162 import QUERIES162
     from .queries163 import QUERIES163
+    from .queries164 import QUERIES164
 
     return _reorder({
         **QUERIES11,
@@ -1555,6 +1556,7 @@ def build_queries() -> dict:
         **QUERIES161,
         **QUERIES162,
         **QUERIES163,
+        **QUERIES164,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1799,6 +1801,7 @@ def build_oracle_sql() -> dict:
     from .queries161 import ORACLES161
     from .queries162 import ORACLES162
     from .queries163 import ORACLES163
+    from .queries164 import ORACLES164
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1953,6 +1956,7 @@ def build_oracle_sql() -> dict:
         **ORACLES161,
         **ORACLES162,
         **ORACLES163,
+        **ORACLES164,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
