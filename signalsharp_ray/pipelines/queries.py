@@ -1403,6 +1403,7 @@ def build_queries() -> dict:
     from .queries162 import QUERIES162
     from .queries163 import QUERIES163
     from .queries164 import QUERIES164
+    from .queries165 import QUERIES165
 
     return _reorder({
         **QUERIES11,
@@ -1557,6 +1558,7 @@ def build_queries() -> dict:
         **QUERIES162,
         **QUERIES163,
         **QUERIES164,
+        **QUERIES165,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1802,6 +1804,7 @@ def build_oracle_sql() -> dict:
     from .queries162 import ORACLES162
     from .queries163 import ORACLES163
     from .queries164 import ORACLES164
+    from .queries165 import ORACLES165
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1957,6 +1960,7 @@ def build_oracle_sql() -> dict:
         **ORACLES162,
         **ORACLES163,
         **ORACLES164,
+        **ORACLES165,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
