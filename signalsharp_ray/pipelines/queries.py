@@ -1404,6 +1404,7 @@ def build_queries() -> dict:
     from .queries163 import QUERIES163
     from .queries164 import QUERIES164
     from .queries165 import QUERIES165
+    from .queries166 import QUERIES166
 
     return _reorder({
         **QUERIES11,
@@ -1559,6 +1560,7 @@ def build_queries() -> dict:
         **QUERIES163,
         **QUERIES164,
         **QUERIES165,
+        **QUERIES166,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1805,6 +1807,7 @@ def build_oracle_sql() -> dict:
     from .queries163 import ORACLES163
     from .queries164 import ORACLES164
     from .queries165 import ORACLES165
+    from .queries166 import ORACLES166
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1961,6 +1964,7 @@ def build_oracle_sql() -> dict:
         **ORACLES163,
         **ORACLES164,
         **ORACLES165,
+        **ORACLES166,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
