@@ -1405,6 +1405,7 @@ def build_queries() -> dict:
     from .queries164 import QUERIES164
     from .queries165 import QUERIES165
     from .queries166 import QUERIES166
+    from .queries167 import QUERIES167
 
     return _reorder({
         **QUERIES11,
@@ -1561,6 +1562,7 @@ def build_queries() -> dict:
         **QUERIES164,
         **QUERIES165,
         **QUERIES166,
+        **QUERIES167,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1808,6 +1810,7 @@ def build_oracle_sql() -> dict:
     from .queries164 import ORACLES164
     from .queries165 import ORACLES165
     from .queries166 import ORACLES166
+    from .queries167 import ORACLES167
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1965,6 +1968,7 @@ def build_oracle_sql() -> dict:
         **ORACLES164,
         **ORACLES165,
         **ORACLES166,
+        **ORACLES167,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
