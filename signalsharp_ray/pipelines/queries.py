@@ -1406,6 +1406,7 @@ def build_queries() -> dict:
     from .queries165 import QUERIES165
     from .queries166 import QUERIES166
     from .queries167 import QUERIES167
+    from .queries168 import QUERIES168
 
     return _reorder({
         **QUERIES11,
@@ -1563,6 +1564,7 @@ def build_queries() -> dict:
         **QUERIES165,
         **QUERIES166,
         **QUERIES167,
+        **QUERIES168,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1811,6 +1813,7 @@ def build_oracle_sql() -> dict:
     from .queries165 import ORACLES165
     from .queries166 import ORACLES166
     from .queries167 import ORACLES167
+    from .queries168 import ORACLES168
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1969,6 +1972,7 @@ def build_oracle_sql() -> dict:
         **ORACLES165,
         **ORACLES166,
         **ORACLES167,
+        **ORACLES168,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
