@@ -1407,6 +1407,7 @@ def build_queries() -> dict:
     from .queries166 import QUERIES166
     from .queries167 import QUERIES167
     from .queries168 import QUERIES168
+    from .queries169 import QUERIES169
 
     return _reorder({
         **QUERIES11,
@@ -1565,6 +1566,7 @@ def build_queries() -> dict:
         **QUERIES166,
         **QUERIES167,
         **QUERIES168,
+        **QUERIES169,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1814,6 +1816,7 @@ def build_oracle_sql() -> dict:
     from .queries166 import ORACLES166
     from .queries167 import ORACLES167
     from .queries168 import ORACLES168
+    from .queries169 import ORACLES169
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1973,6 +1976,7 @@ def build_oracle_sql() -> dict:
         **ORACLES166,
         **ORACLES167,
         **ORACLES168,
+        **ORACLES169,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
