@@ -1408,6 +1408,7 @@ def build_queries() -> dict:
     from .queries167 import QUERIES167
     from .queries168 import QUERIES168
     from .queries169 import QUERIES169
+    from .queries170 import QUERIES170
 
     return _reorder({
         **QUERIES11,
@@ -1567,6 +1568,7 @@ def build_queries() -> dict:
         **QUERIES167,
         **QUERIES168,
         **QUERIES169,
+        **QUERIES170,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1817,6 +1819,7 @@ def build_oracle_sql() -> dict:
     from .queries167 import ORACLES167
     from .queries168 import ORACLES168
     from .queries169 import ORACLES169
+    from .queries170 import ORACLES170
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1977,6 +1980,7 @@ def build_oracle_sql() -> dict:
         **ORACLES167,
         **ORACLES168,
         **ORACLES169,
+        **ORACLES170,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
