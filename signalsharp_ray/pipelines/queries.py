@@ -1409,6 +1409,7 @@ def build_queries() -> dict:
     from .queries168 import QUERIES168
     from .queries169 import QUERIES169
     from .queries170 import QUERIES170
+    from .queries171 import QUERIES171
 
     return _reorder({
         **QUERIES11,
@@ -1569,6 +1570,7 @@ def build_queries() -> dict:
         **QUERIES168,
         **QUERIES169,
         **QUERIES170,
+        **QUERIES171,
         **QUERIES6,
         **QUERIES7,
         **QUERIES8,
@@ -1820,6 +1822,7 @@ def build_oracle_sql() -> dict:
     from .queries168 import ORACLES168
     from .queries169 import ORACLES169
     from .queries170 import ORACLES170
+    from .queries171 import ORACLES171
 
     seg = lambda op, agg: _SEGMENT_SQL.format(op=op, agg=agg, factor=10)
     out = {
@@ -1981,6 +1984,7 @@ def build_oracle_sql() -> dict:
         **ORACLES168,
         **ORACLES169,
         **ORACLES170,
+        **ORACLES171,
         **ORACLES6,
         **ORACLES7,
         **ORACLES8,
